@@ -1,0 +1,455 @@
+"""LLM-training-data pipeline surface: dedup (exact / n-gram Jaccard /
+MinHash-LSH / SimHash), similarity search over embeddings, and text
+analysis (token stats, quality scoring, language-ID, fingerprinting).
+
+Cross-engine determinism notes:
+- Hashes use md5 (identical hex output in Spark and DuckDB).
+- Embedding dot products are computed over int64-quantized elements
+  (round(x*1e6)) — exact and order-independent, so cosine scores are
+  bit-identical across engines (see functions/vectors.py).
+- SimHash is built from md5 hex digits with pure integer CASE logic —
+  no float ops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import text as TX
+from ..functions import vectors as V
+from . import register
+from .common import T
+
+# ------------------------------------------------------------------ dedup
+
+@register(
+    "dedup_exact_hash",
+    sql="""
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1
+    """,
+    tags=("llm", "dedup", "exact"),
+)
+def dedup_exact_hash(spark, sf_dir):
+    """Exact dedup: content-hash groupBy; generalizes the reference's
+    location_id anti-join (J1) to content identity."""
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    sql="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+    tags=("llm", "dedup", "exact"),
+)
+def dedup_exact_keep_first(spark, sf_dir):
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        T(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+_JACCARD_SPARK = """
+WITH w AS (SELECT doc_id, split(text, ' ', -1) AS ws FROM documents),
+sh AS (
+  SELECT doc_id, explode(array_distinct(transform(sequence(0, size(ws)-3),
+         i -> concat_ws('_', ws[i], ws[i+1], ws[i+2])))) AS s
+  FROM w WHERE size(ws) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT da, db, CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jaccard
+FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
+"""
+
+_JACCARD_DUCK = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([ws[i] || '_' || ws[i+1] || '_' || ws[i+2]
+         for i in range(1, len(ws)-1)])) AS s
+  FROM w WHERE len(ws) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT da, db, CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jaccard
+FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
+"""
+
+
+@register("dedup_ngram_jaccard", sql=_JACCARD_DUCK, tags=("llm", "dedup", "fuzzy"))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by 3-word-shingle Jaccard >= 0.8.
+
+    Shingle explode -> self-equi-join on shingle -> per-pair overlap
+    count. Distributed shape: the join shuffles on the shingle value, so
+    hot shingles (boilerplate) are the skew risk at scale — mitigated by
+    dropping top-df shingles or LSH-banding (see dedup_minhash_lsh).
+    """
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_JACCARD_SPARK)
+
+
+@register("dedup_minhash_lsh", sql=None, tags=("llm", "dedup", "fuzzy", "mllib"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate pairs (Jaccard distance <= 0.3) over word sets.
+
+    The scale path for fuzzy dedup: signature banding turns the O(n^2)
+    pairwise problem into an equi-join on band buckets. MLlib hash seeds
+    are engine-internal -> rows-only check; the exact-Jaccard twin
+    (dedup_ngram_jaccard) is the oracle-verified reference semantics.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ", -1)).alias("words")
+    )
+    tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("da"),
+        F.col("datasetB.doc_id").alias("db"),
+        "jaccard_dist",
+    )
+
+
+def _simhash_sql(split_expr: str, distinct_fn: str, explode_part: str) -> str:
+    # 16-bit SimHash from the first 4 hex chars of md5(token); pure
+    # integer CASE logic so any engine computes identical bits.
+    return f"""
+WITH tok AS ({explode_part}),
+bits AS (
+  SELECT doc_id, j,
+    CASE WHEN j < 4 THEN 1 WHEN j < 8 THEN 2 WHEN j < 12 THEN 3 ELSE 4 END AS ci,
+    j % 4 AS k,
+    instr('0123456789abcdef', substr(md5(w), CASE WHEN j < 4 THEN 1
+          WHEN j < 8 THEN 2 WHEN j < 12 THEN 3 ELSE 4 END, 1)) - 1 AS v
+  FROM tok CROSS JOIN {{J16}}),
+contrib AS (
+  SELECT doc_id, j,
+    CASE j % 4
+      WHEN 0 THEN v % 2
+      WHEN 1 THEN CASE WHEN v IN (2,3,6,7,10,11,14,15) THEN 1 ELSE 0 END
+      WHEN 2 THEN CASE WHEN v IN (4,5,6,7,12,13,14,15) THEN 1 ELSE 0 END
+      ELSE CASE WHEN v >= 8 THEN 1 ELSE 0 END
+    END AS bit
+  FROM bits),
+bitsum AS (
+  SELECT doc_id, j, CAST(SUM(2 * bit - 1) AS BIGINT) AS s
+  FROM contrib GROUP BY doc_id, j)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS BIGINT)
+    AS simhash16
+FROM bitsum GROUP BY doc_id
+"""
+
+
+_SIMHASH_SPARK = _simhash_sql(
+    "split(text, ' ', -1)",
+    "array_distinct",
+    "SELECT doc_id, explode(array_distinct(split(text, ' ', -1))) AS w FROM documents",
+).format(J16="(SELECT explode(sequence(0, 15)) AS j)")
+
+_SIMHASH_DUCK = _simhash_sql(
+    "string_split(text, ' ')",
+    "list_distinct",
+    "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents",
+).format(J16="(SELECT unnest(range(0, 16)) AS j)")
+
+
+@register("dedup_simhash", sql=_SIMHASH_DUCK, tags=("llm", "dedup", "fingerprint"))
+def dedup_simhash(spark, sf_dir):
+    """Per-document 16-bit SimHash fingerprint (near-dup docs land on
+    nearby hashes; bucket on the hash then verify within buckets)."""
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SIMHASH_SPARK)
+
+
+@register(
+    "doc_fingerprint",
+    sql=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    tags=("llm", "fingerprint"),
+)
+def doc_fingerprint(spark, sf_dir):
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", TX.fingerprint("text").alias("fingerprint")
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+@register(
+    "text_stats",
+    sql=f"""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(text, '{TX.TOKEN_RE}')) AS BIGINT) AS n_tokens,
+      CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / len(string_split(text, ' ')) AS avg_word_len,
+      CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+        / length(text) AS alpha_ratio
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    n_words = TX.word_count("text").cast("bigint")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+        ((F.col("n_chars") - (n_words - 1)).cast("double") / n_words).alias(
+            "avg_word_len"
+        ),
+        TX.alpha_ratio("text").alias("alpha_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    sql=f"""
+    WITH wl AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN w IN {TX.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS stop_ratio
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+      0.3 * LEAST(d.n_chars / 200.0, 1.0) + 0.4 * wl.stop_ratio
+        + 0.3 * (CAST(length(regexp_replace(d.text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / length(d.text)) AS quality,
+      (0.3 * LEAST(d.n_chars / 200.0, 1.0) + 0.4 * wl.stop_ratio
+        + 0.3 * (CAST(length(regexp_replace(d.text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / length(d.text))) > 0.5 AS keep
+    FROM documents d JOIN wl ON d.doc_id = wl.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    wl = (
+        d.select("doc_id", F.explode(TX.words("text")).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("w").isin(*TX.STOPWORDS), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("stop_ratio")
+        )
+    )
+    quality = (
+        F.lit(0.3) * F.least(F.col("n_chars") / 200.0, F.lit(1.0))
+        + F.lit(0.4) * F.col("stop_ratio")
+        + F.lit(0.3) * TX.alpha_ratio("text")
+    )
+    return (
+        d.join(wl, "doc_id")
+        .select("doc_id", quality.alias("quality"), (quality > 0.5).alias("keep"))
+    )
+
+
+_LANG_SQL_HITS = ",\n      ".join(
+    f"len(regexp_extract_all(text, '{pat}')) AS {lang}"
+    for lang, pat in TX.LANG_MARKERS
+).replace("\\", "\\")
+
+
+@register(
+    "text_langid",
+    sql=rf"""
+    WITH h AS (
+      SELECT doc_id, lang,
+      {_LANG_SQL_HITS}
+      FROM documents)
+    SELECT doc_id, lang,
+      CASE WHEN en >= fr AND en >= de AND en >= es AND en >= zh THEN 'en'
+           WHEN fr >= de AND fr >= es AND fr >= zh THEN 'fr'
+           WHEN de >= es AND de >= zh THEN 'de'
+           WHEN es >= zh THEN 'es'
+           ELSE 'zh' END AS pred_lang
+    FROM h
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_langid(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.langid("text").alias("pred_lang"))
+
+
+# ------------------------------------------------------------- similarity
+
+# integer quantization q(x) = round(x*1e6) — see functions/vectors.py;
+# all dot/norm arithmetic is int64-exact, so cosine doubles are
+# bit-identical across engines
+_Q = "CAST(ROUND(CAST({e} AS DOUBLE) * 1000000.0) AS BIGINT)"
+_DOT_QUANT = (
+    f"CAST(SUM({_Q.format(e='a.embedding[i]')} * {_Q.format(e='b.embedding[i]')}) AS BIGINT)"
+)
+
+_NORM2_DUCK = f"""
+norms AS (
+  SELECT vec_id, CAST(SUM({_Q.format(e='e')} * {_Q.format(e='e')}) AS BIGINT) AS norm2
+  FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings) t
+  GROUP BY vec_id)
+"""
+
+
+@register(
+    "similarity_topk_cosine",
+    sql=f"""
+    WITH {_NORM2_DUCK},
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, {_DOT_QUANT} AS d
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.vec_id, b.vec_id),
+    scored AS (
+      SELECT qid, cid,
+        CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+      FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid)
+    SELECT qid, cid, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, cid) AS rnk
+      FROM scored) t
+    WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "topk"),
+)
+def similarity_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 5).
+
+    Baseline ANN oracle: exact-decimal dot products make scores
+    bit-identical across engines. The scale path is similarity_lsh_ann
+    (bucketed random projection) — this is the verifier for it.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", V.cosine_exact("qe", "ce").alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "similarity_threshold_pairs",
+    sql=f"""
+    WITH {_NORM2_DUCK},
+    dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {_DOT_QUANT} AS d
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT va, vb,
+      CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+    FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+    WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) >= 0.45
+    """,
+    tags=("llm", "similarity", "join"),
+)
+def similarity_threshold_pairs(spark, sf_dir):
+    """All-pairs cosine similarity join at a threshold (embedding near-dup)."""
+    emb = T(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", V.cosine_exact("ea", "eb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+@register(
+    "embedding_stats",
+    sql=f"""
+    SELECT vec_id, label,
+      CAST(len(embedding) AS INT) AS dim,
+      SQRT(CAST(CAST(SUM({_Q.format(e='e')} * {_Q.format(e='e')}) AS BIGINT) AS DOUBLE))
+        / 1000000.0 AS l2_norm,
+      CAST(CAST(SUM({_Q.format(e='e')}) AS BIGINT) AS DOUBLE) / 1000000.0
+        / len(embedding) AS mean_val
+    FROM (SELECT vec_id, label, embedding, unnest(embedding) AS e FROM embeddings) t
+    GROUP BY vec_id, label, embedding
+    """,
+    tags=("llm", "similarity", "stats"),
+)
+def embedding_stats(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    sum_q = F.aggregate(
+        V.quantize("embedding"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        (
+            F.sqrt(V.dot_exact("embedding", "embedding").cast("double"))
+            / F.lit(V.QUANT)
+        ).alias("l2_norm"),
+        (sum_q.cast("double") / F.lit(V.QUANT) / F.size("embedding")).alias("mean_val"),
+    )
+
+
+@register("similarity_lsh_ann", sql=None, tags=("llm", "similarity", "ann", "mllib"))
+def similarity_lsh_ann(spark, sf_dir):
+    """Scale path for ANN: BucketedRandomProjectionLSH similarity join.
+
+    Buckets collapse the O(n^2) candidate space to same-bucket pairs; at
+    100 TB this is an equi-join on bucket id instead of a cross join.
+    Engine-internal hash seeds -> rows-only check (verified against the
+    brute-force twin in tests)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, 8.0, distCol="l2_dist")
+    return pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id")).select(
+        F.col("datasetA.vec_id").alias("va"),
+        F.col("datasetB.vec_id").alias("vb"),
+        "l2_dist",
+    )
