@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full
+materialization, no driver collect, no result pruning).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from chchfr_data_collection_spark.queries import catalog
+from chchfr_data_collection_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate at 100 TB (wide joins, window functions, self-join dedup,
+# similarity cross-join).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q10_returned_items",
+    "join_left_outer_counts",
+    "agg_rollup_status_priority",
+    "window_topk_per_group",
+    "window_running_total",
+    "events_sliding_hourly",
+    "events_sessionization",
+    "dedup_exact_hash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_topk_cosine",
+    "text_quality_score",
+    "text_langid",
+    "fuel_price_crossjoin",
+    "stations_ingest_antijoin",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    cat = catalog()
+
+    # warm the JVM/session on a trivial action so q1 doesn't pay startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = cat[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

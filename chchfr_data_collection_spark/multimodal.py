@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video travel as `binary` columns with a metadata struct;
+decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched pandas iterators (`mapInPandas`) so payload bytes never
+round-trip through Python row objects.
+
+The actual codec libraries (PIL/ffmpeg/soundfile) are NOT in this
+container, so the decode kernels are stubbed: `decode=fake` produces a
+deterministic feature vector from the bytes (schema/partitioning/batch
+shape are fully real and tested); `decode=real` raises
+NotImplementedError at the exact point a codec would be called.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes int, width int, height int, "
+    "payload binary"
+)
+
+FEATURE_SCHEMA = "doc_id bigint, media_type string, n_bytes int, feat array<float>"
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes binary"
+
+
+def attach_fake_media(docs: DataFrame) -> DataFrame:
+    """Fixture adapter: wrap each document's text bytes as a fake media
+    payload with plausible metadata (deterministic from doc_id)."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.length("text").cast("int").alias("n_bytes"),
+        ((F.col("doc_id") % 8 + 1) * 64).cast("int").alias("width"),
+        ((F.col("doc_id") % 4 + 1) * 64).cast("int").alias("height"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
+def _fake_features(payload: bytes, dim: int = 8) -> list:
+    # deterministic bytes -> float features (stand-in for a real encoder)
+    acc = [0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] = (acc[i % dim] * 31 + b) % 997
+    return [v / 997.0 for v in acc]
+
+
+def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Batch feature extraction over binary payloads via mapInPandas.
+
+    Arrow delivers whole column batches to Python; each batch is
+    processed vectorized-per-row without JVM round trips. At scale this
+    is the standard shape for GPU/codec stages: repartition to match
+    worker slots, then one python worker per partition streams batches.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "codec libraries (PIL/ffmpeg) not available in this "
+                    "container; use decode='fake' for the deterministic stub"
+                )
+            feats = [_fake_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame sampling stub: emit one 'frame' per N payload bytes for video
+    rows (1:N row explosion inside mapInPandas, the real frame-sampler's
+    shape)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_bytes = [], [], []
+            for _, row in pdf.iterrows():
+                if row["media_type"] != "video/mp4":
+                    continue
+                payload = row["payload"]
+                for k in range(0, max(len(payload), 1), every_n_bytes):
+                    out_ids.append(row["doc_id"])
+                    out_idx.append(k // every_n_bytes)
+                    out_bytes.append(bytes(payload[k : k + every_n_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "frame_idx": out_idx, "frame_bytes": out_bytes}
+            )
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -1,0 +1,73 @@
+"""As-of and range joins — operators Spark lacks natively.
+
+Both are built from compositions of built-in ops (SURVEY.md §2.5 "not
+present in reference" list):
+
+- As-of join: union the two sides, sort within key, carry the right
+  side's last value forward with a window `last(..., ignorenulls)`.
+  One shuffle on the key, no per-row probing — scales like any window.
+- Range join: broadcast the (small) bucket table and join on an
+  interval predicate — Catalyst executes BroadcastNestedLoopJoin; for
+  large range tables, bucketize the point column first so it becomes an
+  equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """For each left row, the `right_value` of the latest right row with
+    right_ts <= left_ts (per `on` key). Ties: the right row sorts first,
+    so an equal-timestamp right row IS matched (<= semantics).
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right.schema[right_value].dataType).alias("__rv"),
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.col(right_value).alias("__rv"),
+    ).select(*lcols, "__ts", "__is_left", "__rv")
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        out_col, F.last("__rv", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("__is_left") == 1).drop("__ts", "__is_left", "__rv")
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """points ⋈ ranges ON lo <= point < hi. Broadcast the range side —
+    range tables (histogram buckets, tiering rules) are small by nature."""
+    cond: Column = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) < F.col(hi_col)
+    )
+    return points.join(F.broadcast(ranges), cond, how)

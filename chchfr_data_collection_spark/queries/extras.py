@@ -1,0 +1,125 @@
+"""Extended operator surface: as-of / range joins, streaming replays, and
+multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join, range_join
+from . import register
+from .common import T
+
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+@register(
+    "asof_join_last_click",
+    sql=f"""
+    SELECT e.event_id, e.user_id,
+      strftime((SELECT MAX(c.ts) FROM events c
+                WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                  AND c.ts <= e.ts), '{_TS_FMT_DUCK}') AS last_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+    tags=("join", "asof", "events"),
+)
+def asof_join_last_click(spark, sf_dir):
+    """As-of join: for each error event, the most recent prior click of
+    the same user. Implemented as union+window (one shuffle) — the oracle
+    states the same semantics as a correlated MAX subquery."""
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_value="click_ts",
+        out_col="last_click",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("last_click", _TS_FMT_SPARK).alias("last_click_ts"),
+    )
+
+
+@register(
+    "range_join_value_buckets",
+    sql="""
+    SELECT b.bucket, COUNT(e.event_id) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 5.0), ('mid', 5.0, 10.0), ('high', 10.0, 100.0))
+         AS b(bucket, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket
+    """,
+    tags=("join", "range", "events"),
+)
+def range_join_value_buckets(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 10.0), ("high", 10.0, 100.0)],
+        "bucket string, lo double, hi double",
+    )
+    joined = range_join(ev, buckets, "value", "lo", "hi")
+    return joined.groupBy("bucket").agg(
+        F.count("event_id").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+    )
+
+
+@register("streaming_tumbling_replay", sql=None, tags=("streaming", "events"))
+def streaming_tumbling_replay(spark, sf_dir):
+    """Watermarked tumbling-window aggregation through a REAL Structured
+    Streaming replay (Trigger.AvailableNow). Rows-only: verified against
+    the batch twin (events_tumbling_hourly) in tests."""
+    import uuid
+
+    from ..streaming.events import read_events_stream, run_available_now, tumbling_counts
+
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    name = "tumbling_" + uuid.uuid4().hex[:8]
+    return run_available_now(stream, name, mode="complete")
+
+
+@register("streaming_dedup_replay", sql=None, tags=("streaming", "events", "dedup"))
+def streaming_dedup_replay(spark, sf_dir):
+    """Stateful dropDuplicatesWithinWatermark replay (rows-only)."""
+    import uuid
+
+    from ..streaming.events import (
+        dedup_latest_within_watermark,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = dedup_latest_within_watermark(read_events_stream(spark, sf_dir))
+    name = "dedup_" + uuid.uuid4().hex[:8]
+    return run_available_now(stream, name, mode="append")
+
+
+@register("multimodal_features", sql=None, tags=("multimodal", "pandas-udf"))
+def multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (deterministic stub kernel — codec libs not in container)."""
+    from ..multimodal import attach_fake_media, extract_features
+
+    media = attach_fake_media(T(spark, sf_dir, "documents"))
+    return extract_features(media, decode="fake")
+
+
+@register("multimodal_frame_sample", sql=None, tags=("multimodal", "pandas-udf"))
+def multimodal_frame_sample(spark, sf_dir):
+    from ..multimodal import attach_fake_media, sample_frames
+
+    media = attach_fake_media(T(spark, sf_dir, "documents"))
+    return sample_frames(media)

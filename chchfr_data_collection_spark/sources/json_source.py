@@ -42,12 +42,24 @@ def read_payloads(
             .json(path)
         )
     elif payloads is not None:
+        from pyspark.sql import types as T
+
         text = spark.createDataFrame([(p,) for p in payloads], "payload string")
+        if spec.envelope:
+            # envelope object, e.g. Mobil {"Locations": [...]}
+            doc_schema: T.DataType = spec.raw_schema
+        else:
+            # bare JSON array of records (BP dialect, S1 in SURVEY.md §2.1)
+            doc_schema = T.ArrayType(
+                spec.raw_schema, containsNull=True
+            )
         raw = text.select(
-            F.from_json(
-                F.col("payload"), spec.raw_schema, {"mode": mode}
-            ).alias("doc")
-        ).select("doc.*")
+            F.from_json(F.col("payload"), doc_schema, {"mode": mode}).alias("doc")
+        )
+        if spec.envelope:
+            raw = raw.select("doc.*")
+        else:
+            return raw.select(F.explode_outer("doc").alias("rec")).select("rec.*")
     else:
         raise ValueError("need path or payloads")
 

@@ -1,0 +1,66 @@
+"""Catalog contract tests: driver-interface invariants that must hold for
+every registered query (the CORRECTNESS gate's preconditions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from chchfr_data_collection_spark.queries import catalog
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catalog()
+
+
+def test_catalog_size_and_shape(cat):
+    assert len(cat) >= 60
+    for name, q in cat.items():
+        assert q.name == name
+        assert callable(q.fn)
+
+
+def test_oracle_coverage(cat):
+    """Only genuinely non-SQL-expressible ops may omit the oracle."""
+    no_sql = {n for n, q in cat.items() if q.sql is None}
+    # approx (HLL cross-engine drift), mllib LSH (hash-family specific),
+    # pipeline (seeded rand), streaming/multimodal (non-SQL surface)
+    allowed_tags = {"streaming", "multimodal", "pandas-udf", "ann", "approx", "mllib", "pipeline"}
+    for name in no_sql:
+        assert set(cat[name].tags) & allowed_tags, (
+            f"{name} has no oracle SQL but is not tagged as a "
+            "rows-only-exempt operator family"
+        )
+
+
+def test_entry_module_contract(spark):
+    import importlib.util as iu
+    import os
+
+    spec = iu.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    )
+    mod = iu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and len(df.columns) > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "window_topk_per_group",
+        "dedup_exact_hash",
+        "similarity_topk_cosine",
+        "fuel_price_crossjoin",
+        "stations_ingest_antijoin",
+    ],
+)
+def test_headline_queries_run_small(spark, sf_small, name, cat):
+    df = cat[name].fn(spark, sf_small)
+    assert df.count() >= 0

@@ -1,0 +1,163 @@
+"""Source-dialect tests: golden payloads per dialect (SURVEY.md §5.2(2)),
+strict vs lenient schema modes (§1.3), end-to-end collect pipeline."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chchfr_data_collection_spark.pipelines import collect_stations, generate_daily_prices
+from chchfr_data_collection_spark.sources.json_source import read_conformed
+from chchfr_data_collection_spark.sources.specs import (
+    BP_SPEC,
+    MOBIL_SPEC,
+    PAKNSAVE_SPEC,
+    Z_ENERGY_SPEC,
+)
+
+BP_PAYLOAD = json.dumps(
+    [
+        {
+            "id": "bp-001",
+            "site_brand": "BP",
+            "name": "BP Riccarton",
+            "lat": -43.53,
+            "lng": 172.59,
+            "address": "12 Main St",
+            "city": "Christchurch",
+            "state": "Canterbury",
+            "postcode": "8011",
+            "country_code": "NZ",
+        }
+    ]
+)
+
+MOBIL_PAYLOAD = json.dumps(
+    {
+        "Locations": [
+            {
+                "LocationID": "mob-001",
+                "BrandName": "Mobil",
+                "LocationName": "Mobil Papanui",
+                "Latitude": -43.49,
+                "Longitude": 172.61,
+                "AddressLine1": "1 Papanui Rd",
+                "City": "Christchurch",
+                "StateProvince": "Canterbury",
+                "PostalCode": "8052",
+                "Country": "NZ",
+            }
+        ]
+    }
+)
+
+PLACES_PAYLOAD = json.dumps(
+    {
+        "results": [
+            {
+                "place_id": "z-001",
+                "name": "Z Moorhouse",
+                "geometry": {"location": {"lat": -43.54, "lng": 172.64}},
+                "vicinity": "111 Moorhouse Ave, Christchurch",
+            },
+            # lenient dialect: missing fields default, null key dropped
+            {"name": "nameless", "geometry": {"location": {}}},
+        ]
+    }
+)
+
+CANONICAL = [
+    "location_id",
+    "brand_name",
+    "location_name",
+    "latitude",
+    "longitude",
+    "address_line1",
+    "city",
+    "state_province",
+    "postal_code",
+    "country",
+]
+
+
+def test_bp_dialect_mapping(spark):
+    out = read_conformed(spark, BP_SPEC, payloads=[BP_PAYLOAD])
+    row = out.collect()[0]
+    assert out.columns == CANONICAL + ["source", "source_priority"]
+    assert row.location_id == "bp-001"
+    assert row.brand_name == "BP"
+    assert row.latitude == -43.53
+    assert row.postal_code == "8011"
+    assert row.source == "bp"
+
+
+def test_mobil_envelope_explode(spark):
+    out = read_conformed(spark, MOBIL_SPEC, payloads=[MOBIL_PAYLOAD])
+    row = out.collect()[0]
+    assert row.location_id == "mob-001"
+    assert row.state_province == "Canterbury"
+
+
+def test_places_dialect_lenient_defaults(spark):
+    out = read_conformed(spark, Z_ENERGY_SPEC, payloads=[PLACES_PAYLOAD])
+    rows = out.collect()
+    # missing place_id row is dropped (no key)
+    assert len(rows) == 1
+    r = rows[0]
+    # name feeds both brand and location; city derived from vicinity (F1)
+    assert r.brand_name == "Z Moorhouse" and r.location_name == "Z Moorhouse"
+    assert r.city == "Christchurch"
+    assert r.state_province == "" and r.postal_code == "" and r.country == "NZ"
+
+
+def test_strict_source_fails_on_corrupt(spark):
+    with pytest.raises(Exception):
+        read_conformed(spark, BP_SPEC, payloads=["{not json"]).collect()
+
+
+def test_lenient_source_survives_corrupt(spark):
+    out = read_conformed(spark, PAKNSAVE_SPEC, payloads=["{not json"])
+    assert out.count() == 0  # explicit empty frame, not a crash
+
+
+def test_collect_stations_end_to_end(spark):
+    existing = spark.createDataFrame(
+        [("mob-001",) + ("x",) * 9], ", ".join(f"{c} string" for c in CANONICAL)
+    ).select(
+        "location_id",
+        "brand_name",
+        "location_name",
+        F.col("latitude").cast("double"),
+        F.col("longitude").cast("double"),
+        "address_line1",
+        "city",
+        "state_province",
+        "postal_code",
+        "country",
+    )
+    new = collect_stations(
+        spark,
+        {
+            "bp": [BP_PAYLOAD],
+            "mobil": [MOBIL_PAYLOAD],
+            "z_energy": [PLACES_PAYLOAD],
+        },
+        existing,
+    )
+    got = {r.location_id for r in new.collect()}
+    # mob-001 already exists -> anti-joined away
+    assert got == {"bp-001", "z-001"}
+
+
+def test_generate_daily_prices_cardinality(spark):
+    stations = spark.createDataFrame([("a",), ("b",), ("c",)], "location_id string")
+    import datetime as dt
+
+    out = generate_daily_prices(spark, stations, date=dt.date(2026, 8, 13))
+    rows = out.collect()
+    assert len(rows) == 3 * 4  # |stations| × 4 fuel types (J2 cardinality)
+    assert {str(r.date) for r in rows} == {"2026-08-13"}
+    assert out.schema["price"].dataType.simpleString() == "decimal(5,2)"

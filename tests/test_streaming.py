@@ -1,0 +1,48 @@
+"""Structured Streaming tests (SURVEY.md §5.2(5)): replay the events
+fixture via Trigger.AvailableNow and verify against batch twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chchfr_data_collection_spark.session import load_table
+from chchfr_data_collection_spark.streaming.events import (
+    dedup_latest_within_watermark,
+    read_events_stream,
+    run_available_now,
+    tumbling_counts,
+)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_small):
+    """The streamed watermarked tumbling agg must equal the batch
+    groupBy-window over the same bounded input (no rows are late in a
+    replay: watermark only drops rows behind the max seen ts)."""
+    stream = tumbling_counts(read_events_stream(spark, sf_small))
+    streamed = run_available_now(stream, "t_tumbling_test", mode="complete")
+
+    ev = load_table(spark, sf_small, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    s = {(r.window_start, r.event_type): (r.n, round(r.sum_value, 6)) for r in streamed.collect()}
+    b = {(r.window_start, r.event_type): (r.n, round(r.sum_value, 6)) for r in batch.collect()}
+    assert s == b
+
+
+def test_streaming_dedup_one_per_key(spark, sf_small):
+    stream = dedup_latest_within_watermark(read_events_stream(spark, sf_small))
+    out = run_available_now(stream, "t_dedup_test", mode="append")
+    total = out.count()
+    distinct_keys = out.select("user_id", "event_type").distinct().count()
+    assert total == distinct_keys
+    # every (user_id, event_type) present in the source survives exactly once
+    src_keys = (
+        load_table(spark, sf_small, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert distinct_keys == src_keys
