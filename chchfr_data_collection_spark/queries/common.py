@@ -6,10 +6,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    from ..session import load_table
+def T(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    """Load a fixture table; `parallel=True` for compute-bound consumers
+    (per-row shingling / quantization / regex) — see session.parallelize_scan."""
+    from ..session import load_table, parallelize_scan
 
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    return parallelize_scan(df) if parallel else df
 
 
 def dec(c: Column | str) -> Column:

@@ -113,7 +113,7 @@ def multimodal_features(spark, sf_dir):
     (deterministic stub kernel — codec libs not in container)."""
     from ..multimodal import attach_fake_media, extract_features
 
-    media = attach_fake_media(T(spark, sf_dir, "documents"))
+    media = attach_fake_media(T(spark, sf_dir, "documents", parallel=True))
     return extract_features(media, decode="fake")
 
 
@@ -121,5 +121,5 @@ def multimodal_features(spark, sf_dir):
 def multimodal_frame_sample(spark, sf_dir):
     from ..multimodal import attach_fake_media, sample_frames
 
-    media = attach_fake_media(T(spark, sf_dir, "documents"))
+    media = attach_fake_media(T(spark, sf_dir, "documents", parallel=True))
     return sample_frames(media)

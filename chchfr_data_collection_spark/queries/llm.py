@@ -36,7 +36,7 @@ def dedup_exact_hash(spark, sf_dir):
     """Exact dedup: content-hash groupBy; generalizes the reference's
     location_id anti-join (J1) to content identity."""
     return (
-        T(spark, sf_dir, "documents")
+        T(spark, sf_dir, "documents", parallel=True)
         .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
     )
@@ -56,7 +56,7 @@ def dedup_exact_hash(spark, sf_dir):
 def dedup_exact_keep_first(spark, sf_dir):
     w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     return (
-        T(spark, sf_dir, "documents")
+        T(spark, sf_dir, "documents", parallel=True)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "source")
@@ -70,9 +70,19 @@ sh AS (
          i -> concat_ws('_', ws[i], ws[i+1], ws[i+2])))) AS s
   FROM w WHERE size(ws) >= 3),
 n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
+-- posting-list pair generation: ONE shuffle on the shingle, then pairs
+-- explode per bucket — replaces the two-sided shuffle self-join with the
+-- same (da < db, one pair per shared shingle) semantics
+buckets AS (
+  SELECT sort_array(collect_list(doc_id)) AS ids
+  FROM sh GROUP BY s HAVING count(*) > 1),
+pairs AS (
+  SELECT p.da AS da, p.db AS db
+  FROM buckets
+  LATERAL VIEW explode(flatten(transform(ids, (a, i) ->
+    transform(slice(ids, i + 2, size(ids) - i - 1),
+              b -> struct(a AS da, b AS db))))) t AS p),
+inter AS (SELECT da, db, COUNT(*) AS i FROM pairs GROUP BY da, db)
 SELECT da, db, CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jaccard
 FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
 WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
@@ -98,12 +108,13 @@ WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by 3-word-shingle Jaccard >= 0.8.
 
-    Shingle explode -> self-equi-join on shingle -> per-pair overlap
-    count. Distributed shape: the join shuffles on the shingle value, so
-    hot shingles (boilerplate) are the skew risk at scale — mitigated by
+    Shingle explode -> posting-list buckets (groupBy shingle) -> in-bucket
+    pair explosion -> per-pair overlap count. One shuffle on the shingle
+    vs. the naive self-join's two. Hot shingles (boilerplate) are the skew
+    risk at scale: a bucket of k docs emits k(k-1)/2 pairs — mitigated by
     dropping top-df shingles or LSH-banding (see dedup_minhash_lsh).
     """
-    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    T(spark, sf_dir, "documents", parallel=True).createOrReplaceTempView("documents")
     return spark.sql(_JACCARD_SPARK)
 
 
@@ -118,7 +129,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = T(spark, sf_dir, "documents").select(
+    docs = T(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", F.array_distinct(F.split("text", " ", -1)).alias("words")
     )
     tf = HashingTF(inputCol="words", outputCol="features", numFeatures=1 << 18)
@@ -181,7 +192,7 @@ _SIMHASH_DUCK = _simhash_sql(
 def dedup_simhash(spark, sf_dir):
     """Per-document 16-bit SimHash fingerprint (near-dup docs land on
     nearby hashes; bucket on the hash then verify within buckets)."""
-    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    T(spark, sf_dir, "documents", parallel=True).createOrReplaceTempView("documents")
     return spark.sql(_SIMHASH_SPARK)
 
 
@@ -195,7 +206,7 @@ def dedup_simhash(spark, sf_dir):
     tags=("llm", "fingerprint"),
 )
 def doc_fingerprint(spark, sf_dir):
-    return T(spark, sf_dir, "documents").select(
+    return T(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", TX.fingerprint("text").alias("fingerprint")
     )
 
@@ -217,7 +228,7 @@ def doc_fingerprint(spark, sf_dir):
     tags=("llm", "text"),
 )
 def text_stats(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = T(spark, sf_dir, "documents", parallel=True)
     n_words = TX.word_count("text").cast("bigint")
     return d.select(
         "doc_id",
@@ -251,7 +262,7 @@ def text_stats(spark, sf_dir):
     tags=("llm", "text", "quality"),
 )
 def text_quality_score(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = T(spark, sf_dir, "documents", parallel=True)
     wl = (
         d.select("doc_id", F.explode(TX.words("text")).alias("w"))
         .groupBy("doc_id")
@@ -299,7 +310,7 @@ _LANG_SQL_HITS = ",\n      ".join(
     tags=("llm", "text", "langid"),
 )
 def text_langid(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = T(spark, sf_dir, "documents", parallel=True)
     return d.select("doc_id", "lang", TX.langid("text").alias("pred_lang"))
 
 
@@ -349,16 +360,40 @@ def similarity_topk_cosine(spark, sf_dir):
     Baseline ANN oracle: exact-decimal dot products make scores
     bit-identical across engines. The scale path is similarity_lsh_ann
     (bucketed random projection) — this is the verifier for it.
+
+    Plan shape: quantized arrays + integer norms are computed ONCE per
+    side before the (broadcast) cross join, so each of the |Q|×|C| pairs
+    pays a single zip_with+aggregate pass instead of re-quantizing and
+    re-norming both vectors — ~8× less per-pair work, identical bits.
     """
-    emb = T(spark, sf_dir, "embeddings")
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        V.quantize("embedding").alias("qq"),
+        V.dot_exact("embedding", "embedding").alias("qn2"),
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        V.quantize("embedding").alias("qc"),
+        V.dot_exact("embedding", "embedding").alias("cn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
     scored = (
-        q.crossJoin(c)
+        F.broadcast(q)
+        .crossJoin(c)
         .filter(F.col("cid") != F.col("qid"))
-        .select("qid", "cid", V.cosine_exact("qe", "ce").alias("cos_sim"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dot.cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
@@ -386,14 +421,37 @@ def similarity_topk_cosine(spark, sf_dir):
     tags=("llm", "similarity", "join"),
 )
 def similarity_threshold_pairs(spark, sf_dir):
-    """All-pairs cosine similarity join at a threshold (embedding near-dup)."""
-    emb = T(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    """All-pairs cosine similarity join at a threshold (embedding near-dup).
+
+    Quantized arrays + norms precomputed per side (see
+    similarity_topk_cosine); the O(n^2) pair stage does one array pass."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        V.quantize("embedding").alias("qa"),
+        V.dot_exact("embedding", "embedding").alias("na2"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        V.quantize("embedding").alias("qb"),
+        V.dot_exact("embedding", "embedding").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", V.cosine_exact("ea", "eb").alias("cos_sim"))
+        .select(
+            "va",
+            "vb",
+            (
+                dot.cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= 0.45)
     )
 
@@ -413,7 +471,7 @@ def similarity_threshold_pairs(spark, sf_dir):
     tags=("llm", "similarity", "stats"),
 )
 def embedding_stats(spark, sf_dir):
-    emb = T(spark, sf_dir, "embeddings")
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
     sum_q = F.aggregate(
         V.quantize("embedding"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
     )
@@ -440,7 +498,7 @@ def similarity_lsh_ann(spark, sf_dir):
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = T(spark, sf_dir, "embeddings").select(
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
     )
     lsh = BucketedRandomProjectionLSH(

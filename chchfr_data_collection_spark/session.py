@@ -86,6 +86,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def parallelize_scan(df, min_factor: float = 0.5):
+    """Give a compute-bound stage full parallelism after a low-parallelism scan.
+
+    Small/single-row-group parquet files scan as 1 task, which serializes
+    any expensive per-row work (shingling, quantization, regex) onto one
+    core. If the scan yields fewer partitions than `min_factor` × the
+    default parallelism, round-robin repartition to the default
+    parallelism — a tiny shuffle that unlocks every core. On a real
+    cluster reading 100 TB the scan already has >> cores partitions, so
+    this is a structural no-op there (no extra shuffle in the plan).
+
+    Catalyst pushes filters and column pruning below RepartitionByExpression,
+    so predicate pushdown to the parquet scan is unaffected.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target * min_factor:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Read every fixture table from ``sf_dir`` as a DataFrame."""
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
