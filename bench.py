@@ -30,6 +30,8 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q10_returned_items",
+    "q9_profit_by_nation_year",
+    "q18_large_orders",
     "join_left_outer_counts",
     "agg_rollup_status_priority",
     "window_topk_per_group",
@@ -40,6 +42,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "similarity_topk_cosine",
+    "similarity_ivf_ann",
+    "text_rolling_hash",
     "text_quality_score",
     "text_langid",
     "fuel_price_crossjoin",

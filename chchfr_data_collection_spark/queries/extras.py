@@ -91,6 +91,20 @@ def streaming_tumbling_replay(spark, sf_dir):
     return run_available_now(stream, name, mode="complete")
 
 
+@register("streaming_session_replay", sql=None, tags=("streaming", "events", "sessionization"))
+def streaming_session_replay(spark, sf_dir):
+    """Gap-based session windows per user through a real Structured
+    Streaming replay (rows-only; verified against the batch
+    events_sessionization twin in tests)."""
+    import uuid
+
+    from ..streaming.events import read_events_stream, run_available_now, session_counts
+
+    stream = session_counts(read_events_stream(spark, sf_dir))
+    name = "session_" + uuid.uuid4().hex[:8]
+    return run_available_now(stream, name, mode="complete")
+
+
 @register("streaming_dedup_replay", sql=None, tags=("streaming", "events", "dedup"))
 def streaming_dedup_replay(spark, sf_dir):
     """Stateful dropDuplicatesWithinWatermark replay (rows-only)."""

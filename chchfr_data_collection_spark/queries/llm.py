@@ -511,3 +511,182 @@ def similarity_lsh_ann(spark, sf_dir):
         F.col("datasetB.vec_id").alias("vb"),
         "l2_dist",
     )
+
+
+# --------------------------------------------- rolling-hash fingerprinting
+
+# Rabin-Karp polynomial over per-word hashes: words are mapped to int64
+# via the first 8 hex chars of md5 (identical in both engines), then
+# Horner-folded with base 131 mod 1e9+7 — pure integer arithmetic, so
+# the fingerprint is bit-identical cross-engine. The winnow column is
+# the classic winnowing fingerprint (Schleimer et al., SIGMOD'03): the
+# minimum over all 8-word-window hashes — robust to insertions outside
+# the matching window, the standard near-dup fingerprint for code/text.
+_RK_MOD = 1_000_000_007
+_RK_BASE = 131
+
+_ROLLING_DUCK = f"""
+WITH wv AS (
+  SELECT doc_id,
+    [CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+     for w in string_split(text, ' ')] AS vs
+  FROM documents)
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), vs),
+              (a, b) -> (a * {_RK_BASE} + b) % {_RK_MOD}) AS rk_hash,
+  CASE WHEN len(vs) >= 8 THEN
+    list_min([list_reduce(list_prepend(CAST(0 AS BIGINT), vs[i:i+7]),
+                          (a, b) -> (a * {_RK_BASE} + b) % {_RK_MOD})
+              for i in range(1, len(vs) - 6)])
+  END AS winnow_hash
+FROM wv
+"""
+
+
+@register("text_rolling_hash", sql=_ROLLING_DUCK, tags=("llm", "text", "fingerprint"))
+def text_rolling_hash(spark, sf_dir):
+    """Rabin-Karp document fingerprint + winnowing min-window hash."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    word_vals = F.transform(
+        F.split("text", " ", -1),
+        lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    def horner(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("bigint"),
+            lambda acc, v: (acc * _RK_BASE + v) % _RK_MOD,
+        )
+    vs = F.col("vs")
+    return (
+        d.select("doc_id", word_vals.alias("vs"))
+        .select(
+            "doc_id",
+            horner(vs).alias("rk_hash"),
+            F.when(
+                F.size(vs) >= 8,
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(vs) - 7),
+                        lambda i: horner(F.slice(vs, i, 8)),
+                    )
+                ),
+            ).alias("winnow_hash"),
+        )
+    )
+
+
+# ------------------------------------------------------------- IVF ANN
+
+# IVF with deterministic "centroids" (the first 8 vectors stand in for
+# k-means centroids so the oracle can reproduce the exact partitioning;
+# production would train real centroids — the query shape is identical).
+# nprobe=1: each query searches only its own centroid's inverted list.
+# At 100 TB this turns the O(|Q|·|C|) brute-force scan into an equi-join
+# on centroid id: candidates shrink by ~k× and the probe is a hash join.
+_IVF_DUCK = f"""
+WITH {_NORM2_DUCK},
+cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 8),
+adot AS (
+  SELECT v.vec_id, c.cent_id,
+    SUM({_Q.format(e='v.embedding[i]')} * {_Q.format(e='c.embedding[i]')}) AS d
+  FROM embeddings v, cent c CROSS JOIN range(1, 65) t(i)
+  GROUP BY v.vec_id, c.cent_id),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, a.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        CAST(a.d AS DOUBLE) / (SQRT(CAST(nv.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+        a.cent_id) AS rn
+    FROM adot a JOIN norms nv ON nv.vec_id = a.vec_id
+    JOIN norms nc ON nc.vec_id = a.cent_id) t
+  WHERE rn = 1),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(
+    {_Q.format(e='q.embedding[i]')} * {_Q.format(e='c.embedding[i]')}) AS d
+  FROM embeddings q JOIN assign aq ON aq.vec_id = q.vec_id
+  JOIN assign ac ON ac.cent_id = aq.cent_id
+  JOIN embeddings c ON c.vec_id = ac.vec_id AND c.vec_id <> q.vec_id
+  CROSS JOIN range(1, 65) t(i)
+  WHERE q.vec_id < 5
+  GROUP BY q.vec_id, c.vec_id)
+SELECT qid, cid, cos_sim, rnk FROM (
+  SELECT p.qid, p.cid,
+    CAST(p.d AS DOUBLE) / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) AS cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+      CAST(p.d AS DOUBLE) / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+      p.cid) AS rnk
+  FROM pairs p JOIN norms nq ON nq.vec_id = p.qid
+  JOIN norms nc ON nc.vec_id = p.cid) t
+WHERE rnk <= 3
+"""
+
+
+@register("similarity_ivf_ann", sql=_IVF_DUCK, tags=("llm", "similarity", "ann"))
+def similarity_ivf_ann(spark, sf_dir):
+    """IVF (inverted-file) ANN, nprobe=1, top-3 per query vector.
+
+    Spark shape: centroid table broadcasts (k rows); assignment is a
+    broadcast cross join + window argmax; the probe is an equi-join on
+    cent_id — the candidate set shrinks ~k× vs brute force and the join
+    is hash-partitioned, which is what survives a 100× scale-up."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        V.quantize("embedding").alias("qv"),
+        V.dot_exact("embedding", "embedding").alias("n2"),
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    dotvc = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cosvc = dotvc.cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "qv", "n2", "cent_id", cosvc.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "n2", "cent_id")
+    )
+    q = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("qq"),
+        F.col("n2").alias("qn2"),
+        "cent_id",
+    )
+    c = assign.select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("qc"),
+        F.col("n2").alias("cn2"),
+        "cent_id",
+    )
+    dotqc = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        q.join(c, "cent_id")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dotqc.cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            ).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(pw))
+        .filter(F.col("rnk") <= 3)
+    )

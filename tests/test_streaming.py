@@ -46,3 +46,45 @@ def test_streaming_dedup_one_per_key(spark, sf_small):
         .count()
     )
     assert distinct_keys == src_keys
+
+
+def test_streaming_session_equals_batch(spark, sf_small):
+    from chchfr_data_collection_spark.streaming.events import session_counts
+
+    stream = session_counts(read_events_stream(spark, sf_small))
+    streamed = run_available_now(stream, "t_session_test", mode="complete")
+    ev = load_table(spark, sf_small, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    s = {(r.user_id, r.session_start, r.session_end): r.n_events for r in streamed.collect()}
+    b = {(r.user_id, r.session_start, r.session_end): r.n_events for r in batch.collect()}
+    assert s == b
+
+
+def test_foreach_batch_upsert_idempotent(spark, sf_small, tmp_path):
+    """The MERGE sink applies K2 semantics per micro-batch; replaying the
+    same bounded stream twice (fresh checkpoint) converges to the same
+    target state."""
+    from chchfr_data_collection_spark.streaming.events import foreach_batch_upsert
+
+    target = str(tmp_path / "target")
+    for run in (1, 2):
+        ckpt = str(tmp_path / f"ckpt{run}")
+        dedup = dedup_latest_within_watermark(read_events_stream(spark, sf_small))
+        foreach_batch_upsert(dedup, target, keys=["user_id", "event_type"], checkpoint=ckpt)
+        n = spark.read.parquet(target).count()
+        keys = (
+            spark.read.parquet(target)
+            .select("user_id", "event_type")
+            .distinct()
+            .count()
+        )
+        assert n == keys  # one row per key after merge
