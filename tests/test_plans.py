@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: pin the plan properties each
+headline query depends on at scale (pushdown, pruning, broadcast,
+shuffle budget). A change that breaks one of these would still be
+*correct* at test scale — and unusable at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from chchfr_data_collection_spark.plans.audit import (
+    assert_broadcast_not_shuffle_join,
+    assert_max_shuffles,
+    assert_pushed_filter,
+    assert_read_columns,
+    count_nodes,
+)
+from chchfr_data_collection_spark.queries import catalog
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catalog()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_small, cat):
+    df = cat["q6_forecast_revenue"].fn(spark, sf_small)
+    assert_pushed_filter(df, "lineitem", "l_shipdate")
+    assert_pushed_filter(df, "lineitem", "l_discount")
+    assert_read_columns(
+        df,
+        "lineitem",
+        {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"},
+    )
+
+
+def test_q5_all_dimension_joins_broadcast(spark, sf_small, cat):
+    df = cat["q5_region_revenue"].fn(spark, sf_small)
+    assert_broadcast_not_shuffle_join(df)
+    assert_pushed_filter(df, "region", "r_name")
+    # fact scan prunes to join keys + measures
+    assert_read_columns(
+        df, "lineitem", {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"}
+    )
+    # one shuffle for the final aggregation, one AQE/sort output exchange max
+    assert_max_shuffles(df, 2)
+
+
+def test_ingest_antijoin_is_broadcast(spark, sf_small, cat):
+    df = cat["stations_ingest_antijoin"].fn(spark, sf_small)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_fuel_price_crossjoin_broadcasts_four_rows(spark, sf_small, cat):
+    df = cat["fuel_price_crossjoin"].fn(spark, sf_small)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    # map-only: no shuffle exchange at all
+    assert_max_shuffles(df, 0)
+
+
+def test_q9_single_fact_shuffle(spark, sf_small, cat):
+    df = cat["q9_profit_by_nation_year"].fn(spark, sf_small)
+    # dims broadcast; shuffles: orders⋈lineitem + final agg (+ AQE slack)
+    assert count_nodes(df, "SortMergeJoin") + count_nodes(df, "ShuffledHashJoin") <= 1
+    assert_read_columns(df, "supplier", {"s_suppkey", "s_nationkey"})
+    assert_read_columns(df, "orders", {"o_orderkey", "o_orderdate"})
+
+
+def test_point_lookup_pushes_key(spark, sf_small, cat):
+    df = cat["point_lookup_order"].fn(spark, sf_small)
+    assert_pushed_filter(df, "orders", "o_orderkey")
+
+
+def test_scan_filter_project_pruned(spark, sf_small, cat):
+    df = cat["scan_filter_project"].fn(spark, sf_small)
+    scans_cols = {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    }
+    # must NOT read the full lineitem schema
+    df_cols = set(df.columns)
+    assert df_cols < scans_cols
+    assert_read_columns(df, "lineitem", df_cols | {"l_shipdate", "l_quantity"})
