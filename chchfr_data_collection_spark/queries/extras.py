@@ -121,6 +121,21 @@ def streaming_dedup_replay(spark, sf_dir):
     return run_available_now(stream, name, mode="append")
 
 
+@register("streaming_stateful_user_stats", sql=None, tags=("streaming", "events", "stateful", "pandas-udf"))
+def streaming_stateful_user_stats(spark, sf_dir):
+    """Custom per-key stateful accumulator (applyInPandasWithState):
+    lifetime event/value/error totals per user. Rows-only; equals the
+    batch groupBy twin on a bounded replay (asserted in tests)."""
+    import uuid
+
+    from ..streaming.events import read_events_stream, run_available_now
+    from ..streaming.stateful import running_user_stats
+
+    stream = running_user_stats(read_events_stream(spark, sf_dir))
+    name = "stateful_" + uuid.uuid4().hex[:8]
+    return run_available_now(stream, name, mode="update")
+
+
 @register("multimodal_features", sql=None, tags=("multimodal", "pandas-udf"))
 def multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction via Arrow-batched mapInPandas

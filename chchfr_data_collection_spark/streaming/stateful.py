@@ -1,0 +1,61 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+Where the built-in windowed aggregations (streaming/events.py) cover the
+declarative surface, this is the escape hatch for operators Spark lacks:
+arbitrary per-key state updated with Arrow-batched pandas, the
+distributed shape for streaming featurization / per-entity accumulators
+at scale. State lives in the state store (checkpointed, partitioned by
+key); each micro-batch touches only the keys present in the batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+USER_STATS_OUTPUT = "user_id bigint, n_events bigint, sum_value double, n_errors bigint"
+USER_STATS_STATE = "n bigint, total double, errs bigint"
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user lifetime accumulator: event count, value sum, error count.
+
+    Each micro-batch folds its rows into the user's state and emits the
+    updated totals (output mode `update`). The same shape serves online
+    feature aggregation: swap the accumulator for decayed counters or
+    sketches.
+    """
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            n, total, errs = state.get
+        else:
+            n, total, errs = 0, 0.0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            errs += int((pdf["event_type"] == "error").sum())
+        state.update((n, total, errs))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [total],
+                "n_errors": [errs],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=USER_STATS_OUTPUT,
+        stateStructType=USER_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

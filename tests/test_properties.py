@@ -1,0 +1,104 @@
+"""Hypothesis property tests: operators vs. executable Python oracles on
+arbitrary inputs (SURVEY.md §5.2 — property-based layer).
+
+Spark jobs per example are expensive, so examples are kept small and
+deadline is disabled; the value is the adversarial input shapes
+(empty strings, ties, unicode, duplicate keys), not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from chchfr_data_collection_spark.functions.strings import value_after_last_comma
+from chchfr_data_collection_spark.operators.asof import asof_join
+from chchfr_data_collection_spark.operators.upsert import upsert_by_key
+
+SLOW = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=40,
+)
+
+
+@SLOW
+@given(st.lists(text_st, min_size=1, max_size=8))
+def test_value_after_last_comma_matches_python(spark, strings):
+    def py_oracle(s: str) -> str:
+        return s.rsplit(",", 1)[1].strip() if "," in s else ""
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = [r[0] for r in df.select(value_after_last_comma("s")).collect()]
+    # Spark trim() strips ASCII space only; align the oracle
+    want = [
+        s.rsplit(",", 1)[1].strip(" ") if "," in s else "" for s in strings
+    ]
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), max_size=12),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 9)), max_size=12),
+)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lefts)] or [(0, 0, 0)][:0],
+        "eid int, k int, ts int",
+    ) if lefts else None
+    if not lefts:
+        return
+    right = spark.createDataFrame(
+        rights or [(0, 0, 0)][:0], "k int, rts int, val int"
+    ) if rights else spark.createDataFrame([], "k int, rts int, val int")
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_value="val", out_col="v",
+    )
+    got = {r.eid: r.v for r in out.collect()}
+    for i, (k, ts) in enumerate(lefts):
+        cand = [(rts, val) for (rk, rts, val) in rights if rk == k and rts <= ts]
+        # tie on rts: the window orders right rows before left at equal ts,
+        # and among equal rts the LAST right row in window order wins —
+        # assert value membership under ties, exact match otherwise
+        if not cand:
+            assert got[i] is None
+        else:
+            best_ts = max(c[0] for c in cand)
+            vals = {v for (rts, v) in cand if rts == best_ts}
+            assert got[i] in vals
+
+
+@SLOW
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 100)), max_size=10, unique_by=lambda t: t[0]),
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 100)), max_size=10, unique_by=lambda t: t[0]),
+)
+def test_upsert_matches_dict_semantics(spark, existing_rows, incoming_rows):
+    schema = "k int, v int"
+    existing = spark.createDataFrame(existing_rows, schema) if existing_rows else spark.createDataFrame([], schema)
+    incoming = spark.createDataFrame(incoming_rows, schema) if incoming_rows else spark.createDataFrame([], schema)
+    got = {r.k: r.v for r in upsert_by_key(existing, incoming, ["k"]).collect()}
+    want = dict(existing_rows)
+    want.update(dict(incoming_rows))
+    assert got == want
+
+
+@SLOW
+@given(st.lists(st.floats(min_value=-8, max_value=8, allow_nan=False), min_size=4, max_size=16))
+def test_quantized_cosine_self_is_one(spark, vec):
+    from chchfr_data_collection_spark.functions.vectors import cosine_exact
+
+    if all(abs(x) < 1e-5 for x in vec):
+        return  # zero vector: cosine undefined
+    df = spark.createDataFrame([(vec,)], "e array<float>")
+    got = df.select(cosine_exact("e", "e").alias("c")).collect()[0].c
+    assert got is None or abs(got - 1.0) < 1e-9

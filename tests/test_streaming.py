@@ -88,3 +88,27 @@ def test_foreach_batch_upsert_idempotent(spark, sf_small, tmp_path):
             .count()
         )
         assert n == keys  # one row per key after merge
+
+
+def test_stateful_user_stats_equals_batch(spark, sf_small):
+    """applyInPandasWithState accumulator over a bounded replay equals the
+    batch groupBy aggregate (single batch -> final state = totals)."""
+    from chchfr_data_collection_spark.streaming.stateful import running_user_stats
+
+    stream = running_user_stats(read_events_stream(spark, sf_small))
+    out = run_available_now(stream, "t_stateful_test", mode="update")
+    ev = load_table(spark, sf_small, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+    s = {
+        r.user_id: (r.n_events, round(r.sum_value, 6), r.n_errors)
+        for r in out.collect()
+    }
+    b = {
+        r.user_id: (r.n_events, round(r.sum_value, 6), r.n_errors)
+        for r in batch.collect()
+    }
+    assert s == b
