@@ -38,6 +38,7 @@ HEADLINE = [
     "window_running_total",
     "events_sliding_hourly",
     "events_sessionization",
+    "asof_join_last_click",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -161,3 +161,26 @@ def test_generate_daily_prices_cardinality(spark):
     assert len(rows) == 3 * 4  # |stations| × 4 fuel types (J2 cardinality)
     assert {str(r.date) for r in rows} == {"2026-08-13"}
     assert out.schema["price"].dataType.simpleString() == "decimal(5,2)"
+
+
+def test_landing_zone_path_read(spark, tmp_path):
+    """At-scale ingest path: payloads land as JSON files; spark.read.json
+    with an explicit schema reads them distributed (no inference pass)."""
+
+    zone = tmp_path / "landing" / "bp"
+    zone.mkdir(parents=True)
+    (zone / "batch1.json").write_text(BP_PAYLOAD)
+    rec2 = json.loads(BP_PAYLOAD)
+    rec2[0]["id"] = "bp-002"
+    (zone / "batch2.json").write_text(json.dumps(rec2))
+    out = read_conformed(spark, BP_SPEC, path=str(zone / "*.json"))
+    got = {r.location_id for r in out.collect()}
+    assert got == {"bp-001", "bp-002"}
+
+
+def test_landing_zone_mobil_envelope_path(spark, tmp_path):
+    zone = tmp_path / "landing" / "mobil"
+    zone.mkdir(parents=True)
+    (zone / "batch1.json").write_text(MOBIL_PAYLOAD)
+    out = read_conformed(spark, MOBIL_SPEC, path=str(zone / "*.json"))
+    assert [r.location_id for r in out.collect()] == ["mob-001"]
