@@ -690,3 +690,109 @@ def similarity_ivf_ann(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(pw))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --------------------------------------- prefix-filtered similarity join
+
+# AllPairs/PPJoin prefix filtering (Bayardo et al., WWW'07; Xiao et al.,
+# WWW'08): order each doc's shingles by ascending global document
+# frequency; for Jaccard >= t a pair MUST share a shingle within each
+# doc's first |d| - ceil(t*|d|) + 1 shingles, so only prefix shingles
+# generate candidate pairs. Rare-first ordering makes prefix posting
+# lists short — candidates collapse from O(sum df^2) to near the true
+# result size, which is what makes an exact 0.8-Jaccard join feasible at
+# 100 TB. Verification then counts full intersections for candidates
+# only. EXACT: same result set as dedup_ngram_jaccard, same oracle.
+_JACCARD_PREFIX_SPARK = """
+WITH w AS (SELECT doc_id, split(text, ' ', -1) AS ws FROM documents),
+sh AS (
+  SELECT doc_id, explode(array_distinct(transform(sequence(0, size(ws)-3),
+         i -> concat_ws('_', ws[i], ws[i+1], ws[i+2])))) AS s
+  FROM w WHERE size(ws) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+ranked AS (
+  SELECT sh.doc_id, sh.s,
+         ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY dfs.df, sh.s) AS r,
+         n.ns
+  FROM sh JOIN dfs ON sh.s = dfs.s JOIN n ON n.doc_id = sh.doc_id),
+prefix AS (
+  SELECT doc_id, s FROM ranked WHERE r <= ns - CEIL(0.8 * ns) + 1),
+cand AS (
+  SELECT DISTINCT p.da, p.db FROM (
+    SELECT sort_array(collect_list(doc_id)) AS ids
+    FROM prefix GROUP BY s HAVING count(*) > 1) b
+  LATERAL VIEW explode(flatten(transform(ids, (a, i) ->
+    transform(slice(ids, i + 2, size(ids) - i - 1),
+              b2 -> struct(a AS da, b2 AS db))))) t AS p),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.da
+  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+  GROUP BY c.da, c.db)
+SELECT da, db, CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jaccard
+FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
+"""
+
+
+@register("dedup_jaccard_prefix", sql=_JACCARD_DUCK, tags=("llm", "dedup", "fuzzy", "prefix-filter"))
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact 0.8-Jaccard near-dup join with AllPairs prefix filtering —
+    the scale path for EXACT fuzzy dedup (vs. dedup_minhash_lsh's
+    approximate one). Oracle: identical to dedup_ngram_jaccard."""
+    T(spark, sf_dir, "documents", parallel=True).createOrReplaceTempView("documents")
+    return spark.sql(_JACCARD_PREFIX_SPARK)
+
+
+@register(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH {_NORM2_DUCK},
+    dots AS (
+      SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, {_DOT_QUANT} AS d
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT keep_id, drop_id,
+      CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+    FROM dots JOIN norms na ON na.vec_id = keep_id JOIN norms nb ON nb.vec_id = drop_id
+    WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) >= 0.45
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: pairs above threshold with the
+    lower vec_id as keeper (min-id survivorship). The brute-force exact
+    twin of the LSH scale path (similarity_lsh_ann)."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    a = emb.select(
+        F.col("vec_id").alias("keep_id"),
+        V.quantize("embedding").alias("qa"),
+        V.dot_exact("embedding", "embedding").alias("na2"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("drop_id"),
+        V.quantize("embedding").alias("qb"),
+        V.dot_exact("embedding", "embedding").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select(
+            "keep_id",
+            "drop_id",
+            (
+                dot.cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+    )
