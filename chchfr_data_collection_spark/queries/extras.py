@@ -152,3 +152,43 @@ def multimodal_frame_sample(spark, sf_dir):
 
     media = attach_fake_media(T(spark, sf_dir, "documents", parallel=True))
     return sample_frames(media)
+
+
+@register(
+    "validate_fk_orphans",
+    sql="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+    """,
+    tags=("validate", "anti", "fk"),
+)
+def validate_fk_orphans(spark, sf_dir):
+    """FK containment check (reference's fuel_price->gas_station FK,
+    SURVEY.md §1.4 J3) as one anti-join: orders whose customer is absent."""
+    from ..operators.validate import fk_violations
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return fk_violations(orders, cust, ["o_custkey"]).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@register(
+    "validate_unique_key",
+    sql="""
+    SELECT l_orderkey, l_linenumber, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    """,
+    tags=("validate", "unique"),
+)
+def validate_unique_key(spark, sf_dir):
+    """Composite-key uniqueness check (reference's UNIQUE(location_id,
+    fuel_type, date), SURVEY.md §1.4) over (l_orderkey, l_linenumber)."""
+    from ..operators.validate import unique_key_violations
+
+    return unique_key_violations(
+        T(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
+    )

@@ -77,3 +77,22 @@ def test_ingest_batch_idempotent(spark):
     after_first = existing.unionByName(first)
     second = ingest_batch(incoming, after_first)
     assert second.count() == 0
+
+
+def test_fk_violations_finds_orphans(spark):
+    from chchfr_data_collection_spark.operators.validate import fk_violations
+
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (3, "zz")], "id int, k string")
+    dim = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = {r.id for r in fk_violations(fact, dim, ["k"]).collect()}
+    assert got == {3}
+
+
+def test_unique_key_violations(spark):
+    from chchfr_data_collection_spark.operators.validate import unique_key_violations
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 2), (2, 1)], "a int, b int"
+    )
+    rows = unique_key_violations(df, ["a", "b"]).collect()
+    assert len(rows) == 1 and (rows[0].a, rows[0].b, rows[0].n_rows) == (1, 1, 2)
