@@ -112,3 +112,76 @@ def test_stateful_user_stats_equals_batch(spark, sf_small):
         for r in batch.collect()
     }
     assert s == b
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Real late-data semantics across restarts: three AvailableNow runs
+    sharing one checkpoint (the watermark persists in the checkpoint, so
+    each run is a genuine later micro-batch).
+
+    Run 1 (row at 12:00) advances the watermark to 10:00. Run 2 delivers
+    a too-late row (07:00 — its window closed before the watermark:
+    DROPPED) and a late-but-inside-horizon row (11:30: KEPT). Run 3
+    (15:00) pushes the watermark past the open windows so append mode
+    flushes them — the output must contain the 11:00 window with n=1 and
+    no 07:00 window at all."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"{name}.parquet")
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(src / "*.parquet"))
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch([(1, base, 1, "click", 1.0, "{}")], "b1")
+    run_once()
+    write_batch(
+        [
+            (2, base - dt.timedelta(hours=5), 1, "click", 1.0, "{}"),   # too late
+            (3, base - dt.timedelta(minutes=30), 1, "click", 1.0, "{}"),  # in horizon
+        ],
+        "b2",
+    )
+    run_once()
+    write_batch([(4, base + dt.timedelta(hours=3), 1, "click", 1.0, "{}")], "b3")
+    run_once()
+
+    got = {str(r.ws): r.n for r in spark.read.parquet(out).collect()}
+    assert got.get("2026-01-01 11:00:00") == 1   # late-but-valid row kept
+    assert got.get("2026-01-01 12:00:00") == 1
+    assert "2026-01-01 07:00:00" not in got      # too-late row dropped
