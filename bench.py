@@ -41,6 +41,7 @@ HEADLINE = [
     "asof_join_last_click",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
+    "dedup_minhash_banded",
     "dedup_simhash",
     "similarity_topk_cosine",
     "similarity_ivf_ann",

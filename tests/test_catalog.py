@@ -25,7 +25,8 @@ def test_oracle_coverage(cat):
     no_sql = {n for n, q in cat.items() if q.sql is None}
     # approx (HLL cross-engine drift), mllib LSH (hash-family specific),
     # pipeline (seeded rand), streaming/multimodal (non-SQL surface)
-    allowed_tags = {"streaming", "multimodal", "pandas-udf", "ann", "approx", "mllib", "pipeline"}
+    # minhash: hash-seeded banding (probabilistic recall, verified precision)
+    allowed_tags = {"streaming", "multimodal", "pandas-udf", "ann", "approx", "mllib", "pipeline", "minhash"}
     for name in no_sql:
         assert set(cat[name].tags) & allowed_tags, (
             f"{name} has no oracle SQL but is not tagged as a "
@@ -64,3 +65,15 @@ def test_entry_module_contract(spark):
 def test_headline_queries_run_small(spark, sf_small, name, cat):
     df = cat[name].fn(spark, sf_small)
     assert df.count() >= 0
+
+
+def test_minhash_banded_recall_vs_exact(spark, cat):
+    """Banded MinHash (b=8, r=4) must recover >=95% of the exact
+    Jaccard>=0.8 pairs (P[candidate] ~ 0.985 at the threshold), with
+    perfect precision (candidates are verified exactly)."""
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.da, r.db) for r in cat["dedup_ngram_jaccard"].fn(spark, sf).collect()}
+    banded = {(r.da, r.db) for r in cat["dedup_minhash_banded"].fn(spark, sf).collect()}
+    assert banded <= exact  # verified candidates: no false positives
+    if exact:
+        assert len(banded & exact) / len(exact) >= 0.95
