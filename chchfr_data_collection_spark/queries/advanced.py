@@ -167,3 +167,62 @@ def q19_disjunctive_predicates(spark, sf_dir):
         F.sum(_disc_price()).cast("double").alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "window_range_frame",
+    sql="""
+    SELECT event_id, user_id, value,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS rolling_1h_sum
+    FROM events
+    """,
+    tags=("window", "range-frame", "events"),
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE-frame window (value-based, not row-count-based): per-user
+    rolling 1-hour sum. Unlike rowsBetween, the frame is defined by the
+    ORDER BY value distance — the shape for time-decayed features."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias(
+            "rolling_1h_sum"
+        ),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    sql="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderpriority)), '|') AS priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "array"),
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Array aggregation: per-customer sorted list of order priorities
+    (sorted + joined so the result is deterministic and cross-engine
+    comparable as a plain string)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("o_orderpriority")), "|").alias(
+                "priorities"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
