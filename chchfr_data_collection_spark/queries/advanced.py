@@ -187,10 +187,13 @@ def window_range_frame(spark, sf_dir):
     ORDER BY value distance — the shape for time-decayed features."""
     from pyspark.sql.window import Window
 
+    # frame math at MICROSECOND precision: casting ts to long truncates to
+    # seconds and drifts from the oracle's INTERVAL arithmetic on
+    # sub-second boundaries (caught by the sf0.1 gate)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return T(spark, sf_dir, "events").select(
         "event_id",
@@ -225,4 +228,35 @@ def agg_collect_sorted(spark, sf_dir):
             ),
             F.count("*").alias("n_orders"),
         )
+    )
+
+
+@register(
+    "events_rollup_multigrain",
+    sql="""
+    SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type),
+                            (date_trunc('day', ts), date_trunc('hour', ts), event_type))
+    """,
+    tags=("agg", "grouping-sets", "events", "rollup"),
+)
+def events_rollup_multigrain(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: one pass produces both
+    hourly and daily aggregates via GROUPING SETS (a continuous-aggregate
+    cascade collapsed into a single shuffle). At scale this replaces two
+    separate jobs over the same fact scan."""
+    ev = T(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_mg")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        FROM events_mg
+        GROUP BY GROUPING SETS ((date_trunc('day', ts), event_type),
+                                (date_trunc('day', ts), date_trunc('hour', ts), event_type))
+        """
     )
