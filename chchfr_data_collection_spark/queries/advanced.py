@@ -260,3 +260,88 @@ def events_rollup_multigrain(spark, sf_dir):
                                 (date_trunc('day', ts), date_trunc('hour', ts), event_type))
         """
     )
+
+
+@register(
+    "q13_customer_order_distribution",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+    tags=("join", "agg", "histogram", "tpch"),
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13: histogram of per-customer order counts via a left
+    outer join with a residual ON-clause predicate (customers with zero
+    qualifying orders land in bucket 0 — an inner join would lose them).
+    Two aggregations, both map-side-combinable."""
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    orders = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q22_dormant_customers",
+    sql="""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT substr(c_name, 10, 2) AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')) t
+    GROUP BY cntrycode
+    """,
+    tags=("join", "anti", "subquery", "tpch"),
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no URGENT
+    orders (scalar subquery + anti-join), bucketed by a name-derived
+    code. The anti-join broadcasts the orders key projection; the scalar
+    avg is a 1-row broadcast join. AVG is computed as exact decimal
+    sum / count so the filter boundary is bit-identical to the oracle."""
+    cust = T(spark, sf_dir, "customer")
+    orders_keys = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("avg_bal")
+        )
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(orders_keys, "c_custkey", "left_anti")
+    return (
+        dormant.select(
+            F.substring("c_name", 10, 2).alias("cntrycode"), "c_acctbal"
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias(
+                "totacctbal"
+            ),
+        )
+    )
