@@ -192,3 +192,39 @@ def validate_unique_key(spark, sf_dir):
     return unique_key_violations(
         T(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
     )
+
+
+@register("streaming_interval_join_replay", sql=None, tags=("streaming", "events", "join"))
+def streaming_interval_join_replay(spark, sf_dir):
+    """Watermarked stream-stream interval join replay: clicks within 1h
+    before each error, per user (rows-only; equals the batch interval
+    join on a bounded replay — asserted in tests)."""
+    import uuid
+
+    from ..streaming.events import (
+        interval_join_clicks_before_errors,
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"), F.col("ts").alias("click_ts")
+    )
+    stream = interval_join_clicks_before_errors(errors, clicks)
+    name = "ivjoin_" + uuid.uuid4().hex[:8]
+    return run_available_now(stream, name, mode="append")
+
+
+@register("dedup_connected_components", sql=None, tags=("llm", "dedup", "iterative"))
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup clusters: exact Jaccard>=0.8 pairs folded into connected
+    components via iterative min-label propagation (rows-only: iterative
+    driver loop; verified against a Python union-find in tests). The
+    component id doubles as the dedup keeper (min doc_id per cluster)."""
+    from ..operators.graph import connected_components
+    from .llm import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    return connected_components(pairs)

@@ -150,3 +150,32 @@ def foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join_clicks_before_errors(
+    errors: DataFrame, clicks: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: for each error event,
+    all clicks by the same user in the preceding `horizon`.
+
+    Both sides carry watermarks so the join state is bounded: a buffered
+    click can be evicted once the error-side watermark passes
+    click_ts + horizon. The time-range predicate is what turns the
+    unbounded stream-stream join into a finite-state one."""
+    e = errors.withWatermark("ts", "2 hours").alias("e")
+    c = clicks.withWatermark("click_ts", "2 hours").alias("c")
+    return e.join(
+        c,
+        F.expr(
+            f"""
+            e.user_id = c.user_id AND
+            c.click_ts >= e.ts - INTERVAL {horizon} AND
+            c.click_ts <= e.ts
+            """
+        ),
+    ).select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.ts").alias("error_ts"),
+        F.col("c.click_ts").alias("click_ts"),
+    )

@@ -26,7 +26,8 @@ def test_oracle_coverage(cat):
     # approx (HLL cross-engine drift), mllib LSH (hash-family specific),
     # pipeline (seeded rand), streaming/multimodal (non-SQL surface)
     # minhash: hash-seeded banding (probabilistic recall, verified precision)
-    allowed_tags = {"streaming", "multimodal", "pandas-udf", "ann", "approx", "mllib", "pipeline", "minhash"}
+    # iterative: driver-loop algorithms (connected components)
+    allowed_tags = {"streaming", "multimodal", "pandas-udf", "ann", "approx", "mllib", "pipeline", "minhash", "iterative"}
     for name in no_sql:
         assert set(cat[name].tags) & allowed_tags, (
             f"{name} has no oracle SQL but is not tagged as a "
@@ -77,3 +78,27 @@ def test_minhash_banded_recall_vs_exact(spark, cat):
     assert banded <= exact  # verified candidates: no false positives
     if exact:
         assert len(banded & exact) / len(exact) >= 0.95
+
+
+def test_connected_components_vs_union_find(spark, cat):
+    """Label propagation must produce exactly the union-find components
+    of the near-dup pair graph (component = min doc_id)."""
+    sf = "/root/testdata/sf0.01"
+    pairs = [(r.da, r.db) for r in cat["dedup_ngram_jaccard"].fn(spark, sf).collect()]
+    got = {r.node: r.component for r in cat["dedup_connected_components"].fn(spark, sf).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    assert got == want

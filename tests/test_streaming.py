@@ -185,3 +185,42 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert got.get("2026-01-01 11:00:00") == 1   # late-but-valid row kept
     assert got.get("2026-01-01 12:00:00") == 1
     assert "2026-01-01 07:00:00" not in got      # too-late row dropped
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_small):
+    """Stream-stream interval join on a bounded replay equals the batch
+    interval join (no state eviction can fire mid-replay that would not
+    also fire in batch: all rows are within the watermark at end)."""
+    from chchfr_data_collection_spark.streaming.events import (
+        interval_join_clicks_before_errors,
+    )
+
+    ev_stream = read_events_stream(spark, sf_small)
+    errors_s = ev_stream.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks_s = ev_stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user_id"), F.col("ts").alias("click_ts")
+    )
+    streamed = run_available_now(
+        interval_join_clicks_before_errors(errors_s, clicks_s),
+        "t_ivjoin_test",
+        mode="append",
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    errors_b = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("eu"), F.col("ts").alias("error_ts")
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    batch = errors_b.join(
+        clicks_b,
+        (F.col("eu") == F.col("cu"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("error_ts")),
+    )
+    s = {(r.event_id, r.click_ts) for r in streamed.collect()}
+    b = {(r.event_id, r.click_ts) for r in batch.collect()}
+    assert s == b
