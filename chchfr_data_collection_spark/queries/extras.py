@@ -228,3 +228,28 @@ def dedup_connected_components(spark, sf_dir):
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
     return connected_components(pairs)
+
+
+@register("streaming_static_enrich_replay", sql=None, tags=("streaming", "events", "join"))
+def streaming_static_enrich_replay(spark, sf_dir):
+    """Stream-static enrichment join: the event stream joined to a
+    static per-user dimension (built batch-side from the same fixture).
+    The static side broadcasts per micro-batch — the standard shape for
+    enriching a stream with a slowly-changing dimension (rows-only;
+    equals the batch join on a bounded replay)."""
+    import uuid
+
+    from ..streaming.events import read_events_stream, run_available_now
+
+    user_dim = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("lifetime_events"))
+    )
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .join(F.broadcast(user_dim), "user_id")
+        .select("event_id", "user_id", "event_type", "lifetime_events")
+    )
+    name = "enrich_" + uuid.uuid4().hex[:8]
+    return run_available_now(stream, name, mode="append")

@@ -83,3 +83,25 @@ def test_scan_filter_project_pruned(spark, sf_small, cat):
     df_cols = set(df.columns)
     assert df_cols < scans_cols
     assert_read_columns(df, "lineitem", df_cols | {"l_shipdate", "l_quantity"})
+
+def test_q13_outer_join_keeps_residual_condition(spark, sf_small, cat):
+    df = cat["q13_customer_order_distribution"].fn(spark, sf_small)
+    # customer side scans only the key; orders prunes to 3 columns
+    assert_read_columns(df, "customer", {"c_custkey"})
+    assert_read_columns(df, "orders", {"o_custkey", "o_orderkey", "o_orderpriority"})
+
+
+def test_q22_anti_join_broadcasts(spark, sf_small, cat):
+    df = cat["q22_dormant_customers"].fn(spark, sf_small)
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert_pushed_filter(df, "orders", "o_orderpriority")
+    assert_read_columns(df, "orders", {"o_custkey", "o_orderpriority"})
+
+
+def test_q14_month_filter_pushed(spark, sf_small, cat):
+    df = cat["q14_promo_revenue"].fn(spark, sf_small)
+    assert_pushed_filter(df, "lineitem", "l_shipdate")
+    assert_read_columns(
+        df, "lineitem", {"l_partkey", "l_extendedprice", "l_discount", "l_shipdate"}
+    )
+    assert_broadcast_not_shuffle_join(df)

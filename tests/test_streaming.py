@@ -224,3 +224,17 @@ def test_streaming_interval_join_equals_batch(spark, sf_small):
     s = {(r.event_id, r.click_ts) for r in streamed.collect()}
     b = {(r.event_id, r.click_ts) for r in batch.collect()}
     assert s == b
+
+
+def test_streaming_static_enrich_equals_batch(spark, sf_small):
+    from chchfr_data_collection_spark.queries import catalog
+
+    streamed = catalog()["streaming_static_enrich_replay"].fn(spark, sf_small)
+    ev = load_table(spark, sf_small, "events")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("lifetime_events"))
+    batch = ev.join(dim, "user_id").select(
+        "event_id", "user_id", "event_type", "lifetime_events"
+    )
+    s = {(r.event_id, r.lifetime_events) for r in streamed.collect()}
+    b = {(r.event_id, r.lifetime_events) for r in batch.collect()}
+    assert s == b
