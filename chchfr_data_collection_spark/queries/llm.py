@@ -884,3 +884,74 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = 8, band_rows: int = 4):
         )
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+@register(
+    "text_top_words",
+    sql="""
+    SELECT w, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+    GROUP BY w
+    ORDER BY freq DESC, w LIMIT 50
+    """,
+    tags=("llm", "text", "explode"),
+)
+def text_top_words(spark, sf_dir):
+    """Corpus vocabulary head: lateral explode of words -> term and
+    document frequency -> top 50. The df side of tf-idf; also the
+    stopword-candidate list a quality pipeline derives per corpus."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(50)
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    sql="""
+    WITH tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      GROUP BY doc_id, w),
+    df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+    SELECT doc_id, w, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, w) AS rnk
+      FROM scored) t
+    WHERE rnk <= 3 AND doc_id < 50
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 tf-idf terms (docs 0-49). Term frequency and
+    document frequency are two aggregations over one explode; idf joins
+    back by term (broadcast — vocab is small relative to the corpus).
+    idf is the rational n_docs/df (not log-scaled): log is a libm
+    transcendental whose last ulp differs between JVM and C — rational
+    idf keeps the oracle comparison bit-exact and preserves ranking for
+    single-corpus top-k."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    words = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        "w",
+        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    rw = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "w", "tfidf")
+    )
