@@ -253,3 +253,57 @@ def streaming_static_enrich_replay(spark, sf_dir):
     )
     name = "enrich_" + uuid.uuid4().hex[:8]
     return run_available_now(stream, name, mode="append")
+
+
+@register(
+    "applyinpandas_group_rank",
+    sql="""
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+                AS BIGINT) AS rnk
+    FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("pandas-udf", "grouped-map", "events"),
+)
+def applyinpandas_group_rank(spark, sf_dir):
+    """Grouped-map applyInPandas: per-user pandas DataFrame in/out,
+    computing a dense per-group rank. Integer ranks make the Python-side
+    computation oracle-exact — demonstrating the grouped-map surface
+    without float drift. (The native-window twin is what production
+    would use; this exists to exercise/verify the pandas path.)"""
+    import pandas as pd
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        pdf["rnk"] = range(1, len(pdf) + 1)
+        return pdf[["user_id", "event_id", "rnk"]]
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.groupBy("user_id").applyInPandas(
+        rank_group, schema="user_id bigint, event_id bigint, rnk bigint"
+    )
+
+
+@register("agg_approx_quantiles", sql=None, tags=("agg", "approx"))
+def agg_approx_quantiles(spark, sf_dir):
+    """approx_percentile sketch (KLL/GK-style): p50/p95/p99 of order
+    totals per priority. Rows-only: sketch internals are engine-specific
+    (the exactness policy forbids tolerance compares); bounds sanity is
+    asserted in tests."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias(
+                "pcts"
+            ),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p95"),
+            F.col("pcts")[2].alias("p99"),
+            "n",
+        )
+    )

@@ -102,3 +102,18 @@ def test_connected_components_vs_union_find(spark, cat):
         union(a, b)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+def test_approx_quantiles_bounds(spark, sf_small, cat):
+    """Sketch sanity: p50 <= p95 <= p99, all within [min, max]."""
+    from pyspark.sql import functions as F
+
+    from chchfr_data_collection_spark.session import load_table
+
+    rows = cat["agg_approx_quantiles"].fn(spark, sf_small).collect()
+    orders = load_table(spark, sf_small, "orders")
+    lims = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).collect()[0]
+    for r in rows:
+        assert lims.lo <= r.p50 <= r.p95 <= r.p99 <= lims.hi
