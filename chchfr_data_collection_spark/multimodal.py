@@ -87,21 +87,37 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
 def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame sampling stub: emit one 'frame' per N payload bytes for video
     rows (1:N row explosion inside mapInPandas, the real frame-sampler's
-    shape)."""
+    shape).
+
+    The explode is vectorized — np.repeat for row replication, a
+    cumsum-offset trick for per-row frame indices — so the template a
+    real codec kernel would copy has no per-row Python loop (only the
+    unavoidable per-frame byte-slice that produces each output payload).
+    """
+    import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ids, out_idx, out_bytes = [], [], []
-            for _, row in pdf.iterrows():
-                if row["media_type"] != "video/mp4":
-                    continue
-                payload = row["payload"]
-                for k in range(0, max(len(payload), 1), every_n_bytes):
-                    out_ids.append(row["doc_id"])
-                    out_idx.append(k // every_n_bytes)
-                    out_bytes.append(bytes(payload[k : k + every_n_bytes]))
+            vids = pdf[pdf["media_type"] == "video/mp4"]
+            if len(vids) == 0:
+                yield pd.DataFrame(
+                    {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+                ).astype({"doc_id": "int64", "frame_idx": "int32"})
+                continue
+            lens = vids["payload"].map(len).to_numpy()
+            reps = np.maximum(np.ceil(np.maximum(lens, 1) / every_n_bytes), 1).astype(
+                "int64"
+            )
+            # frame_idx = position within each row's run of `reps` frames
+            idx = np.arange(reps.sum()) - np.repeat(np.cumsum(reps) - reps, reps)
+            ids = np.repeat(vids["doc_id"].to_numpy(), reps)
+            payloads = np.repeat(vids["payload"].to_numpy(), reps)
+            starts = idx * every_n_bytes
+            frames = [
+                bytes(p[s : s + every_n_bytes]) for p, s in zip(payloads, starts)
+            ]
             yield pd.DataFrame(
-                {"doc_id": out_ids, "frame_idx": out_idx, "frame_bytes": out_bytes}
+                {"doc_id": ids, "frame_idx": idx.astype("int32"), "frame_bytes": frames}
             )
 
     return media.mapInPandas(kernel, schema=FRAME_SCHEMA)

@@ -32,18 +32,24 @@ def asof_join(
     so an equal-timestamp right row IS matched (<= semantics).
     """
     lcols = left.columns
+    # the carried payload is a (present, value) struct, NOT the bare value:
+    # last(ignorenulls) must skip only "no right row here" markers — a
+    # genuine NULL measurement in the right table is a real observation
+    # and must overwrite older values, not be skipped over
+    rv_type = right.schema[right_value].dataType
+    null_marker = F.lit(None).cast(f"struct<v:{rv_type.simpleString()}>")
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast(right.schema[right_value].dataType).alias("__rv"),
+        null_marker.alias("__rv"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.col(right_value).alias("__rv"),
+        F.struct(F.col(right_value).alias("v")).alias("__rv"),
     ).select(*lcols, "__ts", "__is_left", "__rv")
     unioned = l.unionByName(r)
     w = (
@@ -52,7 +58,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
-        out_col, F.last("__rv", ignorenulls=True).over(w)
+        out_col, F.last("__rv", ignorenulls=True).over(w)["v"]
     )
     return carried.filter(F.col("__is_left") == 1).drop("__ts", "__is_left", "__rv")
 

@@ -72,7 +72,17 @@ def salted_join(
     Use when the small side is too big to broadcast outright but small
     enough to replicate n_salts× across the shuffle. (If it broadcasts,
     just broadcast — no salt needed.)
+
+    Only inner/left joins are supported: the small side is replicated
+    once per salt, so right/full semantics would emit each unmatched
+    small-side row n_salts times.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "the replicated small side would duplicate unmatched rows "
+            "under right/full semantics"
+        )
     big_s = with_salt(big, n_salts)
     small_r = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -39,9 +39,14 @@ def write_fact(
     out = df
     if files_per_partition:
         # hash-bucket within each table partition so every partition is
-        # written by exactly `files_per_partition` tasks => that many files
+        # written by `files_per_partition` tasks => that many files.
+        # No explicit task count: with a count of files_per_partition *
+        # len(partition_cols) all (date, bucket) groups would collide into
+        # a handful of tasks once the table has many dates — instead let
+        # AQE / spark.sql.shuffle.partitions size the shuffle over the
+        # (partition_cols, bucket) keys, which spreads distinct partition
+        # values across however many tasks the data needs.
         out = out.repartition(
-            files_per_partition * max(len(partition_cols), 1),
             *[F.col(c) for c in partition_cols],
             F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition)),
         )

@@ -56,6 +56,7 @@ def generate_daily_prices(
     stations: DataFrame,
     date: dt.date | None = None,
     seed: int = 42,
+    jitter: str = "random",
 ) -> DataFrame:
     """stations × 4 fuel types -> jittered price -> date column.
 
@@ -64,12 +65,33 @@ def generate_daily_prices(
     BroadcastNestedLoopJoin against a 4-row dimension and a single bulk
     write. At 100 TB of stations this is a map-only stage: no shuffle at
     all, since the broadcast side is constant.
+
+    jitter="random" is the faithful seeded-uniform variant;
+    jitter="deterministic" derives the jitter from (location_id, fuel)
+    so any engine reproduces the prices bit-for-bit (the oracle path).
     """
+    from .functions.prices import BASE_PRICES, with_deterministic_price
+
     date_col = F.lit(date) if date is not None else F.current_date()
-    priced = with_random_price(
-        stations.select("location_id").crossJoin(F.broadcast(base_prices_df(spark))),
-        seed=seed,
-    )
+    if jitter == "deterministic":
+        fuel = spark.createDataFrame(
+            [(ft, bp, i) for i, (ft, bp) in enumerate(BASE_PRICES)],
+            "fuel_type string, base_price double, ft_idx int",
+        )
+        base = (
+            stations.select("location_id")
+            .crossJoin(F.broadcast(fuel))
+            .withColumn(
+                "__key",
+                F.col("location_id").cast("bigint") * 4 + F.col("ft_idx"),
+            )
+        )
+        priced = with_deterministic_price(base, key="__key").drop("__key", "ft_idx")
+    else:
+        priced = with_random_price(
+            stations.select("location_id").crossJoin(F.broadcast(base_prices_df(spark))),
+            seed=seed,
+        )
     return priced.select(
         "location_id",
         "fuel_type",

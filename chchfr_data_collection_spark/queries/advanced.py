@@ -95,7 +95,7 @@ def q14_promo_revenue(spark, sf_dir):
     "q18_large_orders",
     sql="""
     SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+           o_totalprice AS totalprice,
            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -110,7 +110,11 @@ def q18_large_orders(spark, sf_dir):
     """TPC-H Q18 shape: big-quantity orders via HAVING on a grouped join.
     At scale the orders⋈lineitem shuffle dominates; the HAVING filter is
     applied post-aggregation (cannot push down), but AQE coalesces the
-    post-agg partitions before the top-k sort."""
+    post-agg partitions before the top-k sort.
+
+    `totalprice` is emitted as the raw parquet DOUBLE (not re-cast to
+    decimal): both engines read the identical IEEE bits, while decimal
+    outputs stringify differently per engine in the driver's hasher."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = T(spark, sf_dir, "orders")
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
@@ -124,7 +128,7 @@ def q18_large_orders(spark, sf_dir):
             "c_name",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
-            F.col("o_totalprice").cast("decimal(12,2)").alias("totalprice"),
+            F.col("o_totalprice").alias("totalprice"),
             "total_qty",
         )
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))

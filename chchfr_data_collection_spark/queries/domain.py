@@ -224,10 +224,26 @@ def station_address_derivation(spark, sf_dir):
     )
 
 
-@register("pipeline_daily_prices", sql=None, tags=("domain", "pipeline"))
+@register(
+    "pipeline_daily_prices",
+    sql=f"""
+    SELECT CAST(s_suppkey AS VARCHAR) AS location_id, ft.fuel_type,
+      CAST(CAST(ROUND(ft.base_price + ({_J.format(k='s_suppkey * 4 + ft.ft_idx')}), 2)
+           AS DECIMAL(5,2)) AS DOUBLE) AS price,
+      DATE '2026-01-01' AS date
+    FROM supplier
+    CROSS JOIN (VALUES {_FUEL_VALUES}) AS ft(fuel_type, base_price, ft_idx)
+    """,
+    tags=("domain", "pipeline"),
+)
 def pipeline_daily_prices(spark, sf_dir):
-    """Full price pipeline with the faithful seeded-uniform jitter
-    (rows-only check: PRNG streams are engine-specific)."""
+    """Full price pipeline (S4→J2→F3→F5→K2-ready rows) with the
+    deterministic jitter variant, so the oracle reproduces every price
+    bit-for-bit. (The faithful seeded-uniform variant stays available via
+    generate_daily_prices(jitter="random") and is bound-checked in unit
+    tests — cross-engine PRNG streams can never match an oracle.)
+    The DECIMAL(5,2) storage type is cast to DOUBLE at the catalog edge:
+    both engines then stringify the identical IEEE value."""
     from ..pipelines import generate_daily_prices
 
     stations = T(spark, sf_dir, "supplier").select(
@@ -235,4 +251,7 @@ def pipeline_daily_prices(spark, sf_dir):
     )
     import datetime as dt
 
-    return generate_daily_prices(spark, stations, date=dt.date(2026, 1, 1))
+    out = generate_daily_prices(
+        spark, stations, date=dt.date(2026, 1, 1), jitter="deterministic"
+    )
+    return out.withColumn("price", F.col("price").cast("double"))

@@ -943,11 +943,17 @@ def text_tfidf_topterms(spark, sf_dir):
     words = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "w").select(
-        "doc_id",
-        "w",
-        (F.col("tf") * (F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    # lazy scalar corpus size: a 1-row broadcast cross join instead of a
+    # driver-side d.count() — keeps the query a single job at 100 TB
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))).alias("tfidf"),
+        )
     )
     rw = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
     return (

@@ -47,11 +47,19 @@ def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked tumbling window counts — late rows beyond the watermark
-    are dropped, which bounds state size on an unbounded stream."""
+    are dropped, which bounds state size on an unbounded stream.
+
+    The value sum goes through DECIMAL(12,2): exact and associative, so
+    the result is independent of micro-batch arrival order (a plain
+    double sum would drift with partitioning — unacceptable for a result
+    that must be stable across replays)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
 
@@ -128,20 +136,42 @@ def foreach_batch_upsert(
 ) -> None:
     """Exactly-once-ish MERGE sink: each micro-batch upserts into a
     parquet target via the batch upsert operator (K2 semantics). The
-    checkpoint + idempotent merge make re-delivered batches safe."""
+    checkpoint + idempotent merge make re-delivered batches safe.
+
+    First-batch bootstrap is detected by an explicit path-existence probe
+    (NOT a bare except: a schema mismatch or corrupt footer must fail the
+    batch, never silently overwrite the target with one micro-batch).
+    The swap is rename-based: the merged result lands in a staging dir,
+    the old target moves aside, staging renames into place — two metadata
+    ops instead of a second full rewrite, shrinking the non-atomic window
+    to a directory rename. (With a transactional format — Delta/Iceberg —
+    this whole function is one MERGE INTO; documented in NOTES.md.)"""
+    import shutil
+    import uuid
+
     from ..operators.upsert import upsert_by_key
 
+    def _local(p: str) -> str:
+        return p[7:] if p.startswith("file://") else p
+
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
-        try:
+        tgt = _local(target_path)
+        if os.path.isdir(tgt):
             existing = spark.read.parquet(target_path)
             merged = upsert_by_key(existing, batch_df, keys)
-        except Exception:
+        else:
             merged = batch_df
-        merged.write.mode("overwrite").parquet(target_path + "_tmp")
-        spark.read.parquet(target_path + "_tmp").write.mode("overwrite").parquet(
-            target_path
-        )
+        staging = f"{tgt}__stage_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        trash = f"{tgt}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(tgt):
+            os.rename(tgt, trash)
+        os.rename(staging, tgt)
+        if os.path.isdir(trash):
+            shutil.rmtree(trash, ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)
@@ -150,6 +180,18 @@ def foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+_INTERVAL_UNIT_S = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(spec: str) -> int:
+    """Parse a 'N unit' interval string ('1 hour', '30 minutes')."""
+    n, unit = spec.strip().split()
+    return int(n) * _INTERVAL_UNIT_S[unit.lower()]
 
 
 def interval_join_clicks_before_errors(
@@ -161,9 +203,14 @@ def interval_join_clicks_before_errors(
     Both sides carry watermarks so the join state is bounded: a buffered
     click can be evicted once the error-side watermark passes
     click_ts + horizon. The time-range predicate is what turns the
-    unbounded stream-stream join into a finite-state one."""
-    e = errors.withWatermark("ts", "2 hours").alias("e")
-    c = clicks.withWatermark("click_ts", "2 hours").alias("c")
+    unbounded stream-stream join into a finite-state one.
+
+    The click-side watermark is DERIVED from the horizon (horizon + 1h
+    slack): a fixed watermark smaller than the join window would evict
+    buffered clicks still inside it, silently dropping matches."""
+    wm = f"{_interval_seconds(horizon) + 3600} seconds"
+    e = errors.withWatermark("ts", wm).alias("e")
+    c = clicks.withWatermark("click_ts", wm).alias("c")
     return e.join(
         c,
         F.expr(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 USER_STATS_OUTPUT = "user_id bigint, n_events bigint, sum_value double, n_errors bigint"
-USER_STATS_STATE = "n bigint, total double, errs bigint"
+USER_STATS_STATE = "n bigint, total_cents bigint, errs bigint"
 
 
 def running_user_stats(events: DataFrame) -> DataFrame:
@@ -28,6 +28,11 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     updated totals (output mode `update`). The same shape serves online
     feature aggregation: swap the accumulator for decayed counters or
     sketches.
+
+    The value accumulator is INTEGER CENTS (values are 2-dp): integer
+    addition is exact and associative, so the emitted sum is identical
+    regardless of how rows split across micro-batches / partitions —
+    a float accumulator would make the state order-dependent.
     """
 
     def fold(
@@ -35,19 +40,20 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if state.exists:
-            n, total, errs = state.get
+            n, cents, errs = state.get
         else:
-            n, total, errs = 0, 0.0, 0
+            n, cents, errs = 0, 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            v = pdf["value"].dropna()
+            cents += int((v * 100).round().astype("int64").sum())
             errs += int((pdf["event_type"] == "error").sum())
-        state.update((n, total, errs))
+        state.update((n, cents, errs))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "sum_value": [total],
+                "sum_value": [cents / 100.0],
                 "n_errors": [errs],
             }
         )
