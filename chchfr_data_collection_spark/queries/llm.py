@@ -112,20 +112,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     pair explosion -> per-pair overlap count. One shuffle on the shingle
     vs. the naive self-join's two. Hot shingles (boilerplate) are the skew
     risk at scale: a bucket of k docs emits k(k-1)/2 pairs — mitigated by
-    dropping top-df shingles or LSH-banding (see dedup_minhash_lsh).
+    dropping top-df shingles or LSH-banding (see dedup_minhash_banded).
     """
     T(spark, sf_dir, "documents", parallel=True).createOrReplaceTempView("documents")
     return spark.sql(_JACCARD_SPARK)
 
 
-@register("dedup_minhash_lsh", sql=None, tags=("llm", "dedup", "fuzzy", "mllib"))
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH candidate pairs (Jaccard distance <= 0.3) over word sets.
+    """MLlib MinHashLSH comparison point — NOT in the catalog.
 
-    The scale path for fuzzy dedup: signature banding turns the O(n^2)
-    pairwise problem into an equi-join on band buckets. MLlib hash seeds
-    are engine-internal -> rows-only check; the exact-Jaccard twin
-    (dedup_ngram_jaccard) is the oracle-verified reference semantics.
+    Kept for benchmarking against dedup_minhash_banded (NOTES.md records
+    MLlib's OR-only hash tables flooding hot buckets with candidates —
+    ~15× slower than proper AND-OR banding on this corpus). MLlib hash
+    seeds are engine-internal, so no cross-engine oracle can exist; the
+    banded variant is the catalog's (oracle-exact) minhash surface.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
@@ -487,14 +487,150 @@ def embedding_stats(spark, sf_dir):
     )
 
 
-@register("similarity_lsh_ann", sql=None, tags=("llm", "similarity", "ann", "mllib"))
-def similarity_lsh_ann(spark, sf_dir):
-    """Scale path for ANN: BucketedRandomProjectionLSH similarity join.
+# Deterministic sign-LSH (random hyperplane / SimHash-for-vectors):
+# L tables × H hyperplanes; plane entries are ±1 ints from a fixed-seed
+# generator, dot products run over int64-quantized embeddings — so the
+# bucket assignment (and therefore the whole result) is bit-identical in
+# any engine, unlike MLlib's seed-internal BRP-LSH (kept out of the
+# catalog; see similarity_lsh_ann_mllib).
+_LSH_DIM = 64
+_LSH_TABLES, _LSH_BITS = 8, 3
+_LSH_THRESHOLD = 0.45
 
-    Buckets collapse the O(n^2) candidate space to same-bucket pairs; at
-    100 TB this is an equi-join on bucket id instead of a cross join.
-    Engine-internal hash seeds -> rows-only check (verified against the
-    brute-force twin in tests)."""
+_lsh_rng = __import__("random").Random(20260814)
+_LSH_PLANES = [
+    [
+        [_lsh_rng.choice((-1, 1)) for _ in range(_LSH_DIM)]
+        for _ in range(_LSH_BITS)
+    ]
+    for _ in range(_LSH_TABLES)
+]
+
+
+def _lsh_ann_duck() -> str:
+    def bucket_expr(t: int) -> str:
+        bits = []
+        for j in range(_LSH_BITS):
+            pl = "[" + ", ".join(str(v) for v in _LSH_PLANES[t][j]) + "]"
+            bits.append(
+                f"(CASE WHEN CAST(list_sum([qv[i] * ({pl})[i] "
+                f"for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    tables = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bkt FROM q"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+        [CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id,
+        CAST(list_sum([qv[i] * qv[i] for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) AS norm2
+      FROM q),
+    b AS ({tables}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id),
+    dots AS (
+      SELECT cand.va, cand.vb,
+        CAST(list_sum([qa.qv[i] * qb.qv[i] for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) AS d
+      FROM cand JOIN q qa ON qa.vec_id = cand.va JOIN q qb ON qb.vec_id = cand.vb)
+    SELECT va, vb,
+      CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+    FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+    WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+          >= {_LSH_THRESHOLD}
+    """
+
+
+@register("similarity_lsh_ann", sql=_lsh_ann_duck(), tags=("llm", "similarity", "ann"))
+def similarity_lsh_ann(spark, sf_dir):
+    """Scale path for the threshold similarity join: sign-LSH (random
+    hyperplanes), L=8 OR-tables × H=3 AND-bits, then exact cosine
+    verification of same-bucket pairs only.
+
+    At 100 TB the O(n²) cross join becomes an equi-join on (table,
+    bucket): candidates shrink by ~2^H per table and the join is
+    hash-partitioned. P[same bucket | cos=0.45] ≈ 0.27 per table ->
+    ~92% recall across 8 tables, 100% precision (candidates verified
+    exactly). Deterministic ±1 hyperplanes over int64-quantized
+    embeddings make every bucket id — and so the full result — exactly
+    reproducible by the DuckDB oracle. Recall vs the brute-force twin
+    (similarity_threshold_pairs) is asserted in tests."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        V.quantize("embedding").alias("qv"),
+        V.dot_exact("embedding", "embedding").alias("n2"),
+    )
+
+    def plane_dot(t: int, j: int):
+        plane = F.array(*[F.lit(v) for v in _LSH_PLANES[t][j]])
+        return F.aggregate(
+            F.zip_with("qv", plane, lambda x, y: x * y.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    def bucket(t: int):
+        b = F.lit(0)
+        for j in range(_LSH_BITS):
+            b = b + F.when(plane_dot(t, j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return b
+
+    tables = emb.select(
+        "vec_id",
+        "qv",
+        "n2",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt"))
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "qv", "n2", "tb.tbl", "tb.bkt")
+    a = tables.select(
+        F.col("vec_id").alias("va"), F.col("qv").alias("qa"),
+        F.col("n2").alias("na2"), "tbl", "bkt",
+    )
+    b = tables.select(
+        F.col("vec_id").alias("vb"), F.col("qv").alias("qb"),
+        F.col("n2").alias("nb2"), "tbl", "bkt",
+    )
+    cand = (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", "qa", "qb", "na2", "nb2")
+        .dropDuplicates(["va", "vb"])
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.select(
+            "va",
+            "vb",
+            (
+                dot.cast("double")
+                / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _LSH_THRESHOLD)
+    )
+
+
+def similarity_lsh_ann_mllib(spark, sf_dir):
+    """MLlib BucketedRandomProjectionLSH comparison point — NOT in the
+    catalog (engine-internal hash seeds preclude a cross-engine oracle);
+    the deterministic sign-LSH above is the catalog surface."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -800,8 +936,72 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 # ------------------------------------------------- banded MinHash (AND-OR)
 
-@register("dedup_minhash_banded", sql=None, tags=("llm", "dedup", "fuzzy", "minhash"))
-def dedup_minhash_banded(spark, sf_dir, n_bands: int = 8, band_rows: int = 4):
+# Portable MinHash permutations: shingle -> 32-bit int via the first 8
+# hex chars of md5 (identical in Spark and DuckDB on ASCII text), then
+# h_i(x) = (A_i * x + B_i) mod P with P = 2^61-1 (Mersenne prime).
+# A_i < 2^29 keeps A_i * x + B_i < 2^62 — no int64 overflow in either
+# engine. Constants come from a fixed-seed Mersenne twister at import
+# time, so both generated SQL strings embed identical literals.
+_MH_P = (1 << 61) - 1
+_MH_BANDS, _MH_ROWS = 8, 4
+_MH_K = _MH_BANDS * _MH_ROWS
+_MH_BUCKET_CAP = 64  # max docs per (band, sig) bucket used for pair-gen
+
+_mh_rng = __import__("random").Random(20260813)
+_MH_A = [_mh_rng.randrange(1, 1 << 29) | 1 for _ in range(_MH_K)]
+_MH_B = [_mh_rng.randrange(0, _MH_P) for _ in range(_MH_K)]
+
+
+def _minhash_banded_duck() -> str:
+    mins = ",\n      ".join(
+        f"MIN(({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_P}) AS h{i}" for i in range(_MH_K)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, {sig} AS sig FROM sigs".format(
+            j=j,
+            sig=" || ',' || ".join(
+                f"CAST(h{j * _MH_ROWS + t} AS VARCHAR)" for t in range(_MH_ROWS)
+            ),
+        )
+        for j in range(_MH_BANDS)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([ws[i] || '_' || ws[i+1] || '_' || ws[i+2]
+             for i in range(1, len(ws)-1)])) AS s
+      FROM w WHERE len(ws) >= 3),
+    shx AS (SELECT doc_id, s, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS x FROM sh),
+    sigs AS (
+      SELECT doc_id, COUNT(*) AS nw,
+      {mins}
+      FROM shx GROUP BY doc_id),
+    bsig AS ({bands}),
+    bsz AS (SELECT band, sig, COUNT(*) AS c FROM bsig GROUP BY band, sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM bsig a
+      JOIN bsig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      JOIN bsz z ON z.band = a.band AND z.sig = a.sig
+      WHERE z.c <= {_MH_BUCKET_CAP}),
+    inter AS (
+      SELECT c.da, c.db, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.da
+      JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+      GROUP BY c.da, c.db)
+    SELECT da, db, CAST(i AS DOUBLE) / (na.nw + nb.nw - i) AS jaccard
+    FROM inter JOIN sigs na ON na.doc_id = da JOIN sigs nb ON nb.doc_id = db
+    WHERE CAST(i AS DOUBLE) / (na.nw + nb.nw - i) >= 0.8
+    """
+
+
+@register(
+    "dedup_minhash_banded",
+    sql=_minhash_banded_duck(),
+    tags=("llm", "dedup", "fuzzy", "minhash"),
+)
+def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int = _MH_ROWS):
     """Banded MinHash near-dup join over 3-word shingle sets — proper
     AND-OR amplification (b=8 bands × r=4 rows), unlike MLlib's
     MinHashLSH whose OR-only tables flood hot buckets with candidates.
@@ -811,8 +1011,14 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = 8, band_rows: int = 4):
     bucket → exact shingle-Jaccard verification of candidates only.
     P(candidate | J) = 1-(1-J^r)^b ≈ 0.985 at J=0.8. Emits verified
     pairs with exact Jaccard >= 0.8 — the probabilistic twin of
-    dedup_ngram_jaccard (same similarity definition). Rows-only
-    (hash-seeded banding); recall vs. the exact join asserted in tests.
+    dedup_ngram_jaccard (same similarity definition).
+
+    Scale hardening: buckets wider than _MH_BUCKET_CAP docs are skipped
+    for pair generation (a degenerate signature shared by k docs would
+    emit k(k-1)/2 pairs in one task; near-dup clusters that wide are
+    boilerplate, caught by the exact-hash pass). The permutations are
+    engine-portable (md5-derived shingle ints + (a·x+b) mod 2^61-1), so
+    the DuckDB oracle reproduces candidates AND verification bit-exactly.
     """
     k = n_bands * band_rows
     ws = F.split("text", " ", -1)
@@ -829,15 +1035,24 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = 8, band_rows: int = 4):
         .filter(F.size(ws) >= 3)
         .select("doc_id", F.explode(shingles).alias("w"))
     )
+    tokx = tok.withColumn(
+        "x", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast("bigint")
+    )
     # k minhashes as plain codegen'd min() aggregates — no explode blow-up
-    sigs = tok.groupBy("doc_id").agg(
+    x = F.col("x")
+    sigs = tokx.groupBy("doc_id").agg(
         F.count("*").alias("nw"),
-        *[F.min(F.xxhash64("w", F.lit(i))).alias(f"h{i}") for i in range(k)],
+        *[
+            F.min((F.lit(_MH_A[i]) * x + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(f"h{i}")
+            for i in range(k)
+        ],
     )
     band_cols = [
         F.struct(
             F.lit(j).alias("band"),
-            F.xxhash64(*[f"h{j * band_rows + t}" for t in range(band_rows)]).alias("sig"),
+            F.concat_ws(
+                ",", *[F.col(f"h{j * band_rows + t}").cast("string") for t in range(band_rows)]
+            ).alias("sig"),
         )
         for j in range(n_bands)
     ]
@@ -847,7 +1062,7 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = 8, band_rows: int = 4):
     cand = (
         buckets.groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= _MH_BUCKET_CAP))
         .select(
             F.explode(
                 F.flatten(

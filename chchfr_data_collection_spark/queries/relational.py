@@ -489,16 +489,40 @@ def agg_unpivot_metrics(spark, sf_dir):
 
 @register(
     "agg_approx_distinct",
-    sql=None,  # approx sketches are engine-specific; rows-only check
+    sql="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_ok,
+           quantile_disc(l_extendedprice, 0.5) AS median_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark, sf_dir):
+    """HLL distinct-count sketch with its accuracy contract AS the oracle:
+    the HLL estimate itself is engine-internal, so the checkable surface
+    is (a) the exact distinct count, (b) a boolean asserting the sketch
+    landed within 3×rsd of it (deterministic: Spark's HLL is
+    deterministic for fixed input), and (c) an exact-at-this-accuracy
+    median (see agg_approx_quantiles for the convention)."""
     return (
         T(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("median_price"),
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000000)").alias(
+                "median_price"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.lit(0.15) * F.col("exact_parts")
+            ).alias("hll_ok"),
+            "median_price",
         )
     )
 

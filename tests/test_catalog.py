@@ -80,6 +80,18 @@ def test_minhash_banded_recall_vs_exact(spark, cat):
         assert len(banded & exact) / len(exact) >= 0.95
 
 
+def test_lsh_ann_recall_vs_exact(spark, cat):
+    """Sign-LSH (8 tables × 3 bits) must recover >=80% of the exact
+    cos>=0.45 pairs with perfect precision (candidates verified exactly,
+    so every emitted pair is a true pair)."""
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.va, r.vb) for r in cat["similarity_threshold_pairs"].fn(spark, sf).collect()}
+    lsh = {(r.va, r.vb) for r in cat["similarity_lsh_ann"].fn(spark, sf).collect()}
+    assert lsh <= exact
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.80
+
+
 def test_connected_components_vs_union_find(spark, cat):
     """Label propagation must produce exactly the union-find components
     of the near-dup pair graph (component = min doc_id)."""
