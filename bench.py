@@ -41,15 +41,19 @@ HEADLINE = [
     "asof_join_last_click",
     "dedup_exact_hash",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",
     "dedup_minhash_banded",
     "dedup_simhash",
     "similarity_topk_cosine",
     "similarity_ivf_ann",
+    "similarity_lsh_ann",
     "text_rolling_hash",
     "text_quality_score",
     "text_langid",
     "fuel_price_crossjoin",
     "stations_ingest_antijoin",
+    "salted_join_lineitem",
+    "scd2_dimension_fold",
 ]
 
 

@@ -41,6 +41,6 @@ def register(name: str, sql: str | None, tags: tuple = ()):  # decorator
 
 def catalog() -> dict[str, QueryDef]:
     # import side-effect populates the registry
-    from . import advanced, domain, events_q, extras, llm, relational  # noqa: F401
+    from . import advanced, domain, events_q, extras, llm, ops, relational  # noqa: F401
 
     return dict(_REGISTRY)

@@ -368,13 +368,14 @@ def streaming_interval_join_replay(spark, sf_dir):
 
 
 def _cc_oracle_sql() -> str:
-    # transitive closure via recursive CTE over the same Jaccard pairs;
+    # transitive closure via recursive CTE over the same Jaccard pairs
+    # (the df-capped variant — CC consumes dedup_ngram_jaccard's output);
     # min reachable node = the component label the Spark side converges to
-    from .llm import _JACCARD_DUCK
+    from .llm import _JACCARD_CAPPED_DUCK
 
     return f"""
     WITH RECURSIVE
-    jp AS ({_JACCARD_DUCK}),
+    jp AS ({_JACCARD_CAPPED_DUCK}),
     edges AS (SELECT da AS u, db AS v FROM jp
               UNION SELECT db AS u, da AS v FROM jp),
     reach(u, v) AS (

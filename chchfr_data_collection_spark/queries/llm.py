@@ -63,7 +63,17 @@ def dedup_exact_keep_first(spark, sf_dir):
     )
 
 
-_JACCARD_SPARK = """
+# document-frequency cap for candidate generation: a shingle shared by
+# k docs emits k(k-1)/2 candidate pairs in one bucket; boilerplate
+# shingles (k in the thousands at 100 TB) would otherwise concentrate a
+# quadratic pair explosion in single tasks. Pairs are still VERIFIED
+# against the full shingle sets, so a pair is missed only if every one
+# of its shared shingles is hotter than the cap — for J>=0.8 pairs
+# (which share most of both docs) that means the documents are pure
+# boilerplate, the exact-hash pass's territory.
+_NGRAM_DF_CAP = 64
+
+_JACCARD_SPARK = f"""
 WITH w AS (SELECT doc_id, split(text, ' ', -1) AS ws FROM documents),
 sh AS (
   SELECT doc_id, explode(array_distinct(transform(sequence(0, size(ws)-3),
@@ -71,23 +81,32 @@ sh AS (
   FROM w WHERE size(ws) >= 3),
 n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
 -- posting-list pair generation: ONE shuffle on the shingle, then pairs
--- explode per bucket — replaces the two-sided shuffle self-join with the
--- same (da < db, one pair per shared shingle) semantics
+-- explode per bucket — replaces the two-sided shuffle self-join. The
+-- bucket width is capped at the df cap, so per-task pair fan-out is
+-- bounded by cap*(cap-1)/2 regardless of corpus boilerplate.
 buckets AS (
   SELECT sort_array(collect_list(doc_id)) AS ids
-  FROM sh GROUP BY s HAVING count(*) > 1),
-pairs AS (
-  SELECT p.da AS da, p.db AS db
+  FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND {_NGRAM_DF_CAP}),
+cand AS (
+  SELECT DISTINCT p.da AS da, p.db AS db
   FROM buckets
   LATERAL VIEW explode(flatten(transform(ids, (a, i) ->
     transform(slice(ids, i + 2, size(ids) - i - 1),
               b -> struct(a AS da, b AS db))))) t AS p),
-inter AS (SELECT da, db, COUNT(*) AS i FROM pairs GROUP BY da, db)
+-- exact verification over the FULL shingle sets of candidates only
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.da
+  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+  GROUP BY c.da, c.db)
 SELECT da, db, CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jaccard
 FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
 WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
 """
 
+# exact (uncapped) variant — the oracle for the provably-exact prefix
+# join, and the recall reference in tests
 _JACCARD_DUCK = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
@@ -103,16 +122,47 @@ FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
 WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
 """
 
+# df-capped twin of _JACCARD_SPARK: candidates only from shingles with
+# df <= cap, then exact verification — the oracle replicates the cap so
+# Spark and DuckDB agree at ANY scale, not just when max(df) <= cap
+_JACCARD_CAPPED_DUCK = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([ws[i] || '_' || ws[i+1] || '_' || ws[i+2]
+         for i in range(1, len(ws)-1)])) AS s
+  FROM w WHERE len(ws) >= 3),
+n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM sh a
+  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN dfs ON dfs.s = a.s
+  WHERE dfs.df <= {_NGRAM_DF_CAP}),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.da
+  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+  GROUP BY c.da, c.db)
+SELECT da, db, CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jaccard
+FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
+"""
 
-@register("dedup_ngram_jaccard", sql=_JACCARD_DUCK, tags=("llm", "dedup", "fuzzy"))
+
+@register("dedup_ngram_jaccard", sql=_JACCARD_CAPPED_DUCK, tags=("llm", "dedup", "fuzzy"))
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by 3-word-shingle Jaccard >= 0.8.
 
-    Shingle explode -> posting-list buckets (groupBy shingle) -> in-bucket
-    pair explosion -> per-pair overlap count. One shuffle on the shingle
-    vs. the naive self-join's two. Hot shingles (boilerplate) are the skew
-    risk at scale: a bucket of k docs emits k(k-1)/2 pairs — mitigated by
-    dropping top-df shingles or LSH-banding (see dedup_minhash_banded).
+    Shingle explode -> df-capped posting-list buckets (groupBy shingle)
+    -> in-bucket candidate explosion -> exact-Jaccard verification of
+    candidates against full shingle sets. One shuffle on the shingle for
+    candidate generation; the verification join touches only candidate
+    docs. The df cap bounds per-bucket pair fan-out (the 100× skew
+    hazard); the oracle replicates the cap, and max(df) at the fixture
+    scales is far below it, so the result equals the exact join there
+    (asserted via dedup_jaccard_prefix sharing the uncapped oracle).
     """
     T(spark, sf_dir, "documents", parallel=True).createOrReplaceTempView("documents")
     return spark.sql(_JACCARD_SPARK)
@@ -418,10 +468,15 @@ def similarity_topk_cosine(spark, sf_dir):
     FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
     WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) >= 0.45
     """,
-    tags=("llm", "similarity", "join"),
+    tags=("llm", "similarity", "join", "oracle-twin"),
 )
 def similarity_threshold_pairs(spark, sf_dir):
     """All-pairs cosine similarity join at a threshold (embedding near-dup).
+
+    ORACLE TWIN — deliberately O(n²): this is the exact reference that
+    verifies similarity_lsh_ann (the bucketed scale path) and is kept
+    out of the bench HEADLINE set. At 100 TB run the LSH variant;
+    run this only on bounded samples to audit recall.
 
     Quantized arrays + norms precomputed per side (see
     similarity_topk_cosine); the O(n^2) pair stage does one array pass."""
@@ -897,12 +952,16 @@ def dedup_jaccard_prefix(spark, sf_dir):
     FROM dots JOIN norms na ON na.vec_id = keep_id JOIN norms nb ON nb.vec_id = drop_id
     WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) >= 0.45
     """,
-    tags=("llm", "dedup", "similarity"),
+    tags=("llm", "dedup", "similarity", "oracle-twin"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup dedup: pairs above threshold with the
-    lower vec_id as keeper (min-id survivorship). The brute-force exact
-    twin of the LSH scale path (similarity_lsh_ann)."""
+    lower vec_id as keeper (min-id survivorship).
+
+    ORACLE TWIN — deliberately O(n²): the brute-force exact reference
+    for the LSH scale path (similarity_lsh_ann). Kept out of the bench
+    HEADLINE set; at 100 TB the LSH variant is the dedup pass and this
+    audits its recall on bounded samples."""
     emb = T(spark, sf_dir, "embeddings", parallel=True)
     a = emb.select(
         F.col("vec_id").alias("keep_id"),

@@ -1,0 +1,276 @@
+"""Operator-surface catalog entries: SCD2 dimension fold, skew-safe
+aggregation/join, partitioned write policy, and the K3 idempotent-DDL
+bootstrap — each exercised on fixture-derived inputs with an exact
+DuckDB oracle, so the operators in operators/ are driver-visible instead
+of unit-test-only.
+
+Reference parity: K3 mirrors dag_create_gas_station_table.py:23-36
+(idempotent CREATE TABLE) and §3.2's daily partition overwrite; SCD2 is
+the §2.2 dimension-handling upgrade (reference is SCD0 insert-if-absent);
+salting covers the §4.2 hot-key scenarios AQE cannot split (aggregations,
+replicated-side joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import register
+from .common import T, dsum
+
+_TS = "yyyy-MM-dd HH:mm:ss"
+_DTS = "%Y-%m-%d %H:%M:%S"
+
+
+# --------------------------------------------------------------- SCD2 fold
+
+@register(
+    "scd2_dimension_fold",
+    sql=f"""
+    WITH batch_changed AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0)
+    -- history: nothing closed before this batch; untouched current rows
+    SELECT s_suppkey AS location_id, s_name AS name, s_acctbal AS acctbal,
+           strftime(TIMESTAMP '2025-01-01', '{_DTS}') AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to
+    FROM supplier WHERE s_suppkey % 3 <> 0
+    UNION ALL
+    -- closed versions: batch carried different attributes
+    SELECT s_suppkey, s_name, s_acctbal,
+           strftime(TIMESTAMP '2025-01-01', '{_DTS}'),
+           strftime(TIMESTAMP '2026-02-01', '{_DTS}')
+    FROM supplier WHERE s_suppkey % 3 = 0
+    UNION ALL
+    -- new open versions for the changed keys
+    SELECT s_suppkey, UPPER(s_name), s_acctbal,
+           strftime(TIMESTAMP '2026-02-01', '{_DTS}'), CAST(NULL AS VARCHAR)
+    FROM supplier WHERE s_suppkey % 3 = 0
+    UNION ALL
+    -- brand-new keys appended by the batch
+    SELECT s_suppkey + 1000000, LOWER(s_name), s_acctbal,
+           strftime(TIMESTAMP '2026-02-01', '{_DTS}'), CAST(NULL AS VARCHAR)
+    FROM supplier WHERE s_suppkey % 7 = 0
+    """,
+    tags=("operator", "scd2", "dimension"),
+)
+def scd2_dimension_fold(spark, sf_dir):
+    """SCD2 fold (operators/scd2.py): one change batch applied to a
+    supplier-derived dimension. The batch updates every key ≡0 (mod 3)
+    with a changed attribute (closing the old version, opening a new
+    one), re-sends keys ≡1 (mod 3) UNCHANGED (must not create spurious
+    versions — idempotence), and appends brand-new keys ≡0 (mod 7).
+    Validity bounds are emitted as formatted strings so both engines
+    stringify identically."""
+    from ..operators.scd2 import scd2_apply
+
+    supp = T(spark, sf_dir, "supplier")
+    dim = supp.select(
+        F.col("s_suppkey").alias("location_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changed = supp.filter(F.col("s_suppkey") % 3 == 0).select(
+        F.col("s_suppkey").alias("location_id"),
+        F.upper("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    unchanged = supp.filter(F.col("s_suppkey") % 3 == 1).select(
+        F.col("s_suppkey").alias("location_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    new_keys = supp.filter(F.col("s_suppkey") % 7 == 0).select(
+        (F.col("s_suppkey") + 1000000).alias("location_id"),
+        F.lower("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    batch = changed.unionByName(unchanged).unionByName(new_keys)
+    folded = scd2_apply(
+        dim,
+        batch,
+        keys=["location_id"],
+        attrs=["name", "acctbal"],
+        batch_ts=F.lit("2026-02-01 00:00:00"),
+    )
+    return folded.select(
+        "location_id",
+        "name",
+        "acctbal",
+        F.date_format("valid_from", _TS).alias("valid_from"),
+        F.date_format("valid_to", _TS).alias("valid_to"),
+    )
+
+
+# ------------------------------------------------------------ skew salting
+
+@register(
+    "salted_agg_orders",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("operator", "skew", "agg"),
+)
+def salted_agg_orders(spark, sf_dir):
+    """Two-phase skew-safe aggregation (operators/skew.py): phase 1
+    groups on (key, salt) so a hot key partial-aggregates across
+    n_salts tasks; phase 2 folds at most n_salts partials per key.
+    Decimal partials keep the sum associative, so the salted result is
+    bit-identical to the plain groupBy the oracle states."""
+    from ..operators.skew import salted_agg
+
+    orders = T(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    out = salted_agg(
+        orders,
+        keys=["o_orderpriority"],
+        partial_aggs={
+            "n": F.count("*"),
+            "total": F.sum(F.col("o_totalprice").cast("decimal(12,2)")),
+        },
+        final_aggs={"n": F.sum("n"), "total": F.sum("total")},
+        n_salts=16,
+    )
+    return out.select(
+        "o_orderpriority", "n", F.col("total").cast("double").alias("total")
+    )
+
+
+@register(
+    "salted_join_lineitem",
+    sql="""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("operator", "skew", "join"),
+)
+def salted_join_lineitem(spark, sf_dir):
+    """Salted equi-join (operators/skew.py): the big (lineitem) side gets
+    a uniform salt, the orders side is replicated once per salt, and the
+    join runs on (key, salt) — a hot orderkey spreads over 8 tasks
+    instead of one straggler. Join output equals the unsalted join, so
+    the oracle is the plain join + group-by."""
+    from ..operators.skew import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, on=["l_orderkey"], n_salts=8, how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("l_extendedprice").alias("revenue")
+    )
+
+
+# -------------------------------------------------------- write policy K2/K3
+
+@register(
+    "write_fact_roundtrip",
+    sql="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("operator", "write-policy"),
+)
+def write_fact_roundtrip(spark, sf_dir):
+    """Partitioned fact write policy (operators/write_policy.py):
+    lineitem written partitioned by l_returnflag, hash-bucketed to
+    files_per_partition files, clustered on l_shipdate for row-group
+    pruning — then read back and aggregated. The oracle aggregates the
+    source directly: a correct write policy is invisible to readers."""
+    import tempfile
+
+    from ..operators.write_policy import write_fact
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate", "l_extendedprice"
+    )
+    path = tempfile.mkdtemp(prefix="write_fact_rt_")
+    write_fact(
+        li,
+        path,
+        partition_cols=("l_returnflag",),
+        cluster_by=("l_shipdate",),
+        files_per_partition=2,
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_extendedprice").alias("total"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "ddl_bootstrap_partition_overwrite",
+    sql="""
+    SELECT s_suppkey AS location_id, ft.fuel_type,
+      ROUND(ft.base_price + ((((s_suppkey * 4 + ft.ft_idx)) * 7919) % 61) / 100.0 - 0.37, 2)
+        AS price,
+      DATE '2026-01-01' AS price_date
+    FROM supplier
+    CROSS JOIN (VALUES ('Unleaded 91', 2.79, 0), ('Unleaded 95', 2.98, 1),
+                       ('Unleaded 98', 3.11, 2), ('Diesel', 2.10, 3))
+      AS ft(fuel_type, base_price, ft_idx)
+    """,
+    tags=("operator", "ddl", "upsert"),
+)
+def ddl_bootstrap_partition_overwrite(spark, sf_dir):
+    """K3 + K2 end-to-end: idempotent DDL bootstrap (CREATE TABLE IF NOT
+    EXISTS ... PARTITIONED BY (price_date), the reference's
+    dag_create_gas_station_table.py:23-36) followed by an idempotent
+    static-partition INSERT OVERWRITE of one day's prices — the
+    reference's daily upsert as a partition-replace. Re-running converges
+    to the same state (both statements are idempotent), which is what
+    makes driver/oracle replays safe."""
+    import tempfile
+
+    from ..functions.prices import BASE_PRICES
+
+    loc = getattr(ddl_bootstrap_partition_overwrite, "_loc", None)
+    if loc is None:
+        loc = tempfile.mkdtemp(prefix="chchfr_k3_")
+        ddl_bootstrap_partition_overwrite._loc = loc
+    spark.sql("CREATE DATABASE IF NOT EXISTS chchfr")
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS chchfr.fuel_price (
+          location_id BIGINT, fuel_type STRING, price DOUBLE, price_date DATE)
+        USING parquet PARTITIONED BY (price_date)
+        LOCATION '{loc}'
+        """
+    )
+    fuel = spark.createDataFrame(
+        [(ft, bp, i) for i, (ft, bp) in enumerate(BASE_PRICES)],
+        "fuel_type string, base_price double, ft_idx int",
+    )
+    key = F.col("location_id") * 4 + F.col("ft_idx")
+    priced = (
+        T(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("location_id"))
+        .crossJoin(F.broadcast(fuel))
+        .select(
+            "location_id",
+            "fuel_type",
+            F.round(
+                F.col("base_price")
+                + ((key * F.lit(7919)) % F.lit(61)) / F.lit(100.0)
+                - F.lit(0.37),
+                2,
+            ).alias("price"),
+        )
+    )
+    priced.createOrReplaceTempView("__k3_incoming")
+    spark.sql(
+        """
+        INSERT OVERWRITE TABLE chchfr.fuel_price
+        PARTITION (price_date = DATE '2026-01-01')
+        SELECT location_id, fuel_type, price FROM __k3_incoming
+        """
+    )
+    return spark.table("chchfr.fuel_price")
