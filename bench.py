@@ -46,7 +46,6 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk_cosine",
     "similarity_ivf_ann",
-    "similarity_lsh_ann",
     "text_rolling_hash",
     "text_quality_score",
     "text_langid",

@@ -63,14 +63,15 @@ def dedup_exact_keep_first(spark, sf_dir):
     )
 
 
-# document-frequency cap for candidate generation: a shingle shared by
-# k docs emits k(k-1)/2 candidate pairs in one bucket; boilerplate
-# shingles (k in the thousands at 100 TB) would otherwise concentrate a
-# quadratic pair explosion in single tasks. Pairs are still VERIFIED
-# against the full shingle sets, so a pair is missed only if every one
-# of its shared shingles is hotter than the cap — for J>=0.8 pairs
-# (which share most of both docs) that means the documents are pure
-# boilerplate, the exact-hash pass's territory.
+# document-frequency cap: a shingle shared by k docs emits k(k-1)/2
+# pairs in one bucket; boilerplate shingles (k in the thousands at
+# 100 TB) would otherwise concentrate a quadratic pair explosion in
+# single tasks. The similarity is therefore defined over the df<=cap
+# shingle space — standard df-filtering for near-dup pipelines
+# (boilerplate shingles carry no dedup signal and would otherwise
+# INFLATE similarity between unrelated documents). Docs whose overlap
+# is pure boilerplate are the exact-hash pass's territory. At the
+# fixture scales max(df) << cap, so the result equals plain Jaccard.
 _NGRAM_DF_CAP = 64
 
 _JACCARD_SPARK = f"""
@@ -79,27 +80,25 @@ sh AS (
   SELECT doc_id, explode(array_distinct(transform(sequence(0, size(ws)-3),
          i -> concat_ws('_', ws[i], ws[i+1], ws[i+2])))) AS s
   FROM w WHERE size(ws) >= 3),
-n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
--- posting-list pair generation: ONE shuffle on the shingle, then pairs
--- explode per bucket — replaces the two-sided shuffle self-join. The
--- bucket width is capped at the df cap, so per-task pair fan-out is
--- bounded by cap*(cap-1)/2 regardless of corpus boilerplate.
+-- df via a window over the shingle partition: ONE shuffle on s gives
+-- both the df filter and (reusing the same partitioning) the buckets
+shc AS (
+  SELECT * FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh) t
+  WHERE df <= {_NGRAM_DF_CAP}),
+n AS (SELECT doc_id, COUNT(*) AS ns FROM shc GROUP BY doc_id),
+-- posting-list pair generation: pairs explode per bucket; bucket width
+-- is bounded by the df cap, so per-task fan-out is <= cap*(cap-1)/2
 buckets AS (
   SELECT sort_array(collect_list(doc_id)) AS ids
-  FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND {_NGRAM_DF_CAP}),
-cand AS (
-  SELECT DISTINCT p.da AS da, p.db AS db
+  FROM shc GROUP BY s HAVING count(*) > 1),
+pairs AS (
+  SELECT p.da AS da, p.db AS db
   FROM buckets
   LATERAL VIEW explode(flatten(transform(ids, (a, i) ->
     transform(slice(ids, i + 2, size(ids) - i - 1),
               b -> struct(a AS da, b AS db))))) t AS p),
--- exact verification over the FULL shingle sets of candidates only
-inter AS (
-  SELECT c.da, c.db, COUNT(*) AS i
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.da
-  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
-  GROUP BY c.da, c.db)
+inter AS (SELECT da, db, COUNT(*) AS i FROM pairs GROUP BY da, db)
 SELECT da, db, CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jaccard
 FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
 WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
@@ -122,29 +121,23 @@ FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
 WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
 """
 
-# df-capped twin of _JACCARD_SPARK: candidates only from shingles with
-# df <= cap, then exact verification — the oracle replicates the cap so
-# Spark and DuckDB agree at ANY scale, not just when max(df) <= cap
+# df-capped twin of _JACCARD_SPARK: similarity over the df<=cap shingle
+# space — the oracle replicates the cap so Spark and DuckDB agree at ANY
+# scale, not just when max(df) <= cap
 _JACCARD_CAPPED_DUCK = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
   SELECT doc_id, unnest(list_distinct([ws[i] || '_' || ws[i+1] || '_' || ws[i+2]
          for i in range(1, len(ws)-1)])) AS s
   FROM w WHERE len(ws) >= 3),
-n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-dfs AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
-cand AS (
-  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-  FROM sh a
-  JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  JOIN dfs ON dfs.s = a.s
-  WHERE dfs.df <= {_NGRAM_DF_CAP}),
-inter AS (
-  SELECT c.da, c.db, COUNT(*) AS i
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.da
-  JOIN sh b ON b.doc_id = c.db AND b.s = a.s
-  GROUP BY c.da, c.db)
+shc AS (
+  SELECT * FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh) t
+  WHERE df <= {_NGRAM_DF_CAP}),
+n AS (SELECT doc_id, COUNT(*) AS ns FROM shc GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
 SELECT da, db, CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jaccard
 FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
 WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
@@ -153,16 +146,17 @@ WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
 
 @register("dedup_ngram_jaccard", sql=_JACCARD_CAPPED_DUCK, tags=("llm", "dedup", "fuzzy"))
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by 3-word-shingle Jaccard >= 0.8.
+    """Near-dup pairs by 3-word-shingle Jaccard >= 0.8 over the
+    df-filtered (df <= cap) shingle space.
 
-    Shingle explode -> df-capped posting-list buckets (groupBy shingle)
-    -> in-bucket candidate explosion -> exact-Jaccard verification of
-    candidates against full shingle sets. One shuffle on the shingle for
-    candidate generation; the verification join touches only candidate
-    docs. The df cap bounds per-bucket pair fan-out (the 100× skew
-    hazard); the oracle replicates the cap, and max(df) at the fixture
+    Shingle explode -> window df on the shingle partition (one shuffle
+    covers both the df filter and the posting-list buckets) -> in-bucket
+    pair explosion -> per-pair overlap count. The df cap bounds
+    per-bucket pair fan-out (the 100× boilerplate skew hazard) AND stops
+    boilerplate shingles from inflating similarity between unrelated
+    docs; the oracle replicates the cap, and max(df) at the fixture
     scales is far below it, so the result equals the exact join there
-    (asserted via dedup_jaccard_prefix sharing the uncapped oracle).
+    (dedup_jaccard_prefix carries the uncapped-exact oracle).
     """
     T(spark, sf_dir, "documents", parallel=True).createOrReplaceTempView("documents")
     return spark.sql(_JACCARD_SPARK)
@@ -616,7 +610,15 @@ def similarity_lsh_ann(spark, sf_dir):
     exactly). Deterministic ±1 hyperplanes over int64-quantized
     embeddings make every bucket id — and so the full result — exactly
     reproducible by the DuckDB oracle. Recall vs the brute-force twin
-    (similarity_threshold_pairs) is asserted in tests."""
+    (similarity_threshold_pairs) is asserted in tests.
+
+    Crossover note (measured at sf0.1): below ~10^4 vectors the
+    broadcast-nested-loop brute force is FASTER (no shuffle, fused
+    per-pair dot) — LSH's bucket join + distinct only pays off once n²
+    pair volume dwarfs the shuffle overhead and bucket granularity
+    (bits per table) is scaled with n. This entry pins the shape and
+    its cross-engine semantics; IVF (similarity_ivf_ann) is the
+    measured ANN scale path on this fixture."""
     emb = T(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id",
         V.quantize("embedding").alias("qv"),
@@ -637,10 +639,11 @@ def similarity_lsh_ann(spark, sf_dir):
             b = b + F.when(plane_dot(t, j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         return b
 
+    # candidate generation carries IDS ONLY — the 64-element quantized
+    # arrays would otherwise ride through the bucket join + distinct
+    # shuffle (the dominant cost); verification joins them back by id
     tables = emb.select(
         "vec_id",
-        "qv",
-        "n2",
         F.explode(
             F.array(
                 *[
@@ -649,20 +652,20 @@ def similarity_lsh_ann(spark, sf_dir):
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "qv", "n2", "tb.tbl", "tb.bkt")
-    a = tables.select(
-        F.col("vec_id").alias("va"), F.col("qv").alias("qa"),
-        F.col("n2").alias("na2"), "tbl", "bkt",
-    )
-    b = tables.select(
-        F.col("vec_id").alias("vb"), F.col("qv").alias("qb"),
-        F.col("n2").alias("nb2"), "tbl", "bkt",
-    )
+    ).select("vec_id", "tb.tbl", "tb.bkt")
+    a = tables.select(F.col("vec_id").alias("va"), "tbl", "bkt")
+    b = tables.select(F.col("vec_id").alias("vb"), "tbl", "bkt")
     cand = (
         a.join(b, ["tbl", "bkt"])
         .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", "qa", "qb", "na2", "nb2")
-        .dropDuplicates(["va", "vb"])
+        .select("va", "vb")
+        .distinct()
+    )
+    qa = emb.select(
+        F.col("vec_id").alias("va"), F.col("qv").alias("qa"), F.col("n2").alias("na2")
+    )
+    qb = emb.select(
+        F.col("vec_id").alias("vb"), F.col("qv").alias("qb"), F.col("n2").alias("nb2")
     )
     dot = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y),
@@ -670,7 +673,9 @@ def similarity_lsh_ann(spark, sf_dir):
         lambda acc, v: acc + v,
     )
     return (
-        cand.select(
+        cand.join(qa, "va")
+        .join(qb, "vb")
+        .select(
             "va",
             "vb",
             (
