@@ -74,35 +74,64 @@ def dedup_exact_keep_first(spark, sf_dir):
 # fixture scales max(df) << cap, so the result equals plain Jaccard.
 _NGRAM_DF_CAP = 64
 
-_JACCARD_SPARK = f"""
-WITH w AS (SELECT doc_id, split(text, ' ', -1) AS ws FROM documents),
-sh AS (
-  SELECT doc_id, explode(array_distinct(transform(sequence(0, size(ws)-3),
-         i -> concat_ws('_', ws[i], ws[i+1], ws[i+2])))) AS s
-  FROM w WHERE size(ws) >= 3),
--- df via a window over the shingle partition: ONE shuffle on s gives
--- both the df filter and (reusing the same partitioning) the buckets
-shc AS (
-  SELECT * FROM (
-    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh) t
-  WHERE df <= {_NGRAM_DF_CAP}),
-n AS (SELECT doc_id, COUNT(*) AS ns FROM shc GROUP BY doc_id),
--- posting-list pair generation: pairs explode per bucket; bucket width
--- is bounded by the df cap, so per-task fan-out is <= cap*(cap-1)/2
-buckets AS (
-  SELECT sort_array(collect_list(doc_id)) AS ids
-  FROM shc GROUP BY s HAVING count(*) > 1),
-pairs AS (
-  SELECT p.da AS da, p.db AS db
-  FROM buckets
-  LATERAL VIEW explode(flatten(transform(ids, (a, i) ->
-    transform(slice(ids, i + 2, size(ids) - i - 1),
-              b -> struct(a AS da, b AS db))))) t AS p),
-inter AS (SELECT da, db, COUNT(*) AS i FROM pairs GROUP BY da, db)
-SELECT da, db, CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jaccard
-FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
-WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
-"""
+def _jaccard_capped_spark(spark, sf_dir):
+    """Single-pass df-capped Jaccard join (DataFrame form — a WITH-CTE
+    SQL version gets its shingle CTE inlined 3× by Catalyst, re-scanning
+    and re-shingling the corpus for each consumer; here every stage is
+    computed once):
+
+    explode shingles → window df over s (shuffle 1: drop hot shingles)
+    → window ns over doc_id (shuffle 2: per-doc set size, carried WITH
+    the rows so no join-back later) → posting-list buckets per shingle
+    (shuffle 3) → bounded in-bucket pair explosion → per-pair overlap
+    count (shuffle 4) → Jaccard from the carried (na, nb).
+    """
+    ws = F.split("text", " ", -1)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(
+                "_", F.element_at(ws, i + 1), F.element_at(ws, i + 2), F.element_at(ws, i + 3)
+            ),
+        )
+    )
+    tok = (
+        T(spark, sf_dir, "documents", parallel=True)
+        .filter(F.size(ws) >= 3)
+        .select("doc_id", F.explode(shingles).alias("s"))
+    )
+    shc = tok.withColumn("df", F.count("*").over(W.partitionBy("s"))).filter(
+        F.col("df") <= _NGRAM_DF_CAP
+    )
+    shc = shc.withColumn("ns", F.count("*").over(W.partitionBy("doc_id")))
+    buckets = (
+        shc.groupBy("s")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "ns"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids") - i - 1),
+                        lambda b: F.struct(
+                            a["doc_id"].alias("da"),
+                            a["ns"].alias("na"),
+                            b["doc_id"].alias("db"),
+                            b["ns"].alias("nb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.da", "p.na", "p.db", "p.nb")
+    inter = pairs.groupBy("da", "db", "na", "nb").agg(F.count("*").alias("i"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return inter.select("da", "db", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.8
+    )
 
 # exact (uncapped) variant — the oracle for the provably-exact prefix
 # join, and the recall reference in tests
@@ -158,8 +187,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     scales is far below it, so the result equals the exact join there
     (dedup_jaccard_prefix carries the uncapped-exact oracle).
     """
-    T(spark, sf_dir, "documents", parallel=True).createOrReplaceTempView("documents")
-    return spark.sql(_JACCARD_SPARK)
+    return _jaccard_capped_spark(spark, sf_dir)
 
 
 def dedup_minhash_lsh(spark, sf_dir):

@@ -105,3 +105,38 @@ def test_q14_month_filter_pushed(spark, sf_small, cat):
         df, "lineitem", {"l_partkey", "l_extendedprice", "l_discount", "l_shipdate"}
     )
     assert_broadcast_not_shuffle_join(df)
+
+
+def test_salted_join_no_straggler_shape(spark, sf_small, cat):
+    """Salted join: lineitem scans only the join key + measure, and the
+    plan contains no cartesian product (the replicate side is a proper
+    explode, not a cross join)."""
+    df = cat["salted_join_lineitem"].fn(spark, sf_small)
+    assert_read_columns(df, "lineitem", {"l_orderkey", "l_extendedprice"})
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_ngram_jaccard_single_shingle_shuffle(spark, sf_small, cat):
+    """The df filter and the posting-list buckets must share ONE shuffle
+    on the shingle: window df + groupBy(s) reuse the same hash
+    partitioning, so the plan carries at most 4 exchanges total
+    (scan-repartition, shingle, per-doc ns, pair agg)."""
+    df = cat["dedup_ngram_jaccard"].fn(spark, sf_small)
+    assert_max_shuffles(df, 5)
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_lsh_ann_no_cartesian(spark, sf_small, cat):
+    """Sign-LSH: the candidate stage is an equi-join on (table, bucket),
+    never a cartesian product, and embeddings scans prune to id+vector."""
+    df = cat["similarity_lsh_ann"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert_read_columns(df, "embeddings", {"vec_id", "embedding"})
+
+
+def test_scd2_fold_broadcasts_batch(spark, sf_small, cat):
+    """SCD2: the change batch is dimension-sized; every join in the fold
+    must broadcast it rather than shuffle the dimension."""
+    df = cat["scd2_dimension_fold"].fn(spark, sf_small)
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
