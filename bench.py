@@ -46,7 +46,10 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk_cosine",
     "similarity_ivf_ann",
+    "similarity_pairs_gemm",
+    "embedding_centroids",
     "text_rolling_hash",
+    "text_token_histogram",
     "text_quality_score",
     "text_langid",
     "fuel_price_crossjoin",

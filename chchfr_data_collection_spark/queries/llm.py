@@ -916,6 +916,144 @@ def similarity_ivf_ann(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_centroids",
+    sql=f"""
+    SELECT label, i - 1 AS pos,
+           CAST(SUM({_Q.format(e='embedding[i]')}) AS DOUBLE)
+             / (COUNT(*) * 1000000.0) AS mean_val,
+           COUNT(*) AS n
+    FROM embeddings CROSS JOIN range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+    tags=("llm", "similarity", "agg"),
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column — the training step
+    behind IVF/k-means (similarity_ivf_ann uses fixed seed vectors as
+    centroids; production derives them with exactly this aggregation,
+    iterated).
+
+    Distributed shape: posexplode the quantized vector (64× row
+    inflation, map-side) then ONE shuffle on (label, dim) — elementwise
+    sums are int64-exact and order-independent, so the means are
+    bit-identical across engines and across any partitioning. At 100 TB
+    this is the canonical mean-vector job: no driver-side state, the
+    64-way inflation is traded against perfect partial aggregation."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    return (
+        emb.select("label", F.posexplode(V.quantize("embedding")).alias("pos", "q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("sq"), F.count("*").alias("n"))
+        .select(
+            "label",
+            "pos",
+            (F.col("sq").cast("double") / (F.col("n") * F.lit(V.QUANT))).alias(
+                "mean_val"
+            ),
+            "n",
+        )
+    )
+
+
+@register(
+    "similarity_pairs_gemm",
+    sql=f"""
+    WITH {_NORM2_DUCK},
+    dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {_DOT_QUANT} AS d
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.vec_id, b.vec_id)
+    SELECT va, vb,
+      CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+    FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+    WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) >= 0.45
+    """,
+    tags=("llm", "similarity", "join", "pandas-udf", "gemm"),
+)
+def similarity_pairs_gemm(spark, sf_dir, tile_rows: int = 100_000):
+    """Blocked-GEMM all-pairs similarity: the brute-force threshold join
+    recast as numpy int64 matrix multiplies inside mapInPandas.
+
+    Same semantics (and same oracle) as similarity_threshold_pairs, but
+    each Arrow batch of the left side computes a (batch × tile) dot
+    block in ONE int64 matmul instead of |batch|·|tile| per-pair array
+    folds — the measured fast path for dense verification stages.
+
+    Scale contract: the broadcast side is a TILE of at most `tile_rows`
+    vectors (bounded driver memory — one tile covers the fixture); at
+    100 TB the driver loops tiles and unions, or the tile comes from the
+    IVF/LSH candidate bucket instead of the full table, which is the
+    real production shape. Quantization uses round-half-away-from-zero
+    in both the kernel and the JVM/DuckDB paths, so every cosine is
+    bit-identical to the oracle's."""
+    import numpy as np
+    import pandas as pd
+
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select("vec_id", "embedding")
+
+    def _quant(m):
+        v = m.astype("float64") * 1_000_000.0
+        return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+
+    tile_pdf = emb.limit(tile_rows).toPandas()  # bounded tile, not the table
+    tq = _quant(np.vstack(tile_pdf["embedding"].to_numpy()))
+    tile_ids = tile_pdf["vec_id"].to_numpy()
+    tile_n2 = (tq * tq).sum(axis=1)
+    bc = spark.sparkContext.broadcast((tile_ids, tq, tile_n2))
+
+    def kernel(batches):
+        ids_b, qb, n2b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qa = _quant(np.vstack(pdf["embedding"].to_numpy()))
+            ids_a = pdf["vec_id"].to_numpy()
+            n2a = (qa * qa).sum(axis=1)
+            dots = qa @ qb.T  # int64-exact block GEMM
+            cos = dots.astype("float64") / (
+                np.sqrt(n2a.astype("float64"))[:, None]
+                * np.sqrt(n2b.astype("float64"))[None, :]
+            )
+            ai, bi = np.nonzero((cos >= 0.45) & (ids_a[:, None] < ids_b[None, :]))
+            yield pd.DataFrame(
+                {
+                    "va": ids_a[ai],
+                    "vb": ids_b[bi],
+                    "cos_sim": cos[ai, bi],
+                }
+            )
+
+    return emb.mapInPandas(kernel, schema="va bigint, vb bigint, cos_sim double")
+
+
+@register(
+    "text_token_histogram",
+    sql=f"""
+    SELECT CAST(FLOOR(len(regexp_extract_all(text, '{TX.TOKEN_RE}')) / 10) AS BIGINT)
+             * 10 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{TX.TOKEN_RE}'))) AS BIGINT)
+             AS total_tokens
+    FROM documents GROUP BY 1
+    """,
+    tags=("llm", "text", "histogram"),
+)
+def text_token_histogram(spark, sf_dir):
+    """Token-count histogram (10-token buckets) — the curation view a
+    training pipeline uses to set length cutoffs and size token budgets.
+    One regexp pass, one shuffle on the bucket."""
+    toks = TX.token_count("text")
+    return (
+        T(spark, sf_dir, "documents", parallel=True)
+        .select((F.floor(toks / 10) * 10).cast("bigint").alias("bucket_lo"), toks.alias("t"))
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_docs"), F.sum("t").cast("bigint").alias("total_tokens"))
+    )
+
+
 # --------------------------------------- prefix-filtered similarity join
 
 # AllPairs/PPJoin prefix filtering (Bayardo et al., WWW'07; Xiao et al.,

@@ -92,6 +92,16 @@ def test_lsh_ann_recall_vs_exact(spark, cat):
         assert len(lsh & exact) / len(exact) >= 0.80
 
 
+def test_gemm_equals_jvm_brute_force(spark, cat):
+    """The blocked-GEMM kernel must produce BIT-IDENTICAL pairs and
+    cosines to the JVM zip_with/aggregate brute force — same quantized
+    integer arithmetic, different execution engine."""
+    sf = "/root/testdata/sf0.01"
+    jvm = {(r.va, r.vb): r.cos_sim for r in cat["similarity_threshold_pairs"].fn(spark, sf).collect()}
+    gemm = {(r.va, r.vb): r.cos_sim for r in cat["similarity_pairs_gemm"].fn(spark, sf).collect()}
+    assert gemm == jvm  # exact float equality, not approx
+
+
 def test_connected_components_vs_union_find(spark, cat):
     """Label propagation must produce exactly the union-find components
     of the near-dup pair graph (component = min doc_id)."""
