@@ -41,6 +41,15 @@ def register(name: str, sql: str | None, tags: tuple = ()):  # decorator
 
 def catalog() -> dict[str, QueryDef]:
     # import side-effect populates the registry
-    from . import advanced, domain, events_q, extras, llm, ops, relational  # noqa: F401
+    from . import (  # noqa: F401
+        advanced,
+        curation,
+        domain,
+        events_q,
+        extras,
+        llm,
+        ops,
+        relational,
+    )
 
     return dict(_REGISTRY)

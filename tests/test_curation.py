@@ -1,0 +1,109 @@
+"""Curation operators: plan shape (scale) + semantic invariants.
+
+The curation pass is the one pipeline that MUST hold at 100 TB — a
+stratified sample that shuffles, or a decontamination scan that
+shuffles the training corpus, is unusable. Pin those properties here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chchfr_data_collection_spark.plans.audit import (
+    assert_max_shuffles,
+    assert_read_columns,
+    count_nodes,
+)
+from chchfr_data_collection_spark.queries import catalog
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catalog()
+
+
+def test_sample_stratified_is_map_only(spark, sf_small, cat):
+    """Hash sampling is a pure filter: zero shuffles, scan prunes to the
+    two output columns. At 100 TB this is the difference between a
+    single pass and a sort."""
+    df = cat["sample_stratified"].fn(spark, sf_small)
+    assert_max_shuffles(df, 0)
+    assert_read_columns(df, "documents", {"doc_id", "lang"})
+
+
+def test_sample_stratified_rates(spark, sf_small, cat):
+    """Per-stratum keep rate lands near the configured percentage and is
+    exactly reproducible run-to-run (hash, not RNG)."""
+    d = spark.read.parquet(f"{sf_small}/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = cat["sample_stratified"].fn(spark, sf_small)
+    kept1 = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept2 = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert kept1 == kept2  # deterministic
+    for lang, n in totals.items():
+        if n < 20:
+            continue
+        frac = kept1.get(lang, 0) / n
+        assert 0.0 <= frac <= 1.0
+        # loose band: md5 mod-100 on a small stratum has binomial noise
+        assert abs(frac - {"en": 0.6, "fr": 0.4, "de": 0.4, "es": 0.4, "zh": 0.2}.get(lang, 0.3)) < 0.25
+
+
+def test_shard_packing_budget_invariant(spark, sf_small, cat):
+    """Every shard except a stratum's last starts below the 20k budget:
+    shard_id equals floor(cumulative-tokens-before / budget), so within
+    (lang, shard) the tokens-before of the first doc is < budget."""
+    out = cat["shard_packing"].fn(spark, sf_small).collect()
+    assert out
+    by_stratum: dict = {}
+    for r in out:
+        by_stratum.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_stratum.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["shard_id"] == cum // 20000, (lang, r["doc_id"])
+            cum += r["n_tokens"]
+
+
+def test_shard_packing_one_shuffle(spark, sf_small, cat):
+    df = cat["shard_packing"].fn(spark, sf_small)
+    # one exchange for the per-lang window (+ the scan repartition)
+    assert_max_shuffles(df, 2)
+    assert_read_columns(df, "documents", {"doc_id", "lang", "text"})
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_small, cat):
+    """The eval/benchmark side is tiny by construction — it must arrive
+    at the join as a broadcast, so the training corpus is never
+    shuffled on the shingle."""
+    df = cat["decontaminate_overlap"].fn(spark, sf_small)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_decontaminate_self_overlap_detected(spark, sf_small, cat):
+    """A doc duplicated across the eval/train boundary must collide.
+    Build the check from the fixture itself: any (train, eval) pair
+    sharing >= 1 8-gram appears with a positive count."""
+    out = cat["decontaminate_overlap"].fn(spark, sf_small)
+    rows = out.collect()
+    for r in rows:
+        assert r["n_shared_8grams"] >= 1
+        assert r["eval_doc_id"] < 50 <= r["train_doc_id"]
+
+
+def test_curation_pipeline_composes(spark, sf_small, cat):
+    """End-to-end pass: output is a subset of documents, quality is in a
+    sane band, exact dups collapse (distinct texts only), and the plan
+    stays cartesian-free with the drop list broadcast."""
+    df = cat["curation_pipeline"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
+    rows = df.collect()
+    assert rows
+    assert all(r["quality"] > 0.5 for r in rows)
+    # exact-dup collapse: kept doc_ids are unique
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
