@@ -50,6 +50,7 @@ def catalog() -> dict[str, QueryDef]:
         llm,
         ops,
         relational,
+        tpch_rest,
     )
 
     return dict(_REGISTRY)
