@@ -32,6 +32,8 @@ HEADLINE = [
     "q10_returned_items",
     "q9_profit_by_nation_year",
     "q18_large_orders",
+    "q7_volume_shipping",
+    "q21_waiting_suppliers",
     "join_left_outer_counts",
     "agg_rollup_status_priority",
     "window_topk_per_group",
@@ -52,6 +54,8 @@ HEADLINE = [
     "text_token_histogram",
     "text_quality_score",
     "text_langid",
+    "sample_stratified",
+    "curation_pipeline",
     "fuel_price_crossjoin",
     "stations_ingest_antijoin",
     "salted_join_lineitem",

@@ -140,6 +140,126 @@ def decontaminate_overlap(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition_filter",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+      SELECT doc_id, unnest([ws[i] || '_' || ws[i+1] for i in range(1, len(ws))]) AS s
+      FROM w WHERE len(ws) >= 2),
+    c AS (SELECT doc_id, s, COUNT(*) AS n FROM bg GROUP BY doc_id, s),
+    per_doc AS (
+      SELECT doc_id, MAX(n) AS top_n, SUM(n) AS total, COUNT(*) AS n_distinct
+      FROM c GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(top_n AS DOUBLE) / total AS top_bigram_frac,
+           1.0 - CAST(n_distinct AS DOUBLE) / total AS dup_bigram_frac,
+           (CAST(top_n AS DOUBLE) / total <= 0.18
+            AND 1.0 - CAST(n_distinct AS DOUBLE) / total <= 0.5) AS keep
+    FROM per_doc
+    """,
+    tags=("llm", "curation", "quality", "repetition"),
+)
+def text_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition filters: fraction of the document covered
+    by its single most frequent bigram, and the duplicate-bigram
+    fraction (1 - distinct/total). Boilerplate and degenerate repeated
+    text blow past these long before any Jaccard pass sees them, so this
+    runs FIRST in a curation cascade — it's one explode + two partial
+    aggregations (both map-side combinable on doc_id), no joins, no
+    candidate pairs. Ratios are int/int doubles — bit-identical across
+    engines."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    ws = TX.words("text")
+    idx = F.sequence(F.lit(0), F.size(ws) - 2)
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            "_", F.element_at(ws, (i + 1).cast("int")), F.element_at(ws, (i + 2).cast("int"))
+        ),
+    )
+    c = (
+        d.filter(F.size(ws) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("s"))
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("n"))
+    )
+    per_doc = c.groupBy("doc_id").agg(
+        F.max("n").alias("top_n"),
+        F.sum("n").alias("total"),
+        F.count("*").alias("n_distinct"),
+    )
+    top_frac = F.col("top_n").cast("double") / F.col("total")
+    dup_frac = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("total")
+    return per_doc.select(
+        "doc_id",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac <= 0.18) & (dup_frac <= 0.5)).alias("keep"),
+    )
+
+
+@register(
+    "train_split_assign",
+    sql=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 100 AS hmod,
+             substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 16) AS shuffle_key
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang, shuffle_key,
+             CASE WHEN hmod < 96 THEN 'train'
+                  WHEN hmod < 98 THEN 'val' ELSE 'test' END AS split
+      FROM h)
+    SELECT doc_id, lang, split, shuffle_key,
+           ROW_NUMBER() OVER (PARTITION BY split ORDER BY shuffle_key, doc_id)
+             AS position
+    FROM s
+    """,
+    tags=("llm", "curation", "split", "shuffle"),
+)
+def train_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment plus a reproducible
+    global training order: split by a salted content-independent hash
+    (96/2/2), position by rank of a second, independent hash. Every
+    retry, engine, and rerun produces the identical split and order —
+    the auditability property RNG shuffles lose. One shuffle (the
+    per-split rank window); the hash itself is map-only. The two hashes
+    use distinct salts so split membership and training order are
+    statistically independent."""
+    d = T(spark, sf_dir, "documents")
+    hmod = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    shuffle_key = F.substring(
+        F.md5(F.concat(F.lit("order:"), F.col("doc_id").cast("string")).cast("binary")), 1, 16
+    )
+    split = (
+        F.when(hmod < 96, "train").when(hmod < 98, "val").otherwise("test")
+    )
+    w = W.partitionBy("split").orderBy("shuffle_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            split.alias("split"),
+            shuffle_key.alias("shuffle_key"),
+        )
+        .withColumn("position", F.row_number().over(w))
+    )
+
+
 def _curation_duck() -> str:
     from .llm import _JACCARD_CAPPED_DUCK
 

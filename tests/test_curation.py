@@ -95,6 +95,45 @@ def test_decontaminate_self_overlap_detected(spark, sf_small, cat):
         assert r["eval_doc_id"] < 50 <= r["train_doc_id"]
 
 
+def test_repetition_filter_no_joins(spark, sf_small, cat):
+    """The repetition pass is explode + two aggregations — it must never
+    introduce a join (the whole point is running it before any pairwise
+    stage)."""
+    df = cat["text_repetition_filter"].fn(spark, sf_small)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert count_nodes(df, node) == 0
+    assert_max_shuffles(df, 3)
+
+
+def test_repetition_filter_flags_degenerate_text(spark, sf_small, cat):
+    """The keep flag is exactly the conjunction of the two thresholds
+    for every fixture document."""
+    rows = {r["doc_id"]: r for r in cat["text_repetition_filter"].fn(spark, sf_small).collect()}
+    assert rows
+    for r in rows.values():
+        if r["keep"]:
+            assert r["top_bigram_frac"] <= 0.18 and r["dup_bigram_frac"] <= 0.5
+        else:
+            assert r["top_bigram_frac"] > 0.18 or r["dup_bigram_frac"] > 0.5
+
+
+def test_train_split_positions_contiguous(spark, sf_small, cat):
+    """Positions are a dense 1..n ranking within each split, the split
+    fractions land near 96/2/2, and the assignment is identical across
+    two runs (hash, not RNG)."""
+    out1 = cat["train_split_assign"].fn(spark, sf_small).collect()
+    out2 = cat["train_split_assign"].fn(spark, sf_small).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_split: dict = {}
+    for r in out1:
+        by_split.setdefault(r["split"], []).append(r["position"])
+    assert set(by_split) == {"train", "val", "test"}
+    for split, pos in by_split.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), split
+    n = len(out1)
+    assert len(by_split["train"]) / n > 0.85
+
+
 def test_curation_pipeline_composes(spark, sf_small, cat):
     """End-to-end pass: output is a subset of documents, quality is in a
     sane band, exact dups collapse (distinct texts only), and the plan
