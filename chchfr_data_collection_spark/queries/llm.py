@@ -1103,7 +1103,15 @@ WHERE CAST(i AS DOUBLE) / (na.ns + nb.ns - i) >= 0.8
 def dedup_jaccard_prefix(spark, sf_dir):
     """Exact 0.8-Jaccard near-dup join with AllPairs prefix filtering —
     the scale path for EXACT fuzzy dedup (vs. dedup_minhash_lsh's
-    approximate one). Oracle: identical to dedup_ngram_jaccard."""
+    approximate one). Oracle: identical to dedup_ngram_jaccard.
+
+    Perf note (measured at sf0.1, interleaved best-of-3): the CTE form —
+    despite Catalyst inlining the shingle CTE 5× — beats both a
+    persisted-token-view variant and a window-df DataFrame rewrite. The
+    re-shingles are cheap codegen'd map work over a columnar scan;
+    caching trades them for cache-materialization + columnar-to-row
+    reads, and the window variant trades aggregated-partial shuffles for
+    full-row sorts. Kept the measured winner."""
     T(spark, sf_dir, "documents", parallel=True).createOrReplaceTempView("documents")
     return spark.sql(_JACCARD_PREFIX_SPARK)
 
@@ -1249,6 +1257,14 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
     boilerplate, caught by the exact-hash pass). The permutations are
     engine-portable (md5-derived shingle ints + (a·x+b) mod 2^61-1), so
     the DuckDB oracle reproduces candidates AND verification bit-exactly.
+
+    The exploded shingle set is shuffled ONCE: the same groupBy(doc_id)
+    that computes the k codegen'd min() aggregates also reassembles the
+    per-doc shingle array (collect_list over rows already in flight), so
+    candidate verification joins that single aggregated relation and
+    counts `array_intersect` — the r1 shape re-exploded and re-shuffled
+    the shingles twice more for verification; this plan reuses the one
+    exchange for signatures, verification-left, and verification-right.
     """
     k = n_bands * band_rows
     ws = F.split("text", " ", -1)
@@ -1268,15 +1284,24 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
     tokx = tok.withColumn(
         "x", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast("bigint")
     )
-    # k minhashes as plain codegen'd min() aggregates — no explode blow-up
+    # one shuffle: k minhashes as plain codegen'd min() aggregates PLUS the
+    # reassembled shingle array for verification, in the same aggregate
     x = F.col("x")
     sigs = tokx.groupBy("doc_id").agg(
         F.count("*").alias("nw"),
+        F.collect_list("w").alias("shs"),
         *[
             F.min((F.lit(_MH_A[i]) * x + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(f"h{i}")
             for i in range(k)
         ],
     )
+    # materialize signatures once: the relation feeds banding AND both
+    # verification sides, and per-branch column pruning makes the three
+    # subtrees non-identical (no ReusedExchange) — without this the
+    # shingle explode+shuffle runs 3×. Real MinHash pipelines persist or
+    # checkpoint the signature table for exactly this reason; MEMORY_AND_DISK
+    # spills instead of recomputing when signatures outgrow executor memory.
+    sigs = sigs.persist()
     band_cols = [
         F.struct(
             F.lit(j).alias("band"),
@@ -1309,17 +1334,34 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
         .select("p.da", "p.db")
         .distinct()
     )
-    # verify candidates with their exact word-set Jaccard
-    inter = (
-        cand.join(tok.select(F.col("doc_id").alias("da"), "w"), "da")
-        .join(tok.select(F.col("doc_id").alias("db"), "w"), ["db", "w"])
-        .groupBy("da", "db")
-        .agg(F.count("*").alias("i"))
-    )
-    n = sigs.select("doc_id", "nw")
+    # verify candidates against one shingle-array row per doc: exact
+    # intersection via array_intersect (arrays are distinct by construction);
+    # the sigs exchange is reused for both sides of the pair join
+    # NOTE: no broadcast hint on cand — the candidate count scales with
+    # corpus size (the bucket cap bounds per-bucket pairs, not the total),
+    # so forcing a broadcast is an OOM at 100 TB; AQE promotes it to a
+    # broadcast join at runtime when the measured size allows.
+    arrs = sigs.select("doc_id", "shs", "nw")
     return (
-        inter.join(n.select(F.col("doc_id").alias("da"), F.col("nw").alias("na")), "da")
-        .join(n.select(F.col("doc_id").alias("db"), F.col("nw").alias("nb")), "db")
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("da"), F.col("shs").alias("sa"), F.col("nw").alias("na")
+            ),
+            "da",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("db"), F.col("shs").alias("sb"), F.col("nw").alias("nb")
+            ),
+            "db",
+        )
+        .select(
+            "da",
+            "db",
+            F.size(F.array_intersect("sa", "sb")).alias("i"),
+            "na",
+            "nb",
+        )
         .select(
             "da",
             "db",
