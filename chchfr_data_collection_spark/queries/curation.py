@@ -141,6 +141,30 @@ def decontaminate_overlap(spark, sf_dir):
 
 
 @register(
+    "streaming_doc_dedup_replay",
+    sql="SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    tags=("streaming", "llm", "curation", "dedup"),
+)
+def streaming_doc_dedup_replay(spark, sf_dir):
+    """Streaming exact-dedup ingest of the document feed through a REAL
+    Structured Streaming replay (Trigger.AvailableNow): content-hash
+    dedup state across micro-batches. The surviving HASH SET is
+    deterministic (exactly one row per distinct text) and is what the
+    oracle checks; which physical row survives depends on arrival order
+    (first-seen-wins by design), so non-key columns stay internal —
+    same checkability contract as streaming_dedup_replay."""
+    import uuid
+
+    from ..streaming.documents import dedup_by_content, read_documents_stream
+    from ..streaming.events import run_available_now
+
+    stream = dedup_by_content(read_documents_stream(spark, sf_dir))
+    name = "docdedup_" + uuid.uuid4().hex[:8]
+    out = run_available_now(stream.select("content_hash"), name, mode="append")
+    return out.select("content_hash")
+
+
+@register(
     "text_repetition_filter",
     sql="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

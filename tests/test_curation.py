@@ -134,6 +134,56 @@ def test_train_split_positions_contiguous(spark, sf_small, cat):
     assert len(by_split["train"]) / n > 0.85
 
 
+def test_streaming_doc_dedup_state_spans_batches(spark, sf_small, tmp_path):
+    """Content-hash dedup state must survive ACROSS micro-batches: feed
+    the same corpus as two files processed one per trigger — every doc in
+    batch 2 is a duplicate of batch 1, so the output must equal one row
+    per distinct text, not two."""
+    import shutil
+    import uuid
+
+    from chchfr_data_collection_spark.streaming.documents import (
+        dedup_by_content,
+    )
+    from chchfr_data_collection_spark.streaming.documents import (
+        DOCUMENTS_SCHEMA,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    shutil.copy(f"{sf_small}/documents.parquet", land / "b1.parquet")
+    shutil.copy(f"{sf_small}/documents.parquet", land / "b2.parquet")
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land))
+    )
+    name = "docdedup_t_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup_by_content(stream)
+        .select("content_hash")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2  # really ran as >1 micro-batch
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    import pyspark.sql.functions as SF
+
+    expected = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select(SF.md5(SF.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert len(got) == expected
+    assert len({r["content_hash"] for r in got}) == len(got)
+
+
 def test_curation_pipeline_composes(spark, sf_small, cat):
     """End-to-end pass: output is a subset of documents, quality is in a
     sane band, exact dups collapse (distinct texts only), and the plan
