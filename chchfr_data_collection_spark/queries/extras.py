@@ -504,3 +504,78 @@ def agg_approx_quantiles(spark, sf_dir):
             "n",
         )
     )
+
+
+@register(
+    "events_rollup_incremental",
+    sql="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("agg", "events", "rollup", "incremental"),
+)
+def events_rollup_incremental(spark, sf_dir):
+    """Incremental rollup maintenance (continuous-aggregate refresh):
+    history is aggregated into mergeable partials ONCE, then each new
+    day's partials merge in WITHOUT re-scanning history. Here the fixture
+    is split at 2024-01-25: base partials (before) + increment partials
+    (after) -> merge_rollup. The oracle is the full recompute over all
+    events — passing proves the partial-merge algebra (SUM of counts and
+    decimal sums, MIN/MAX of extrema) is lossless, the property that lets
+    a 100 TB rollup refresh scan one day instead of three years.
+    AVG is deliberately NOT stored (not mergeable) — derive it from
+    (total, n) at read time."""
+    from ..operators.rollup import merge_rollup, rollup_partials
+
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    base = rollup_partials(ev.filter(F.col("ts") < cutoff), day, "event_type")
+    incr = rollup_partials(ev.filter(F.col("ts") >= cutoff), day, "event_type")
+    merged = merge_rollup(base, incr)
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        "vmin",
+        "vmax",
+    )
+
+
+@register(
+    "schema_evolution_union",
+    sql="""
+    SELECT s_suppkey AS location_id, s_name AS location_name,
+           NULL AS postal_code
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT s_suppkey AS location_id, s_name AS location_name,
+           CAST(s_suppkey * 37 AS VARCHAR) AS postal_code
+    FROM supplier WHERE s_suppkey % 2 = 1
+    """,
+    tags=("sources", "schema-evolution", "setop"),
+)
+def schema_evolution_union(spark, sf_dir):
+    """Schema evolution across landed batches: an early batch lacks a
+    column a later batch added (the reference's dialects drifted exactly
+    like this — Places payloads carry fields BP's don't,
+    dag_collection_data_from_z.py:71-82). `unionByName(allowMissing
+    Columns=True)` aligns by NAME and nulls the gaps — positional UNION
+    would silently misalign columns; rejecting the batch would lose
+    data. Both failure modes are real 100 TB incidents; this is the
+    idiomatic-Spark third option, and it is map-only (no shuffle)."""
+    supp = T(spark, sf_dir, "supplier")
+    batch_v1 = supp.filter(F.col("s_suppkey") % 2 == 0).select(
+        F.col("s_suppkey").alias("location_id"),
+        F.col("s_name").alias("location_name"),
+    )
+    batch_v2 = supp.filter(F.col("s_suppkey") % 2 == 1).select(
+        F.col("s_suppkey").alias("location_id"),
+        F.col("s_name").alias("location_name"),
+        (F.col("s_suppkey") * 37).cast("string").alias("postal_code"),
+    )
+    return batch_v1.unionByName(batch_v2, allowMissingColumns=True)
