@@ -274,3 +274,54 @@ def ddl_bootstrap_partition_overwrite(spark, sf_dir):
         """
     )
     return spark.table("chchfr.fuel_price")
+
+
+@register(
+    "bucketed_join_colocated",
+    sql="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("operator", "bucketing", "join", "write-policy"),
+)
+def bucketed_join_colocated(spark, sf_dir):
+    """Co-located fact⋈fact join via bucketed tables (SURVEY §4.3): both
+    sides written `bucketBy(8, orderkey) sortBy(orderkey)`, so the join
+    consumes pre-shuffled, pre-sorted buckets — the SortMergeJoin runs
+    with ZERO exchanges on either side (pinned in tests/test_rollup.py).
+    At 100 TB this moves the orders⋈lineitem shuffle from every query to
+    the write path ONCE; every subsequent orderkey join (Q18/Q7/Q12/Q21
+    shapes) is shuffle-free. The oracle reads the unbucketed source —
+    bucketing must be invisible to results."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    li_t, o_t = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(li_t)
+    )
+    (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(o_t)
+    )
+    li, orders = spark.table(li_t), spark.table(o_t)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+    )

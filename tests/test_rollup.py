@@ -67,6 +67,33 @@ def test_merge_shuffles_rollup_not_fact(spark, sf_small, cat):
         assert count_nodes(df, node) == 0
 
 
+def test_bucketed_join_has_zero_join_shuffles(spark, sf_small, cat):
+    """THE bucketing claim: both sides pre-bucketed on the join key →
+    the SortMergeJoin consumes buckets directly; the only exchange in
+    the whole plan is the final tiny aggregation."""
+    from chchfr_data_collection_spark.plans.audit import (
+        assert_max_shuffles,
+        count_nodes,
+    )
+
+    # disable broadcast so the tiny fixture exercises the big-big path
+    # the bucketing exists for (at real scale neither side broadcasts)
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "-1")
+        df = cat["bucketed_join_colocated"].fn(spark, sf_small)
+        assert count_nodes(df, "SortMergeJoin") == 1
+        assert_max_shuffles(df, 1)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
 def test_schema_evolution_nulls_missing_columns(spark, sf_small, cat):
     """v1 rows surface with NULL in the column only v2 carries; no row
     is dropped and no column is misaligned."""
