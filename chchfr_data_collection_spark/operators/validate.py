@@ -56,3 +56,30 @@ def range_violations(
     if hi is not None:
         cond = cond | (F.col(column) > hi)
     return df.filter(cond)
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    expectations: dict[str, "F.Column"],
+    fmt: str = "parquet",
+) -> dict:
+    """Write with FREE in-flight quality metrics via `df.observe()`:
+    the named aggregates are computed by the same tasks that write the
+    rows — zero extra scan, zero extra shuffle. Contrast with the
+    check-as-query operators above, which each cost a pass; at 100 TB
+    row/null/range counters belong on the write itself, and a violated
+    expectation should fail the job BEFORE downstream reads the output.
+
+    `expectations` maps metric name -> aggregate Column (e.g.
+    ``{"n": F.count(F.lit(1)), "null_keys": F.sum(F.isnull("k").cast("int"))}``).
+    Returns the observed metrics dict after the write action completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    named = [c.alias(n) for n, c in expectations.items()]
+    df.observe(obs, named[0], *named[1:]).write.mode("overwrite").format(fmt).save(
+        path
+    )
+    return obs.get

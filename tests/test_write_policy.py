@@ -55,3 +55,27 @@ def test_write_fact_clustering_sorts_within_files(spark, tmp_path):
     f = glob.glob(f"{path}/date=*/*.parquet")[0]
     ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
     assert ks == sorted(ks)  # row-group stats can prune on k
+
+
+def test_observed_write_metrics_free_of_extra_pass(spark, tmp_path):
+    """observe() metrics arrive from the write job itself; expectations
+    over nulls/ranges/rowcount match a direct computation."""
+    from pyspark.sql import functions as F
+
+    from chchfr_data_collection_spark.operators.validate import observed_write
+    from chchfr_data_collection_spark.session import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    m = observed_write(
+        li,
+        str(tmp_path / "obs"),
+        {
+            "n": F.count(F.lit(1)),
+            "null_keys": F.sum(F.isnull("l_orderkey").cast("int")),
+            "neg_qty": F.sum((F.col("l_quantity") < 0).cast("int")),
+        },
+    )
+    assert m["n"] == li.count()
+    assert m["null_keys"] == 0 and m["neg_qty"] == 0
+    # the written output is complete (observation didn't perturb the write)
+    assert spark.read.parquet(str(tmp_path / "obs")).count() == m["n"]
