@@ -63,23 +63,41 @@ def observed_write(
     path: str,
     expectations: dict[str, "F.Column"],
     fmt: str = "parquet",
+    require: dict | None = None,
 ) -> dict:
     """Write with FREE in-flight quality metrics via `df.observe()`:
     the named aggregates are computed by the same tasks that write the
     rows — zero extra scan, zero extra shuffle. Contrast with the
     check-as-query operators above, which each cost a pass; at 100 TB
-    row/null/range counters belong on the write itself, and a violated
-    expectation should fail the job BEFORE downstream reads the output.
+    row/null/range counters belong on the write itself.
 
     `expectations` maps metric name -> aggregate Column (e.g.
     ``{"n": F.count(F.lit(1)), "null_keys": F.sum(F.isnull("k").cast("int"))}``).
-    Returns the observed metrics dict after the write action completes.
+    `require` optionally maps metric name -> predicate over the observed
+    value; any failed predicate raises ValueError AFTER the write but
+    BEFORE returning, so a pipeline gates downstream consumption on it
+    (the parquet files exist — a caller that needs all-or-nothing wraps
+    the target in a staging dir, see streaming.events.foreach_batch_upsert).
+    Returns the observed metrics dict.
     """
     from pyspark.sql import Observation
 
+    if not expectations:
+        raise ValueError("observed_write needs at least one expectation column")
+    unknown = set(require or ()) - set(expectations)
+    if unknown:
+        raise ValueError(f"require refers to unobserved metrics: {sorted(unknown)}")
     obs = Observation()
     named = [c.alias(n) for n, c in expectations.items()]
     df.observe(obs, named[0], *named[1:]).write.mode("overwrite").format(fmt).save(
         path
     )
-    return obs.get
+    metrics = obs.get
+    failed = {
+        name: metrics[name]
+        for name, pred in (require or {}).items()
+        if not pred(metrics[name])
+    }
+    if failed:
+        raise ValueError(f"observed_write expectations violated: {failed}")
+    return metrics

@@ -314,7 +314,7 @@ def curation_pipeline(spark, sf_dir):
 
     One declarative plan: Catalyst sees all four stages at once, so the
     quality filter prunes rows BEFORE the dedup shuffles, and the
-    near-dup drop list (tiny) broadcasts into an anti-join. This is the
+    near-dup drop list anti-joins (AQE broadcasts it when small). This is the
     operator the single-purpose entries exist to compose."""
     from .llm import dedup_ngram_jaccard
 
@@ -346,6 +346,9 @@ def curation_pipeline(spark, sf_dir):
         .filter((F.col("rn") == 1) & (F.col("quality") > 0.5))
     )
     drops = dedup_ngram_jaccard(spark, sf_dir).select(F.col("db").alias("doc_id"))
-    return scored.join(F.broadcast(drops), "doc_id", "left_anti").select(
+    # no broadcast hint: the drop list scales with the corpus's near-dup
+    # count (same policy as the minhash candidate join) — AQE promotes it
+    # to a broadcast at runtime when the measured size allows
+    return scored.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "quality"
     )

@@ -118,7 +118,7 @@ def streaming_tumbling_replay(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, ts, event_id,
         CASE WHEN LAG(ts) OVER w IS NULL
-                  OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  OR date_diff('second', LAG(ts) OVER w, ts) >= 1800
              THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -139,8 +139,10 @@ def streaming_session_replay(spark, sf_dir):
     """Gap-based session windows per user through a real Structured
     Streaming replay. Oracle: gap-break sessionization in plain SQL —
     session_window's [first_ts, last_ts + gap) interval per session.
-    (No exactly-1800s gaps exist in the fixture, so the >=/> boundary
-    convention cannot diverge.)"""
+    (Boundary convention: session_window's [start, last+gap) interval is
+    END-EXCLUSIVE, so an event exactly `gap` after the previous one opens
+    a NEW session — the oracle's break condition is therefore >=, and the
+    batch twin uses the same convention.)"""
     import uuid
 
     from ..streaming.events import read_events_stream, run_available_now, session_counts

@@ -973,60 +973,74 @@ def embedding_centroids(spark, sf_dir):
     """,
     tags=("llm", "similarity", "join", "pandas-udf", "gemm"),
 )
-def similarity_pairs_gemm(spark, sf_dir, tile_rows: int = 100_000):
+def similarity_pairs_gemm(spark, sf_dir, block_rows: int = 2048):
     """Blocked-GEMM all-pairs similarity: the brute-force threshold join
-    recast as numpy int64 matrix multiplies inside mapInPandas.
+    recast as numpy int64 matrix multiplies over a DISTRIBUTED block
+    grid — no driver-side collection, no silent truncation.
 
-    Same semantics (and same oracle) as similarity_threshold_pairs, but
-    each Arrow batch of the left side computes a (batch × tile) dot
-    block in ONE int64 matmul instead of |batch|·|tile| per-pair array
-    folds — the measured fast path for dense verification stages.
-
-    Scale contract: the broadcast side is a TILE of at most `tile_rows`
-    vectors (bounded driver memory — one tile covers the fixture); at
-    100 TB the driver loops tiles and unions, or the tile comes from the
-    IVF/LSH candidate bucket instead of the full table, which is the
-    real production shape. Quantization uses round-half-away-from-zero
-    in both the kernel and the JVM/DuckDB paths, so every cosine is
+    Vectors are assigned to id-blocks of `block_rows`; the block-pair
+    grid (ba <= bb) is a tiny self-join of the distinct block ids; each
+    grid cell receives its two blocks' rows (side-tagged union) and an
+    `applyInPandas` kernel computes the (block × block) dot matrix in
+    ONE int64 matmul, emitting pairs with va < vb. All-pairs cosine is
+    inherently quadratic — the grid makes the quadratic DISTRIBUTED
+    (row replication = n_blocks per row) with per-task memory bounded by
+    2·block_rows vectors (~2 MB at 64 dims), instead of concentrating it
+    on a driver-collected tile. Same semantics and oracle as
+    similarity_threshold_pairs; quantization is round-half-away-from-
+    zero in kernel, JVM, and DuckDB paths, so every cosine is
     bit-identical to the oracle's."""
     import numpy as np
     import pandas as pd
 
-    emb = T(spark, sf_dir, "embeddings", parallel=True).select("vec_id", "embedding")
+    emb = (
+        T(spark, sf_dir, "embeddings", parallel=True)
+        .select("vec_id", "embedding")
+        .withColumn("blk", F.floor(F.col("vec_id") / block_rows).cast("bigint"))
+    )
+    blks = emb.select("blk").distinct()
+    grid = (
+        blks.select(F.col("blk").alias("ba"))
+        .join(blks.select(F.col("blk").alias("bb")), F.col("ba") <= F.col("bb"))
+    )
+    left = emb.join(F.broadcast(grid), emb.blk == F.col("ba")).select(
+        "ba", "bb", F.lit("a").alias("side"), "vec_id", "embedding"
+    )
+    right = emb.join(F.broadcast(grid), emb.blk == F.col("bb")).select(
+        "ba", "bb", F.lit("b").alias("side"), "vec_id", "embedding"
+    )
+    both = left.unionByName(right)
 
     def _quant(m):
         v = m.astype("float64") * 1_000_000.0
         return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
 
-    tile_pdf = emb.limit(tile_rows).toPandas()  # bounded tile, not the table
-    tq = _quant(np.vstack(tile_pdf["embedding"].to_numpy()))
-    tile_ids = tile_pdf["vec_id"].to_numpy()
-    tile_n2 = (tq * tq).sum(axis=1)
-    bc = spark.sparkContext.broadcast((tile_ids, tq, tile_n2))
-
-    def kernel(batches):
-        ids_b, qb, n2b = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qa = _quant(np.vstack(pdf["embedding"].to_numpy()))
-            ids_a = pdf["vec_id"].to_numpy()
-            n2a = (qa * qa).sum(axis=1)
-            dots = qa @ qb.T  # int64-exact block GEMM
-            cos = dots.astype("float64") / (
-                np.sqrt(n2a.astype("float64"))[:, None]
-                * np.sqrt(n2b.astype("float64"))[None, :]
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"va": [], "vb": [], "cos_sim": []}).astype(
+                {"va": "int64", "vb": "int64", "cos_sim": "float64"}
             )
-            ai, bi = np.nonzero((cos >= 0.45) & (ids_a[:, None] < ids_b[None, :]))
-            yield pd.DataFrame(
-                {
-                    "va": ids_a[ai],
-                    "vb": ids_b[bi],
-                    "cos_sim": cos[ai, bi],
-                }
-            )
+        qa = _quant(np.vstack(a["embedding"].to_numpy()))
+        qb = _quant(np.vstack(b["embedding"].to_numpy()))
+        ids_a = a["vec_id"].to_numpy()
+        ids_b = b["vec_id"].to_numpy()
+        n2a = (qa * qa).sum(axis=1)
+        n2b = (qb * qb).sum(axis=1)
+        dots = qa @ qb.T  # int64-exact block GEMM
+        cos = dots.astype("float64") / (
+            np.sqrt(n2a.astype("float64"))[:, None]
+            * np.sqrt(n2b.astype("float64"))[None, :]
+        )
+        ai, bi = np.nonzero((cos >= 0.45) & (ids_a[:, None] < ids_b[None, :]))
+        return pd.DataFrame(
+            {"va": ids_a[ai], "vb": ids_b[bi], "cos_sim": cos[ai, bi]}
+        )
 
-    return emb.mapInPandas(kernel, schema="va bigint, vb bigint, cos_sim double")
+    return both.groupBy("ba", "bb").applyInPandas(
+        kernel, schema="va bigint, vb bigint, cos_sim double"
+    )
 
 
 @register(
@@ -1301,7 +1315,14 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
     # shingle explode+shuffle runs 3×. Real MinHash pipelines persist or
     # checkpoint the signature table for exactly this reason; MEMORY_AND_DISK
     # spills instead of recomputing when signatures outgrow executor memory.
+    # Bound the cache to one copy: release the previous invocation's
+    # signatures (a per-call persist with no unpersist would pin every
+    # prior run's blocks for the session lifetime).
+    prev = getattr(dedup_minhash_banded, "_cached_sigs", None)
+    if prev is not None:
+        prev.unpersist()
     sigs = sigs.persist()
+    dedup_minhash_banded._cached_sigs = sigs
     band_cols = [
         F.struct(
             F.lit(j).alias("band"),

@@ -190,7 +190,12 @@ def write_fact_roundtrip(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_shipdate", "l_extendedprice"
     )
-    path = tempfile.mkdtemp(prefix="write_fact_rt_")
+    # stable per-process target, overwritten on re-run — a fresh mkdtemp
+    # per invocation would accumulate a lineitem copy per catalog sweep
+    path = getattr(write_fact_roundtrip, "_loc", None)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="write_fact_rt_")
+        write_fact_roundtrip._loc = path
     write_fact(
         li,
         path,
@@ -296,10 +301,21 @@ def bucketed_join_colocated(spark, sf_dir):
     the write path ONCE; every subsequent orderkey join (Q18/Q7/Q12/Q21
     shapes) is shuffle-free. The oracle reads the unbucketed source —
     bucketing must be invisible to results."""
-    import uuid
-
-    tag = uuid.uuid4().hex[:8]
-    li_t, o_t = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    # fixed table names, overwritten per run — uuid-suffixed names would
+    # leak a full lineitem+orders copy into the warehouse per invocation
+    li_t, o_t = "chchfr_li_bucketed", "chchfr_orders_bucketed"
+    # a previous PROCESS may have left the warehouse dirs behind while
+    # this session's in-memory catalog has no such table — saveAsTable
+    # then fails with LOCATION_ALREADY_EXISTS; drop both table and dir
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = spark._jvm.org.apache.hadoop.fs.Path
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        p = HPath(f"{warehouse}/{t}")
+        fs = p.getFileSystem(hconf)
+        if fs.exists(p):
+            fs.delete(p, True)
     (
         T(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_quantity")

@@ -146,32 +146,39 @@ def foreach_batch_upsert(
     ops instead of a second full rewrite, shrinking the non-atomic window
     to a directory rename. (With a transactional format — Delta/Iceberg —
     this whole function is one MERGE INTO; documented in NOTES.md.)"""
-    import shutil
     import uuid
 
     from ..operators.upsert import upsert_by_key
 
-    def _local(p: str) -> str:
-        return p[7:] if p.startswith("file://") else p
-
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
-        tgt = _local(target_path)
-        if os.path.isdir(tgt):
+        # Hadoop FileSystem API, NOT os.path/os.rename: the target may be
+        # hdfs:// or s3a:// — driver-local fs calls would see a missing
+        # dir, take the bootstrap branch every batch, and clobber the
+        # target with one micro-batch
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        tgt = HPath(target_path)
+        fs = tgt.getFileSystem(hconf)
+        if fs.exists(tgt):
             existing = spark.read.parquet(target_path)
             merged = upsert_by_key(existing, batch_df, keys)
         else:
             merged = batch_df
-        staging = f"{tgt}__stage_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(staging)
-        trash = f"{tgt}__old_{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(tgt):
-            os.rename(tgt, trash)
-        os.rename(staging, tgt)
-        if os.path.isdir(trash):
-            shutil.rmtree(trash, ignore_errors=True)
+        staging = HPath(f"{target_path}__stage_{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").parquet(staging.toString())
+        trash = HPath(f"{target_path}__old_{uuid.uuid4().hex[:8]}")
+        had_target = fs.exists(tgt)
+        if had_target and not fs.rename(tgt, trash):
+            raise IOError(f"could not move aside {target_path}")
+        if not fs.rename(staging, tgt):
+            # roll back the move-aside so the target is never left absent
+            if had_target:
+                fs.rename(trash, tgt)
+            raise IOError(f"could not publish staging dir to {target_path}")
+        if had_target:
+            fs.delete(trash, True)
 
     q = (
         stream_df.writeStream.foreachBatch(merge_batch)
