@@ -184,3 +184,43 @@ def test_landing_zone_mobil_envelope_path(spark, tmp_path):
     (zone / "batch1.json").write_text(MOBIL_PAYLOAD)
     out = read_conformed(spark, MOBIL_SPEC, path=str(zone / "*.json"))
     assert [r.location_id for r in out.collect()] == ["mob-001"]
+
+
+def test_landing_datasource_matches_inline_path(spark, tmp_path):
+    """The custom Python DataSource (one partition per landed file) must
+    produce exactly what the inline-payload path produces, and carry the
+    file provenance column."""
+    from chchfr_data_collection_spark.sources.datasource import (
+        read_landing_conformed,
+    )
+
+    land = tmp_path / "bp_landing"
+    land.mkdir()
+    (land / "batch1.json").write_text(BP_PAYLOAD)
+    (land / "batch2.json").write_text(BP_PAYLOAD.replace("bp-001", "bp-002"))
+    (land / "notes.txt").write_text("ignored: wrong suffix")
+
+    got = read_landing_conformed(spark, BP_SPEC, str(land))
+    rows = {r["location_id"]: r for r in got.collect()}
+    assert set(rows) == {"bp-001", "bp-002"}
+    assert rows["bp-001"]["src_file"] == "batch1.json"
+    assert rows["bp-002"]["src_file"] == "batch2.json"
+
+    inline = read_conformed(spark, BP_SPEC, payloads=[BP_PAYLOAD]).collect()[0]
+    ds_row = rows["bp-001"]
+    for c in inline.asDict():
+        assert ds_row[c] == inline[c], c
+
+
+def test_landing_datasource_empty_zone(spark, tmp_path):
+    """An empty landing zone is a valid no-fetch day: empty frame with
+    the full schema, not an error."""
+    from chchfr_data_collection_spark.sources.datasource import (
+        read_landing_conformed,
+    )
+
+    land = tmp_path / "empty_landing"
+    land.mkdir()
+    got = read_landing_conformed(spark, BP_SPEC, str(land))
+    assert got.count() == 0
+    assert "location_id" in got.columns
