@@ -352,3 +352,77 @@ def curation_pipeline(spark, sf_dir):
     return scored.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", "quality"
     )
+
+
+@register(
+    "text_pmi_collocations",
+    sql="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bgs AS (
+      SELECT unnest([ws[i] || '_' || ws[i+1] for i in range(1, len(ws))]) AS s
+      FROM w WHERE len(ws) >= 2),
+    bg AS (SELECT split_part(s, '_', 1) AS w1, split_part(s, '_', 2) AS w2 FROM bgs),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    u AS (SELECT w, COUNT(*) AS nu
+          FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+          GROUP BY w),
+    tot AS (SELECT COUNT(*) AS nb FROM bg)
+    SELECT w1, w2, n12,
+           (CAST(nb AS DOUBLE) * CAST(n12 AS DOUBLE))
+             / (CAST(u1.nu AS DOUBLE) * CAST(u2.nu AS DOUBLE)) AS lift
+    FROM c12
+    JOIN u u1 ON u1.w = w1 JOIN u u2 ON u2.w = w2 CROSS JOIN tot
+    WHERE n12 >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 50
+    """,
+    tags=("llm", "text", "collocation", "pmi"),
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Corpus collocations by PMI-lift: P(w1,w2)/(P(w1)P(w2)) as
+    N·c(w1,w2)/(c(w1)·c(w2)) — the exponentiated PMI, rank-equivalent
+    and free of the log() that would break cross-engine bit-exactness.
+    Two counting aggregations (bigrams, unigrams) + two broadcast-ish
+    joins on the vocabulary + a 1-row total. The multiplication runs in
+    DOUBLE on both engines (int64 would overflow N·c12 at corpus scale);
+    min-support n12>=5 keeps the rare-pair noise floor out. Vocabulary
+    tables grow sublinearly with the corpus — the joins stay
+    broadcastable when the fact side doesn't."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    ws = TX.words("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.struct(
+            F.element_at(ws, (i + 1).cast("int")).alias("w1"),
+            F.element_at(ws, (i + 2).cast("int")).alias("w2"),
+        ),
+    )
+    bg = (
+        d.filter(F.size(ws) >= 2)
+        .select(F.explode(bigrams).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    uni = (
+        d.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("nu"))
+    )
+    tot = bg.agg(F.count("*").alias("nb"))
+    lift = (F.col("nb").cast("double") * F.col("n12").cast("double")) / (
+        F.col("nu1").cast("double") * F.col("nu2").cast("double")
+    )
+    return (
+        c12.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("nu").alias("nu1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("nu").alias("nu2"))),
+            "w2",
+        )
+        .join(F.broadcast(tot))
+        .filter(F.col("n12") >= 5)
+        .select("w1", "w2", "n12", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(50)
+    )

@@ -196,3 +196,16 @@ def test_curation_pipeline_composes(spark, sf_small, cat):
     # exact-dup collapse: kept doc_ids are unique
     ids = [r["doc_id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_pmi_collocations_vocab_broadcast(spark, sf_small, cat):
+    """The vocabulary joins broadcast (vocab grows sublinearly); the only
+    cartesian-ish node is the 1-row total attach."""
+    from chchfr_data_collection_spark.plans.audit import count_nodes
+
+    df = cat["text_pmi_collocations"].fn(spark, sf_small)
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1
+    rows = df.collect()
+    assert len(rows) <= 50
+    assert all(r["n12"] >= 5 and r["lift"] > 0 for r in rows)
