@@ -82,7 +82,7 @@ def events_sliding_hourly(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, event_id,
         CASE WHEN LAG(ts) OVER w IS NULL
-                  OR date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 1800
              THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
@@ -92,8 +92,9 @@ def events_sliding_hourly(spark, sf_dir):
     tags=("events", "sessionization"),
 )
 def events_sessionization(spark, sf_dir):
-    """Gap-based sessionization (a gap of >=30 min starts a new session,
-    matching session_window's end-exclusive interval convention) — the batch
+    """Gap-based sessionization (a gap STRICTLY over 30 min starts a new
+    session — session_window measurably merges an exactly-gap arrival,
+    its overlap test is boundary-inclusive) — the batch
     twin of streaming session_window(). The per-user session count is just
     the number of gap-breaks, so no second cumulative window is needed."""
     ev = T(spark, sf_dir, "events")
@@ -102,7 +103,7 @@ def events_sessionization(spark, sf_dir):
     flagged = ev.select(
         "user_id",
         "event_id",
-        F.when(F.lag("ts").over(w).isNull() | (gap_s >= 1800), 1).otherwise(0).alias("is_new"),
+        F.when(F.lag("ts").over(w).isNull() | (gap_s > 1800), 1).otherwise(0).alias("is_new"),
     )
     return flagged.groupBy("user_id").agg(
         F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events")

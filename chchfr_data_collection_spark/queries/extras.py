@@ -118,7 +118,7 @@ def streaming_tumbling_replay(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, ts, event_id,
         CASE WHEN LAG(ts) OVER w IS NULL
-                  OR date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 1800
              THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -139,10 +139,12 @@ def streaming_session_replay(spark, sf_dir):
     """Gap-based session windows per user through a real Structured
     Streaming replay. Oracle: gap-break sessionization in plain SQL —
     session_window's [first_ts, last_ts + gap) interval per session.
-    (Boundary convention: session_window's [start, last+gap) interval is
-    END-EXCLUSIVE, so an event exactly `gap` after the previous one opens
-    a NEW session — the oracle's break condition is therefore >=, and the
-    batch twin uses the same convention.)"""
+    (Boundary convention, MEASURED: Spark's session_window merges an
+    event arriving exactly `gap` after the previous one into the same
+    session — the interval overlap test is inclusive at the boundary —
+    so the oracle's break condition is strictly `>`. Verified against an
+    exactly-1800s pair in the sf0.1 fixture, where `>=` splits one
+    session too many.)"""
     import uuid
 
     from ..streaming.events import read_events_stream, run_available_now, session_counts
