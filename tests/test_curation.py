@@ -187,7 +187,8 @@ def test_streaming_doc_dedup_state_spans_batches(spark, sf_small, tmp_path):
 def test_curation_pipeline_composes(spark, sf_small, cat):
     """End-to-end pass: output is a subset of documents, quality is in a
     sane band, exact dups collapse (distinct texts only), and the plan
-    stays cartesian-free with the drop list broadcast."""
+    stays cartesian-free (the drop list anti-join is unhinted — AQE
+    picks the strategy)."""
     df = cat["curation_pipeline"].fn(spark, sf_small)
     assert count_nodes(df, "CartesianProduct") == 0
     rows = df.collect()
