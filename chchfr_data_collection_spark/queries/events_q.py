@@ -153,3 +153,110 @@ def events_type_share(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.sum("n").over(W.partitionBy())).alias("share"),
     )
+
+
+@register(
+    "events_retention_cohort",
+    sql="""
+    WITH first_day AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+      FROM events e JOIN first_day f ON f.user_id = e.user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+           COUNT(*) AS n_active
+    FROM activity WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def events_retention_cohort(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted once
+    per (cohort, day-offset) they return on — the product-analytics
+    matrix behind every retention curve. Two aggregations over the fact
+    (first-day, then distinct activity) joined on user_id; at scale the
+    first-day relation is user-dimension-sized, so the join shuffles
+    keyed on user_id once and the offset cap bounds the output to
+    cohorts × 8 rows."""
+    ev = T(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "events_funnel_click_purchase",
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, MIN(ts) AS first_click FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    conv AS (
+      SELECT c.user_id, c.first_click,
+             MIN(p.ts) AS first_purchase_after
+      FROM clicks c
+      LEFT JOIN events p ON p.user_id = c.user_id
+        AND p.event_type = 'purchase' AND p.ts > c.first_click
+        AND p.ts <= c.first_click + INTERVAL 24 HOUR
+      GROUP BY c.user_id, c.first_click)
+    SELECT COUNT(*) AS n_clickers,
+           CAST(SUM(CASE WHEN first_purchase_after IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM conv
+    """,
+    tags=("events", "funnel", "conversion"),
+)
+def events_funnel_click_purchase(spark, sf_dir):
+    """Conversion funnel: of users who clicked, how many purchased
+    within 24 h of their FIRST click — the two-step funnel as a
+    per-user reduce (first click) plus a windowed existence probe.
+    Both sides are type-filtered BEFORE the user-keyed join, so the
+    shuffle carries two thin event subsets, and the 24 h predicate is
+    the join residual — the same interval-join shape the streaming
+    surface runs with watermarks."""
+    ev = T(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.user_id)
+            & (F.col("p_ts") > F.col("first_click"))
+            & (F.col("p_ts") <= F.col("first_click") + F.expr("INTERVAL 24 HOUR")),
+            "left",
+        )
+        .groupBy(clicks.user_id, "first_click")
+        .agg(F.min("p_ts").alias("first_purchase_after"))
+    )
+    return conv.agg(
+        F.count("*").alias("n_clickers"),
+        F.sum(
+            F.when(F.col("first_purchase_after").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_converted"),
+    )
