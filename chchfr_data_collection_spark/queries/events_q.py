@@ -260,3 +260,55 @@ def events_funnel_click_purchase(spark, sf_dir):
             F.when(F.col("first_purchase_after").isNotNull(), 1).otherwise(0)
         ).cast("bigint").alias("n_converted"),
     )
+
+
+@register(
+    "events_anomaly_3sigma",
+    sql="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mu,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type),
+    var_ AS (
+      SELECT e.event_type,
+             s.mu,
+             SUM((e.value - s.mu) * (e.value - s.mu)) / s.n AS var_pop
+      FROM events e JOIN stats s ON s.event_type = e.event_type
+      GROUP BY e.event_type, s.mu, s.n)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN var_ v ON v.event_type = e.event_type
+    WHERE (e.value - v.mu) * (e.value - v.mu) > 9.0 * v.var_pop
+    """,
+    tags=("events", "anomaly", "stats"),
+)
+def events_anomaly_3sigma(spark, sf_dir):
+    """Per-type 3-sigma outliers WITHOUT the sqrt that would break
+    cross-engine bit-exactness: |x−μ| > 3σ is tested as
+    (x−μ)² > 9·σ² — pure +,×,÷ over identical inputs is IEEE-identical
+    in both engines, while sqrt/stddev differ in ulps. Two passes over
+    the fact (μ, then population variance against the broadcast μ), and
+    the outlier filter evaluates in the scan stage against the tiny
+    broadcast stats — the standard shape for data-quality gating at
+    ingest. μ is decimal-exact-sum / count, same policy as every
+    aggregate in the catalog."""
+    ev = T(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count("*")
+        ).alias("mu"),
+        F.count("*").alias("n"),
+    )
+    dev2 = (F.col("value") - F.col("mu")) * (F.col("value") - F.col("mu"))
+    var_ = (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "mu", "n")
+        .agg((F.sum(dev2) / F.col("n").cast("double")).alias("var_pop"))
+        .select("event_type", "mu", "var_pop")
+    )
+    return (
+        ev.join(F.broadcast(var_), "event_type")
+        .filter(dev2 > F.lit(9.0) * F.col("var_pop"))
+        .select("event_id", "event_type", "value")
+    )
