@@ -312,3 +312,53 @@ def events_anomaly_3sigma(spark, sf_dir):
         .filter(dev2 > F.lit(9.0) * F.col("var_pop"))
         .select("event_id", "event_type", "value")
     )
+
+
+@register(
+    "events_rollup_hll_incremental",
+    sql="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_consistent, TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "rollup", "incremental", "approx"),
+)
+def events_rollup_hll_incremental(spark, sf_dir):
+    """Approx-distinct rollup maintenance: per-day HLL sketches are the
+    stored partials, daily refresh merges the new day's sketch instead
+    of re-scanning history — COUNT(DISTINCT) is NOT re-aggregable but
+    its sketch is, which is why production rollups store sketch bytes
+    (Datasketches HLL via hll_sketch_agg/hll_union_agg). Checkable
+    surface (sketch bytes are engine-internal): the exact count, a
+    boolean that the merged estimate tracks the whole-table sketch
+    within 1% (Datasketches unions promote through an HLL_8 gadget, so
+    merged and directly-built sketches differ by a few registers —
+    measured 1488 vs 1494 on 1500 at sf0.1; bit-equality would be a
+    false contract), and the 5% accuracy contract vs exact."""
+    ev = T(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    parts = ev.groupBy("event_type", day).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = parts.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    whole = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("whole_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        merged.join(whole, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("merged_est") - F.col("whole_est"))
+                <= F.lit(0.01) * F.col("whole_est")
+            ).alias("merge_consistent"),
+            (
+                F.abs(F.col("merged_est") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("hll_ok"),
+        )
+    )
