@@ -103,3 +103,27 @@ def test_schema_evolution_nulls_missing_columns(spark, sf_small, cat):
     assert v1 and v2
     assert all(r["postal_code"] is None for r in v1)
     assert all(r["postal_code"] == str(r["location_id"] * 37) for r in v2)
+
+
+def test_retention_funnel_anomaly_plan_shapes(spark, sf_small, cat):
+    """The three analytics additions: no cartesian anywhere; the anomaly
+    filter's stats arrive as broadcasts so the outlier scan is the only
+    fact-sized stage."""
+    from chchfr_data_collection_spark.plans.audit import count_nodes
+
+    for name in (
+        "events_retention_cohort",
+        "events_funnel_click_purchase",
+        "events_anomaly_3sigma",
+    ):
+        df = cat[name].fn(spark, sf_small)
+        assert count_nodes(df, "CartesianProduct") == 0, name
+    anomaly = cat["events_anomaly_3sigma"].fn(spark, sf_small)
+    assert count_nodes(anomaly, "BroadcastHashJoin") >= 1
+
+
+def test_hll_rollup_contracts_hold(spark, sf_small, cat):
+    out = cat["events_rollup_hll_incremental"].fn(spark, sf_small).collect()
+    assert out
+    for r in out:
+        assert r["merge_consistent"] and r["hll_ok"], r
