@@ -426,3 +426,42 @@ def text_pmi_collocations(spark, sf_dir):
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "sample_per_group_topk",
+    sql="""
+    WITH h AS (
+      SELECT doc_id, lang, source,
+             substr(md5('pg:' || CAST(doc_id AS VARCHAR)), 1, 16) AS hk
+      FROM documents)
+    SELECT doc_id, lang, source FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                                   ORDER BY hk, doc_id) AS rn
+      FROM h) t
+    WHERE rn <= 20
+    """,
+    tags=("llm", "curation", "sampling", "per-group"),
+)
+def sample_per_group_topk(spark, sf_dir):
+    """Fixed-size per-stratum sample (20 docs per (lang, source)): rank
+    by a salted content-independent hash inside each stratum and keep
+    the first k — the distributed, deterministic replacement for
+    reservoir sampling (same k-uniform-without-replacement property,
+    but reproducible across engines, reruns, and stragglers, and
+    embarrassingly parallel: one rank window per stratum, no sequential
+    reservoir state). The eval-set builder's workhorse: equal-size
+    per-slice samples regardless of slice skew."""
+    d = T(spark, sf_dir, "documents")
+    hk = F.substring(
+        F.md5(F.concat(F.lit("pg:"), F.col("doc_id").cast("string")).cast("binary")),
+        1,
+        16,
+    )
+    w = W.partitionBy("lang", "source").orderBy("hk", "doc_id")
+    return (
+        d.select("doc_id", "lang", "source", hk.alias("hk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "source")
+    )
