@@ -1469,3 +1469,46 @@ def text_tfidf_topterms(spark, sf_dir):
         .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "w", "tfidf")
     )
+
+
+_SIMHASH_LEV_DUCK = f"""
+WITH sh AS ({_SIMHASH_DUCK})
+SELECT a.doc_id AS da, b.doc_id AS db,
+       levenshtein(ta.text, tb.text) AS edit_dist
+FROM sh a
+JOIN sh b ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id
+JOIN documents ta ON ta.doc_id = a.doc_id
+JOIN documents tb ON tb.doc_id = b.doc_id
+WHERE levenshtein(ta.text, tb.text) <= 40
+"""
+
+
+@register(
+    "dedup_simhash_levenshtein",
+    sql=_SIMHASH_LEV_DUCK,
+    tags=("llm", "dedup", "fingerprint", "edit-distance"),
+)
+def dedup_simhash_levenshtein(spark, sf_dir):
+    """Bucket-then-verify with EDIT DISTANCE: simhash collision proposes
+    the pair, Levenshtein <= 40 confirms it — the character-level twin
+    of the shingle-Jaccard verifiers (catches small in-word edits that
+    word-shingles miss). Levenshtein is O(len²) per pair, which is why
+    it NEVER runs all-pairs: the simhash equi-join bounds it to bucket
+    collisions, and the distance runs JVM-side (F.levenshtein — same DP,
+    bit-identical in DuckDB). Texts join in AFTER the candidate pairs
+    exist, so full documents are never shuffled for non-candidates."""
+    sh = dedup_simhash(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("da"), F.col("simhash16").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("db"), F.col("simhash16").alias("hb"))
+    cand = a.join(b, (F.col("ha") == F.col("hb")) & (F.col("da") < F.col("db")))
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        cand.join(docs.select(F.col("doc_id").alias("da"), F.col("text").alias("ta")), "da")
+        .join(docs.select(F.col("doc_id").alias("db"), F.col("text").alias("tb")), "db")
+        .select(
+            "da",
+            "db",
+            F.levenshtein("ta", "tb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 40)
+    )

@@ -986,3 +986,67 @@ def subquery_scalar_avg(spark, sf_dir):
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .select("c_custkey", "c_acctbal")
     )
+
+
+@register(
+    "window_ntile_stats",
+    sql="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "ntile", "distribution"),
+)
+def window_ntile_stats(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per market segment — completes the §2.6 window surface. All three
+    share ONE (segment, acctbal) sort; the c_custkey tie-break makes
+    every rank deterministic (percent_rank/cume_dist are ratios of
+    ranks over identical inputs — IEEE-identical across engines)."""
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "agg_exact_quantiles",
+    sql="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75,
+           quantile_cont(o_totalprice, 0.95) AS p95,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "quantile", "exact"),
+)
+def agg_exact_quantiles(spark, sf_dir):
+    """EXACT linear-interpolated percentiles per priority — the precise
+    twin of agg_approx_quantiles' GK sketch: F.percentile sorts each
+    group's values exactly, and DuckDB's quantile_cont applies the same
+    interpolation formula to the same doubles, so the result is
+    bit-identical (verified; the interpolation is one multiply-add on
+    identically-ranked inputs). Exact per-group quantiles shuffle every
+    value of the group to one reducer — fine for priority-sized groups,
+    and exactly WHY the GK-sketch variant exists for high-cardinality
+    keys at 100 TB."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+            F.count("*").alias("n"),
+        )
+    )
