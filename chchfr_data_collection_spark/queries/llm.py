@@ -77,15 +77,18 @@ _NGRAM_DF_CAP = 64
 def _jaccard_capped_spark(spark, sf_dir):
     """Single-pass df-capped Jaccard join (DataFrame form — a WITH-CTE
     SQL version gets its shingle CTE inlined 3× by Catalyst, re-scanning
-    and re-shingling the corpus for each consumer; here every stage is
-    computed once):
+    and re-shingling the corpus for each consumer):
 
-    explode shingles → window df over s (shuffle 1: drop hot shingles)
-    → window ns over doc_id (shuffle 2: per-doc set size, carried WITH
-    the rows so no join-back later) → posting-list buckets per shingle
-    (shuffle 3) → bounded in-bucket pair explosion → per-pair overlap
-    count (shuffle 4) → Jaccard from the carried (na, nb).
-    """
+    explode shingles → window df over s (the ONE full-row shuffle: drop
+    hot shingles) → persist the capped token relation → branch A:
+    posting-list buckets per shingle (reuses the s hash-partitioning of
+    the cached window stage — no new full-row shuffle) → bounded
+    in-bucket pair explosion → per-pair overlap count; branch B: per-doc
+    set sizes as a small aggregate, joined onto the candidate-sized pair
+    relation at the end. Measured (sf0.1, interleaved best-of-4): same
+    best as the carry-ns-through-two-windows variant but FAR lower
+    variance (2.3–3.4 s vs 2.4–8.8 s) — two fewer full-row shuffles
+    means two fewer places for a straggler to land."""
     ws = F.split("text", " ", -1)
     shingles = F.array_distinct(
         F.transform(
@@ -103,10 +106,16 @@ def _jaccard_capped_spark(spark, sf_dir):
     shc = tok.withColumn("df", F.count("*").over(W.partitionBy("s"))).filter(
         F.col("df") <= _NGRAM_DF_CAP
     )
-    shc = shc.withColumn("ns", F.count("*").over(W.partitionBy("doc_id")))
+    # one cached copy (see dedup_minhash_banded for the unpersist policy)
+    prev = getattr(_jaccard_capped_spark, "_cached", None)
+    if prev is not None:
+        prev.unpersist()
+    shc = shc.persist()
+    _jaccard_capped_spark._cached = shc
+    ns = shc.groupBy("doc_id").agg(F.count("*").alias("ns"))
     buckets = (
         shc.groupBy("s")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "ns"))).alias("ids"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     pairs = buckets.select(
@@ -116,21 +125,19 @@ def _jaccard_capped_spark(spark, sf_dir):
                     "ids",
                     lambda a, i: F.transform(
                         F.slice(F.col("ids"), i + 2, F.size("ids") - i - 1),
-                        lambda b: F.struct(
-                            a["doc_id"].alias("da"),
-                            a["ns"].alias("na"),
-                            b["doc_id"].alias("db"),
-                            b["ns"].alias("nb"),
-                        ),
+                        lambda b: F.struct(a.alias("da"), b.alias("db")),
                     ),
                 )
             )
         ).alias("p")
-    ).select("p.da", "p.na", "p.db", "p.nb")
-    inter = pairs.groupBy("da", "db", "na", "nb").agg(F.count("*").alias("i"))
+    ).select("p.da", "p.db")
+    inter = pairs.groupBy("da", "db").agg(F.count("*").alias("i"))
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return inter.select("da", "db", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= 0.8
+    return (
+        inter.join(ns.select(F.col("doc_id").alias("da"), F.col("ns").alias("na")), "da")
+        .join(ns.select(F.col("doc_id").alias("db"), F.col("ns").alias("nb")), "db")
+        .select("da", "db", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
     )
 
 # exact (uncapped) variant — the oracle for the provably-exact prefix
