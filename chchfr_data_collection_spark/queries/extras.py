@@ -583,3 +583,45 @@ def schema_evolution_union(spark, sf_dir):
         (F.col("s_suppkey") * 37).cast("string").alias("postal_code"),
     )
     return batch_v1.unionByName(batch_v2, allowMissingColumns=True)
+
+
+def _cc_survivors_sql() -> str:
+    from .llm import _JACCARD_CAPPED_DUCK
+
+    return f"""
+    WITH RECURSIVE
+    jp AS ({_JACCARD_CAPPED_DUCK}),
+    edges AS (SELECT da AS u, db AS v FROM jp
+              UNION SELECT db AS u, da AS v FROM jp),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+    drops AS (
+      SELECT u AS doc_id FROM (SELECT u, MIN(v) AS component FROM reach GROUP BY u) c
+      WHERE u <> component)
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+
+
+@register(
+    "dedup_cc_survivors",
+    sql=_cc_survivors_sql(),
+    tags=("llm", "dedup", "iterative", "pipeline"),
+)
+def dedup_cc_survivors(spark, sf_dir):
+    """The END PRODUCT of the fuzzy-dedup family: the corpus that
+    remains after near-dup clusters collapse to one representative
+    (min doc_id per connected component). Everything upstream —
+    shingle Jaccard, pair generation, label propagation — exists to
+    produce this anti-join: documents minus non-representative cluster
+    members. The drop list is cluster-members-minus-keepers (small:
+    proportional to duplicates found, not corpus size), so the final
+    join is a broadcast-able anti-join against the full corpus scan."""
+    cc = dedup_connected_components(spark, sf_dir)
+    drops = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return d.join(drops, "doc_id", "left_anti")
