@@ -359,9 +359,9 @@ def curation_pipeline(spark, sf_dir):
     sql="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     bgs AS (
-      SELECT unnest([ws[i] || '_' || ws[i+1] for i in range(1, len(ws))]) AS s
+      SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS s
       FROM w WHERE len(ws) >= 2),
-    bg AS (SELECT split_part(s, '_', 1) AS w1, split_part(s, '_', 2) AS w2 FROM bgs),
+    bg AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM bgs),
     c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
     u AS (SELECT w, COUNT(*) AS nu
           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t

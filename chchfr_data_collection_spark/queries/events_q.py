@@ -265,51 +265,52 @@ def events_funnel_click_purchase(spark, sf_dir):
 @register(
     "events_anomaly_3sigma",
     sql="""
-    WITH stats AS (
+    WITH q AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 100) AS HUGEINT) AS v
+      FROM events),
+    stats AS (
       SELECT event_type,
-             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mu,
-             COUNT(*) AS n
-      FROM events GROUP BY event_type),
-    var_ AS (
-      SELECT e.event_type,
-             s.mu,
-             SUM((e.value - s.mu) * (e.value - s.mu)) / s.n AS var_pop
-      FROM events e JOIN stats s ON s.event_type = e.event_type
-      GROUP BY e.event_type, s.mu, s.n)
-    SELECT e.event_id, e.event_type, e.value
-    FROM events e JOIN var_ v ON v.event_type = e.event_type
-    WHERE (e.value - v.mu) * (e.value - v.mu) > 9.0 * v.var_pop
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(v) AS s,
+             SUM(v * v) AS q2
+      FROM q GROUP BY event_type)
+    SELECT q.event_id, q.event_type, q.value
+    FROM q JOIN stats t ON t.event_type = q.event_type
+    WHERE (t.n * q.v - t.s) * (t.n * q.v - t.s)
+          > 9 * (t.n * t.q2 - t.s * t.s)
     """,
     tags=("events", "anomaly", "stats"),
 )
 def events_anomaly_3sigma(spark, sf_dir):
-    """Per-type 3-sigma outliers WITHOUT the sqrt that would break
-    cross-engine bit-exactness: |x−μ| > 3σ is tested as
-    (x−μ)² > 9·σ² — pure +,×,÷ over identical inputs is IEEE-identical
-    in both engines, while sqrt/stddev differ in ulps. Two passes over
-    the fact (μ, then population variance against the broadcast μ), and
-    the outlier filter evaluates in the scan stage against the tiny
-    broadcast stats — the standard shape for data-quality gating at
-    ingest. μ is decimal-exact-sum / count, same policy as every
-    aggregate in the catalog."""
+    """Per-type 3-sigma outliers in EXACT INTEGER arithmetic — no sqrt
+    (engines differ in ulps) and no float summation (double SUM is
+    addition-order-dependent, so a var_pop built from it is not
+    cross-engine-stable): values quantize to cents (2-dp by
+    construction), and |x−μ| > 3σ_pop becomes
+        (n·v − S)² > 9·(n·Q − S²),   S = Σv, Q = Σv²
+    — multiply both sides of (v − S/n)² > 9·(Q/n − (S/n)²) by n².
+    Integer sums are order-independent, so this is bit-exact at ANY
+    partitioning. Spark side runs in DECIMAL(38,0) (≈1e38 headroom:
+    n·v ≤ 1e12·1e7 → lhs ≤ 1e38 at a trillion rows), DuckDB in HUGEINT.
+    One aggregation pass + a broadcast stats join; the filter evaluates
+    against per-type constants in the scan stage."""
     ev = T(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        (
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
-            / F.count("*")
-        ).alias("mu"),
-        F.count("*").alias("n"),
+    v = F.round(F.col("value") * 100).cast("bigint")
+    q = ev.select("event_id", "event_type", "value", v.alias("v"))
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = q.groupBy("event_type").agg(
+        big(F.count("*")).alias("n"),
+        big(F.sum("v")).alias("s"),
+        big(F.sum(F.col("v") * F.col("v"))).alias("q2"),
     )
-    dev2 = (F.col("value") - F.col("mu")) * (F.col("value") - F.col("mu"))
-    var_ = (
-        ev.join(F.broadcast(stats), "event_type")
-        .groupBy("event_type", "mu", "n")
-        .agg((F.sum(dev2) / F.col("n").cast("double")).alias("var_pop"))
-        .select("event_type", "mu", "var_pop")
+    lhs_root = big(F.col("n") * F.col("v")) - F.col("s")
+    rhs = F.lit(9).cast("decimal(38,0)") * (
+        big(F.col("n") * F.col("q2")) - big(F.col("s") * F.col("s"))
     )
     return (
-        ev.join(F.broadcast(var_), "event_type")
-        .filter(dev2 > F.lit(9.0) * F.col("var_pop"))
+        q.join(F.broadcast(stats), "event_type")
+        .filter(lhs_root * lhs_root > rhs)
         .select("event_id", "event_type", "value")
     )
 

@@ -74,6 +74,22 @@ def dedup_exact_keep_first(spark, sf_dir):
 # fixture scales max(df) << cap, so the result equals plain Jaccard.
 _NGRAM_DF_CAP = 64
 
+
+def _swap_cached(holder, attr: str, df):
+    """Persist `df`, releasing the previous invocation's cached handle
+    stored on `holder.attr` — bounds a repeatedly-invoked catalog
+    query's cache to ONE copy. unpersist() is guarded: the stored
+    handle may belong to an already-stopped SparkSession."""
+    prev = getattr(holder, attr, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # previous session gone — nothing to release
+    df = df.persist()
+    setattr(holder, attr, df)
+    return df
+
 def _jaccard_capped_spark(spark, sf_dir):
     """Single-pass df-capped Jaccard join (DataFrame form — a WITH-CTE
     SQL version gets its shingle CTE inlined 3× by Catalyst, re-scanning
@@ -106,12 +122,7 @@ def _jaccard_capped_spark(spark, sf_dir):
     shc = tok.withColumn("df", F.count("*").over(W.partitionBy("s"))).filter(
         F.col("df") <= _NGRAM_DF_CAP
     )
-    # one cached copy (see dedup_minhash_banded for the unpersist policy)
-    prev = getattr(_jaccard_capped_spark, "_cached", None)
-    if prev is not None:
-        prev.unpersist()
-    shc = shc.persist()
-    _jaccard_capped_spark._cached = shc
+    shc = _swap_cached(_jaccard_capped_spark, "_cached", shc)
     ns = shc.groupBy("doc_id").agg(F.count("*").alias("ns"))
     buckets = (
         shc.groupBy("s")
@@ -1325,11 +1336,7 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
     # Bound the cache to one copy: release the previous invocation's
     # signatures (a per-call persist with no unpersist would pin every
     # prior run's blocks for the session lifetime).
-    prev = getattr(dedup_minhash_banded, "_cached_sigs", None)
-    if prev is not None:
-        prev.unpersist()
-    sigs = sigs.persist()
-    dedup_minhash_banded._cached_sigs = sigs
+    sigs = _swap_cached(dedup_minhash_banded, "_cached_sigs", sigs)
     band_cols = [
         F.struct(
             F.lit(j).alias("band"),

@@ -50,9 +50,10 @@ class LandingReader(DataSourceReader):
 
     def partitions(self):
         files = sorted(
-            os.path.join(self.path, f)
+            p
             for f in os.listdir(self.path)
             if f.endswith(self.suffix)
+            and os.path.isfile(p := os.path.join(self.path, f))
         )
         # empty landing zone -> one empty partition (a scan of nothing is
         # a valid day with no fetches, not an error)
@@ -71,31 +72,17 @@ def register(spark) -> None:
 
 def read_landing_conformed(spark, spec, landing_dir: str):
     """Landing zone -> canonical stations frame: the Python source lists
-    and reads raw documents; everything after (from_json, envelope
-    explode, projection, null-key filter) is the existing JVM path."""
+    and reads raw documents; parse + projection are the SAME JVM helpers
+    the inline-payload path uses (json_source.parse_payload_docs /
+    conform), with the file-provenance column carried through."""
     from pyspark.sql import functions as F
+
+    from .json_source import conform, parse_payload_docs
 
     register(spark)
     raw_docs = spark.read.format("chchfr_landing").load(landing_dir)
-    mode = "FAILFAST" if spec.strict else "PERMISSIVE"
-    if spec.envelope:
-        doc_schema = spec.raw_schema
-        parsed = raw_docs.select(
-            F.from_json("payload", doc_schema, {"mode": mode}).alias("doc"), "src_file"
-        ).select(F.explode_outer(f"doc.{spec.envelope}").alias("rec"), "src_file")
-    else:
-        from pyspark.sql import types as T
-
-        doc_schema = T.ArrayType(spec.raw_schema, containsNull=True)
-        parsed = raw_docs.select(
-            F.from_json("payload", doc_schema, {"mode": mode}).alias("doc"), "src_file"
-        ).select(F.explode_outer("doc").alias("rec"), "src_file")
-    flat = parsed.select("rec.*", "src_file")
-    # conform() would drop the provenance column; apply the same
-    # projection + null-key filter with src_file carried through
-    out = flat.select(*spec.columns(), "src_file").filter(
-        F.col("location_id").isNotNull()
-    )
+    flat = parse_payload_docs(raw_docs, spec, keep=("src_file",))
+    out = conform(flat, spec, keep=("src_file",))
     return out.withColumn("source", F.lit(spec.name)).withColumn(
         "source_priority", F.lit(spec.priority)
     )

@@ -42,24 +42,8 @@ def read_payloads(
             .json(path)
         )
     elif payloads is not None:
-        from pyspark.sql import types as T
-
         text = spark.createDataFrame([(p,) for p in payloads], "payload string")
-        if spec.envelope:
-            # envelope object, e.g. Mobil {"Locations": [...]}
-            doc_schema: T.DataType = spec.raw_schema
-        else:
-            # bare JSON array of records (BP dialect, S1 in SURVEY.md §2.1)
-            doc_schema = T.ArrayType(
-                spec.raw_schema, containsNull=True
-            )
-        raw = text.select(
-            F.from_json(F.col("payload"), doc_schema, {"mode": mode}).alias("doc")
-        )
-        if spec.envelope:
-            raw = raw.select("doc.*")
-        else:
-            return raw.select(F.explode_outer("doc").alias("rec")).select("rec.*")
+        return parse_payload_docs(text, spec)
     else:
         raise ValueError("need path or payloads")
 
@@ -71,9 +55,35 @@ def read_payloads(
     return raw
 
 
-def conform(raw: DataFrame, spec: SourceSpec) -> DataFrame:
-    """Project a raw dialect frame onto the canonical gas_station columns."""
-    out = raw.select(*spec.columns())
+def parse_payload_docs(
+    docs: DataFrame, spec: SourceSpec, keep: Sequence[str] = ()
+) -> DataFrame:
+    """One raw payload DOCUMENT per row -> one record per row: the single
+    place the dialect's parse policy lives (envelope unwrap vs bare
+    array, strict FAILFAST vs lenient PERMISSIVE). `keep` carries
+    passthrough columns (e.g. provenance) alongside the records."""
+    from pyspark.sql import types as T
+
+    mode = "FAILFAST" if spec.strict else "PERMISSIVE"
+    if spec.envelope:
+        # envelope object, e.g. Mobil {"Locations": [...]}
+        doc_schema: T.DataType = spec.raw_schema
+    else:
+        # bare JSON array of records (BP dialect, S1 in SURVEY.md §2.1)
+        doc_schema = T.ArrayType(spec.raw_schema, containsNull=True)
+    parsed = docs.select(
+        F.from_json(F.col("payload"), doc_schema, {"mode": mode}).alias("doc"), *keep
+    )
+    arr = F.col(f"doc.{spec.envelope}") if spec.envelope else F.col("doc")
+    return parsed.select(F.explode_outer(arr).alias("rec"), *keep).select(
+        "rec.*", *keep
+    )
+
+
+def conform(raw: DataFrame, spec: SourceSpec, keep: Sequence[str] = ()) -> DataFrame:
+    """Project a raw dialect frame onto the canonical gas_station columns
+    (plus `keep` passthrough columns, e.g. file provenance)."""
+    out = raw.select(*spec.columns(), *keep)
     # drop rows with no key (lenient sources may produce them); strict
     # sources would already have failed the scan
     return out.filter(F.col("location_id").isNotNull())
