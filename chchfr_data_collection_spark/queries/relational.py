@@ -1050,3 +1050,68 @@ def agg_exact_quantiles(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "array_higher_order_funcs",
+    sql="""
+    WITH t AS (
+      SELECT o_custkey, list(CAST(o_totalprice AS DECIMAL(12,2)) ORDER BY o_orderkey) AS prices
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey,
+           len(prices) AS n_orders,
+           COALESCE(CAST(list_aggregate([p FOR p IN prices IF p > 200000], 'sum')
+                         AS DOUBLE), 0.0) AS big_total,
+           len([p FOR p IN prices IF p > 200000]) AS n_big,
+           CAST(list_aggregate([p * 2 FOR p IN prices], 'sum') AS DOUBLE)
+             AS doubled_total
+    FROM t
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def array_higher_order_funcs(spark, sf_dir):
+    """Higher-order array functions as a first-class surface (§2.4):
+    collect per-customer price arrays once, then filter / transform /
+    aggregate WITHIN the array — no re-shuffle, no explode-regroup
+    round-trip. This is the pattern that turns 'explode, filter,
+    groupBy again' (two extra shuffles at 100 TB) into per-row lambda
+    evaluation inside whole-stage codegen. Decimal elements keep the
+    in-array sums engine-exact; the array is collected in o_orderkey
+    order so construction is deterministic (sums would be
+    order-independent anyway — decimal addition commutes exactly)."""
+    from pyspark.sql import Window as W2
+
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    t = (
+        T(spark, sf_dir, "orders")
+        .withColumn(
+            "prices",
+            F.collect_list(dec).over(
+                W.partitionBy("o_custkey").orderBy("o_orderkey")
+                .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ),
+        )
+        .groupBy("o_custkey")
+        .agg(F.first("prices").alias("prices"))
+    )
+    big = F.filter("prices", lambda p: p > 200000)
+    zero = F.lit(0).cast("decimal(12,2)")
+    return t.select(
+        "o_custkey",
+        F.size("prices").alias("n_orders"),
+        F.aggregate(
+            big,
+            zero.cast("decimal(22,2)"),
+            lambda acc, p: (acc + p).cast("decimal(22,2)"),
+        )
+        .cast("double")
+        .alias("big_total"),
+        F.size(big).alias("n_big"),
+        F.aggregate(
+            F.transform("prices", lambda p: p * F.lit(2).cast("decimal(12,2)")),
+            zero.cast("decimal(28,2)"),
+            lambda acc, p: (acc + p).cast("decimal(28,2)"),
+        )
+        .cast("double")
+        .alias("doubled_total"),
+    )
