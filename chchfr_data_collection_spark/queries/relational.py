@@ -1079,8 +1079,6 @@ def array_higher_order_funcs(spark, sf_dir):
     in-array sums engine-exact; the array is collected in o_orderkey
     order so construction is deterministic (sums would be
     order-independent anyway — decimal addition commutes exactly)."""
-    from pyspark.sql import Window as W2
-
     dec = F.col("o_totalprice").cast("decimal(12,2)")
     t = (
         T(spark, sf_dir, "orders")
