@@ -121,3 +121,65 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int, "
+    "out_width int, out_height int, out_bytes binary"
+)
+
+
+def resize_media(media: DataFrame, max_width: int = 128) -> DataFrame:
+    """Resize stub (images/videos): cap width at `max_width`, scale
+    height by the same integer ratio, and emit a deterministically
+    'downscaled' payload (byte prefix proportional to the area ratio —
+    a real kernel would hand the batch to PIL/ffmpeg here; the metadata
+    arithmetic, vectorized batch shape, and output schema are the real
+    contract). Integer arithmetic only (floor(h*tw/w)) so any engine
+    reproduces the output dimensions exactly."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["media_type"] != "audio/wav"]
+            if len(imgs) == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [],
+                        "media_type": [],
+                        "width": [],
+                        "height": [],
+                        "out_width": [],
+                        "out_height": [],
+                        "out_bytes": [],
+                    }
+                ).astype(
+                    {
+                        "doc_id": "int64",
+                        "width": "int32",
+                        "height": "int32",
+                        "out_width": "int32",
+                        "out_height": "int32",
+                    }
+                )
+                continue
+            w = imgs["width"].to_numpy()
+            h = imgs["height"].to_numpy()
+            tw = np.minimum(w, max_width)
+            th = (h * tw) // w  # integer-exact scaled height
+            lens = imgs["payload"].map(len).to_numpy()
+            keep = np.maximum((lens * tw) // w, 1)
+            out = [bytes(p[:k]) for p, k in zip(imgs["payload"], keep)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": imgs["doc_id"],
+                    "media_type": imgs["media_type"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": tw.astype("int32"),
+                    "out_height": th.astype("int32"),
+                    "out_bytes": out,
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=RESIZE_SCHEMA)

@@ -625,3 +625,49 @@ def dedup_cc_survivors(spark, sf_dir):
     )
     d = T(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return d.join(drops, "doc_id", "left_anti")
+
+
+@register(
+    "multimodal_resize",
+    sql="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                  WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+             CAST((doc_id % 8 + 1) * 64 AS BIGINT) AS width,
+             CAST((doc_id % 4 + 1) * 64 AS BIGINT) AS height,
+             text
+      FROM documents)
+    SELECT doc_id, media_type,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(LEAST(width, 128) AS INT) AS out_width,
+           CAST((height * LEAST(width, 128)) // width AS INT) AS out_height,
+           md5(substr(text, 1,
+               CAST(GREATEST((length(text) * LEAST(width, 128)) // width, 1) AS INT)))
+             AS out_md5
+    FROM m WHERE media_type <> 'audio/wav'
+    """,
+    tags=("multimodal", "pandas-udf", "resize"),
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize stub via mapInPandas (§2.11d): width capped at 128,
+    height scaled by the integer ratio, payload 'downscaled' to the
+    proportional byte prefix — the real kernel swaps the prefix-slice
+    for a PIL/ffmpeg call, everything else (metadata arithmetic, Arrow
+    batch shape, 1:1 schema) is the production contract. The catalog
+    edge emits md5(out_bytes) (binary isn't driver-hashable); the
+    oracle replays the same integer arithmetic with substr (ASCII
+    payloads: chars == bytes)."""
+    from ..multimodal import attach_fake_media, resize_media
+
+    media = attach_fake_media(T(spark, sf_dir, "documents", parallel=True))
+    out = resize_media(media, max_width=128)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        F.md5("out_bytes").alias("out_md5"),
+    )
