@@ -55,3 +55,23 @@ def test_sample_frames_video_only_1_to_n(media):
     for doc_id, nframes in per_doc.items():
         expect = max(1, -(-sizes[doc_id] // 64))
         assert nframes == expect
+
+
+def test_resize_integer_invariants(spark, sf_small):
+    """Resize stub: width capped, aspect preserved under integer floor
+    (out_h = floor(h*out_w/w)), audio rows dropped, payload prefix
+    proportional and non-empty."""
+    from chchfr_data_collection_spark.multimodal import (
+        attach_fake_media,
+        resize_media,
+    )
+    from chchfr_data_collection_spark.session import load_table
+
+    media = attach_fake_media(load_table(spark, sf_small, "documents"))
+    out = resize_media(media, max_width=128).collect()
+    assert out
+    for r in out:
+        assert r["media_type"] != "audio/wav"
+        assert r["out_width"] == min(r["width"], 128)
+        assert r["out_height"] == (r["height"] * r["out_width"]) // r["width"]
+        assert 1 <= len(r["out_bytes"])
