@@ -465,3 +465,52 @@ def sample_per_group_topk(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang", "source")
     )
+
+
+@register(
+    "pack_sequence_boundaries",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '{TX.TOKEN_RE}')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+           tok_before // 2048 AS first_seq,
+           CASE WHEN n_tokens = 0 THEN tok_before // 2048
+                ELSE (tok_before + n_tokens - 1) // 2048 END AS last_seq,
+           tok_before % 2048 AS offset_in_first
+    FROM c
+    """,
+    tags=("llm", "curation", "packing", "sequences"),
+)
+def pack_sequence_boundaries(spark, sf_dir):
+    """Token-level sequence packing: concatenate each language stream and
+    cut it into fixed 2048-token training sequences, letting documents
+    SPAN sequence boundaries (the standard pretraining packer — no
+    padding waste). Emits each doc's first/last sequence id and its
+    offset within the first — exactly what a tokenizer shard-writer
+    needs to place the doc's tokens. Same one-window shape as
+    shard_packing (a running total per stratum), plus three integer
+    derivations; everything stays engine-exact integer arithmetic."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    toks = TX.token_count("text").cast("bigint")
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    t = d.select("doc_id", "lang", toks.alias("n_tokens"))
+    before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_before")
+    c = t.select("doc_id", "lang", "n_tokens", before)
+    last_seq = F.when(
+        F.col("n_tokens") == 0, F.floor(F.col("tok_before") / 2048)
+    ).otherwise(F.floor((F.col("tok_before") + F.col("n_tokens") - 1) / 2048))
+    return c.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("tok_before") / 2048).cast("bigint").alias("first_seq"),
+        last_seq.cast("bigint").alias("last_seq"),
+        (F.col("tok_before") % 2048).cast("bigint").alias("offset_in_first"),
+    )

@@ -255,3 +255,58 @@ def pipeline_daily_prices(spark, sf_dir):
         spark, stations, date=dt.date(2026, 1, 1), jitter="deterministic"
     )
     return out.withColumn("price", F.col("price").cast("double"))
+
+
+@register(
+    "ingest_with_quarantine",
+    sql="""
+    WITH incoming AS (
+      SELECT s_suppkey AS location_id, s_name AS location_name, s_acctbal
+      FROM supplier),
+    flagged AS (
+      SELECT *, (s_acctbal >= 0 AND location_name IS NOT NULL) AS is_valid
+      FROM incoming),
+    existing AS (SELECT s_suppkey AS location_id FROM supplier WHERE s_suppkey % 3 = 0)
+    SELECT location_id, location_name,
+           CASE WHEN NOT is_valid THEN 'quarantined'
+                WHEN location_id IN (SELECT location_id FROM existing)
+                  THEN 'duplicate'
+                ELSE 'ingested' END AS disposition
+    FROM flagged
+    """,
+    tags=("domain", "ingest", "validate", "quarantine"),
+)
+def ingest_with_quarantine(spark, sf_dir):
+    """Ingest with quarantine — the composed write-path gate: validation
+    failures are ROUTED, not dropped (the reference swallows bad Places
+    rows silently, dag_collection_data_from_z.py:43-53; a 100 TB
+    pipeline needs the reject rows for reprocessing). One pass tags
+    every incoming row ingested / duplicate / quarantined: the validity
+    predicate evaluates in the scan stage, the duplicate check is the
+    same broadcast anti-join shape as stations_ingest_antijoin, and the
+    three-way disposition is a CASE — no row is read twice, no row is
+    lost (row count in == row count out, pinned in the oracle)."""
+    supp = T(spark, sf_dir, "supplier")
+    incoming = supp.select(
+        F.col("s_suppkey").alias("location_id"),
+        F.col("s_name").alias("location_name"),
+        "s_acctbal",
+    )
+    existing = (
+        supp.filter(F.col("s_suppkey") % 3 == 0)
+        .select(F.col("s_suppkey").alias("location_id"))
+    )
+    is_valid = (F.col("s_acctbal") >= 0) & F.col("location_name").isNotNull()
+    marked = incoming.join(
+        F.broadcast(existing.withColumn("__exists", F.lit(True))),
+        "location_id",
+        "left",
+    )
+    disposition = (
+        F.when(~is_valid, "quarantined")
+        .when(F.col("__exists").isNotNull(), "duplicate")
+        .otherwise("ingested")
+    )
+    return marked.select(
+        "location_id", "location_name", disposition.alias("disposition")
+    )
