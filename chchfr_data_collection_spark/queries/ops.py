@@ -341,3 +341,56 @@ def bucketed_join_colocated(spark, sf_dir):
             dsum("l_quantity").alias("total_qty"),
         )
     )
+
+
+@register(
+    "partition_pruned_read",
+    sql="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-15'
+    GROUP BY 1, 2
+    """,
+    tags=("operator", "write-policy", "partition-pruning"),
+)
+def partition_pruned_read(spark, sf_dir):
+    """Partition pruning end-to-end (SURVEY §4.3): events written
+    date-partitioned ONCE per process, then a single-day read whose
+    filter resolves at PLANNING time — the scan touches one directory of
+    the layout, not the table (PartitionFilters in the plan; pinned in
+    tests/test_rollup.py). At 100 TB this is the difference between
+    reading ~100 GB and reading everything; the oracle recomputes from
+    the unpartitioned source, proving layout is invisible to results."""
+    import tempfile
+
+    from ..session import load_table
+
+    loc = getattr(partition_pruned_read, "_loc", None)
+    if loc is None:
+        loc = tempfile.mkdtemp(prefix="events_bydate_")
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(loc)
+        )
+        partition_pruned_read._loc = loc
+        partition_pruned_read._loc_sf = sf_dir
+    elif getattr(partition_pruned_read, "_loc_sf", None) != sf_dir:
+        # different fixture scale: rewrite the layout for this sf_dir
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.withColumn("day", F.date_trunc("day", "ts").cast("date"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(loc)
+        )
+        partition_pruned_read._loc_sf = sf_dir
+    back = spark.read.parquet(loc).filter(F.col("day") == F.lit("2024-01-15").cast("date"))
+    return back.groupBy("day", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+    )

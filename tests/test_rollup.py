@@ -127,3 +127,17 @@ def test_hll_rollup_contracts_hold(spark, sf_small, cat):
     assert out
     for r in out:
         assert r["merge_consistent"] and r["hll_ok"], r
+
+
+def test_partition_pruned_read_resolves_at_planning(spark, sf_small, cat):
+    """The single-day filter must land in PartitionFilters (directory
+    pruning at planning time), not as a data filter over the whole
+    layout."""
+    from chchfr_data_collection_spark.plans.audit import formatted_plan
+
+    df = cat["partition_pruned_read"].fn(spark, sf_small)
+    plan = formatted_plan(df)
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "day" in pf.group(1), plan[:2000]
