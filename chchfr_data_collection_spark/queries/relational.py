@@ -1113,3 +1113,45 @@ def array_higher_order_funcs(spark, sf_dir):
         .cast("double")
         .alias("doubled_total"),
     )
+
+
+@register(
+    "join_null_safe_eq",
+    sql="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE CAST(o_orderkey % 7 AS BIGINT) END AS grp
+      FROM orders),
+    r AS (
+      SELECT CASE WHEN g = -1 THEN NULL ELSE g END AS grp,
+             CASE WHEN g = -1 THEN 'null-bucket' ELSE 'bucket-' || g END AS label
+      FROM (SELECT unnest([-1, 0, 1, 2, 3]) AS g) t)
+    SELECT r.label, COUNT(*) AS n
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    GROUP BY r.label
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics for joining on
+    optional attributes (a plain equi-join silently drops every
+    NULL-keyed row; an unnoticed drop at 100 TB is a data-loss bug, not
+    a perf bug). Catalyst plans `<=>` as a hash join exactly like `=`
+    (EqualNullSafe is a valid equi-join key), so the null bucket costs
+    nothing extra — but it IS one hash bucket, so a mostly-NULL key
+    column needs the same skew treatment as any hot key."""
+    l = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_orderkey") % 7)
+        .alias("grp"),
+    )
+    rows = [(None, "null-bucket")] + [(g, f"bucket-{g}") for g in (0, 1, 2, 3)]
+    r = spark.createDataFrame(rows, "grp bigint, label string")
+    return (
+        l.join(F.broadcast(r), l.grp.eqNullSafe(r.grp))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
