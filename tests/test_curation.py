@@ -210,3 +210,35 @@ def test_pmi_collocations_vocab_broadcast(spark, sf_small, cat):
     rows = df.collect()
     assert len(rows) <= 50
     assert all(r["n12"] >= 5 and r["lift"] > 0 for r in rows)
+
+
+def test_sequence_boundaries_continuity(spark, sf_small, cat):
+    """Sequence packing invariants: within each language stream, doc i+1
+    starts exactly where doc i ends (token-contiguous concatenation),
+    offsets stay below the 2048 budget, and spans are consistent."""
+    rows = cat["pack_sequence_boundaries"].fn(spark, sf_small).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rs:
+            assert r["first_seq"] == pos // 2048
+            assert r["offset_in_first"] == pos % 2048
+            end = pos + r["n_tokens"]
+            expected_last = pos // 2048 if r["n_tokens"] == 0 else (end - 1) // 2048
+            assert r["last_seq"] == expected_last, (lang, r["doc_id"])
+            assert 0 <= r["offset_in_first"] < 2048
+            pos = end
+
+
+def test_quarantine_loses_no_rows(spark, sf_small, cat):
+    """Disposition routing partitions the input exactly: every incoming
+    row appears once, with a valid three-way label."""
+    out = cat["ingest_with_quarantine"].fn(spark, sf_small).collect()
+    n_supp = spark.read.parquet(f"{sf_small}/supplier.parquet").count()
+    assert len(out) == n_supp
+    assert {r["disposition"] for r in out} <= {"ingested", "duplicate", "quarantined"}
+    assert len({r["location_id"] for r in out}) == n_supp
