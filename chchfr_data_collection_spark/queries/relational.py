@@ -1155,3 +1155,44 @@ def join_null_safe_eq(spark, sf_dir):
         .groupBy("label")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    sql="""
+    WITH c AS (
+      SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_custkey, o_orderpriority),
+    r AS (
+      SELECT o_custkey, o_orderpriority, n,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c)
+    SELECT o_custkey, o_orderpriority AS mode_priority, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+    tags=("agg", "mode", "window"),
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Deterministic per-group MODE (most frequent value, ties broken by
+    the value itself): count-then-rank instead of the built-in `mode()`,
+    whose tie choice is engine/partitioning-dependent — unacceptable
+    under this catalog's bit-exactness contract AND a real
+    reproducibility bug at scale (a retried stage could flip the
+    answer). Two map-side-combinable aggregations sharing the group key
+    + one tiny window over per-group distinct values."""
+    c = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("o_custkey").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )
