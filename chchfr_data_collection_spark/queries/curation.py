@@ -480,10 +480,10 @@ def sample_per_group_topk(spark, sf_dir):
                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
       FROM t)
     SELECT doc_id, lang, n_tokens,
-           tok_before // 2048 AS first_seq,
-           CASE WHEN n_tokens = 0 THEN tok_before // 2048
-                ELSE (tok_before + n_tokens - 1) // 2048 END AS last_seq,
-           tok_before % 2048 AS offset_in_first
+           CAST(tok_before // 2048 AS BIGINT) AS first_seq,
+           CAST(CASE WHEN n_tokens = 0 THEN tok_before // 2048
+                ELSE (tok_before + n_tokens - 1) // 2048 END AS BIGINT) AS last_seq,
+           CAST(tok_before % 2048 AS BIGINT) AS offset_in_first
     FROM c
     """,
     tags=("llm", "curation", "packing", "sequences"),

@@ -493,6 +493,24 @@ def similarity_topk_cosine(spark, sf_dir):
     )
 
 
+# Hard sample bound for the two O(n²) oracle twins below: the all-pairs
+# stage only ever sees vec_id < _TWIN_SAMPLE_N, pushed into the parquet
+# scan, so a corpus-wide quadratic invocation is not expressible through
+# the catalog (VERDICT r2 item 3). Covers every vec_id at the driver's
+# sf0.01 gate (max 499), so oracle rows are unchanged there; at larger
+# SFs the twin audits LSH/IVF recall on this fixed slice by design.
+_TWIN_SAMPLE_N = 1000
+
+
+def _twin_sample(emb, sample_n):
+    """Bounded slice for an oracle twin; refuses unbounded invocation."""
+    if not isinstance(sample_n, int) or isinstance(sample_n, bool) or sample_n <= 0:
+        raise ValueError(
+            f"oracle-twin queries require a positive int sample bound, got {sample_n!r}"
+        )
+    return emb.filter(F.col("vec_id") < sample_n)
+
+
 @register(
     "similarity_threshold_pairs",
     sql=f"""
@@ -502,6 +520,7 @@ def similarity_topk_cosine(spark, sf_dir):
       FROM embeddings a
       JOIN embeddings b ON a.vec_id < b.vec_id
       CROSS JOIN range(1, 65) t(i)
+      WHERE a.vec_id < 1000 AND b.vec_id < 1000
       GROUP BY a.vec_id, b.vec_id)
     SELECT va, vb,
       CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
@@ -510,17 +529,20 @@ def similarity_topk_cosine(spark, sf_dir):
     """,
     tags=("llm", "similarity", "join", "oracle-twin"),
 )
-def similarity_threshold_pairs(spark, sf_dir):
+def similarity_threshold_pairs(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
     """All-pairs cosine similarity join at a threshold (embedding near-dup).
 
-    ORACLE TWIN — deliberately O(n²): this is the exact reference that
-    verifies similarity_lsh_ann (the bucketed scale path) and is kept
-    out of the bench HEADLINE set. At 100 TB run the LSH variant;
-    run this only on bounded samples to audit recall.
+    ORACLE TWIN — deliberately O(n²) over a BOUNDED slice: this is the
+    exact reference that verifies similarity_lsh_ann (the bucketed scale
+    path) and is kept out of the bench HEADLINE set. The `vec_id <
+    sample_n` bound is mandatory (no None opt-out) and pushed into the
+    parquet scan, so a corpus-wide all-pairs run is impossible by
+    construction; at 100 TB the LSH variant is the similarity pass and
+    this audits its recall on the fixed slice.
 
     Quantized arrays + norms precomputed per side (see
     similarity_topk_cosine); the O(n^2) pair stage does one array pass."""
-    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    emb = _twin_sample(T(spark, sf_dir, "embeddings", parallel=True), sample_n)
     a = emb.select(
         F.col("vec_id").alias("va"),
         V.quantize("embedding").alias("qa"),
@@ -1157,6 +1179,7 @@ def dedup_jaccard_prefix(spark, sf_dir):
       FROM embeddings a
       JOIN embeddings b ON a.vec_id < b.vec_id
       CROSS JOIN range(1, 65) t(i)
+      WHERE a.vec_id < 1000 AND b.vec_id < 1000
       GROUP BY a.vec_id, b.vec_id)
     SELECT keep_id, drop_id,
       CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
@@ -1165,15 +1188,17 @@ def dedup_jaccard_prefix(spark, sf_dir):
     """,
     tags=("llm", "dedup", "similarity", "oracle-twin"),
 )
-def dedup_embedding_cosine(spark, sf_dir):
+def dedup_embedding_cosine(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
     """Embedding-cosine near-dup dedup: pairs above threshold with the
     lower vec_id as keeper (min-id survivorship).
 
-    ORACLE TWIN — deliberately O(n²): the brute-force exact reference
-    for the LSH scale path (similarity_lsh_ann). Kept out of the bench
-    HEADLINE set; at 100 TB the LSH variant is the dedup pass and this
-    audits its recall on bounded samples."""
-    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    ORACLE TWIN — deliberately O(n²) over a BOUNDED slice (`vec_id <
+    sample_n`, mandatory, pushed to the scan — see
+    similarity_threshold_pairs): the brute-force exact reference for the
+    LSH scale path (similarity_lsh_ann). Kept out of the bench HEADLINE
+    set; at 100 TB the LSH variant is the dedup pass and this audits its
+    recall on the fixed slice."""
+    emb = _twin_sample(T(spark, sf_dir, "embeddings", parallel=True), sample_n)
     a = emb.select(
         F.col("vec_id").alias("keep_id"),
         V.quantize("embedding").alias("qa"),

@@ -49,11 +49,15 @@ class LandingReader(DataSourceReader):
         self.suffix = options.get("suffix", ".json")
 
     def partitions(self):
+        # Recursive walk: land_payload writes nested
+        # {source}/batch={id}/payload.json layouts, and a flat dir of
+        # *.json files is the degenerate single-level case of the same
+        # walk — both shapes enumerate here.
         files = sorted(
-            p
-            for f in os.listdir(self.path)
+            os.path.join(root, f)
+            for root, _dirs, names in os.walk(self.path)
+            for f in names
             if f.endswith(self.suffix)
-            and os.path.isfile(p := os.path.join(self.path, f))
         )
         # empty landing zone -> one empty partition (a scan of nothing is
         # a valid day with no fetches, not an error)
@@ -63,7 +67,9 @@ class LandingReader(DataSourceReader):
         if not partition.path:
             return
         with open(partition.path, encoding="utf-8") as fh:
-            yield fh.read(), os.path.basename(partition.path)
+            # relpath keeps batch provenance for nested layouts and
+            # degenerates to the bare filename for flat ones
+            yield fh.read(), os.path.relpath(partition.path, self.path)
 
 
 def register(spark) -> None:

@@ -39,6 +39,20 @@ class FetchError(RuntimeError):
     """All retries exhausted (or a non-retryable payload error)."""
 
 
+#: 4xx statuses that are still worth retrying: request-timeout and
+#: rate-limit are transient by definition; everything else in 4xx is a
+#: deterministic client error (bad URL, bad key) that no retry can fix.
+_RETRYABLE_4XX = frozenset({408, 429})
+
+
+def _is_permanent(exc: Exception) -> bool:
+    """True for deterministic failures no retry budget can fix:
+    HTTP 4xx (except 408/429). 5xx, network resets, timeouts, and
+    JSON-garbage payloads all stay retryable."""
+    code = getattr(exc, "code", None)  # urllib.error.HTTPError
+    return isinstance(code, int) and 400 <= code < 500 and code not in _RETRYABLE_4XX
+
+
 def fetch_json(
     url: str,
     retries: int = 5,
@@ -68,11 +82,48 @@ def fetch_json(
             text = get(url, timeout_s).decode("utf-8")
             json.loads(text)  # validate it parses; content schema is Spark's job
             return text
-        except Exception as exc:  # urllib/socket/json errors are all retryable
+        except Exception as exc:
             last_err = exc
+            if _is_permanent(exc):
+                raise FetchError(f"permanent failure ({exc}): {url}") from exc
             if attempt < retries - 1:
                 sleep(backoff_s * (2**attempt))
     raise FetchError(f"fetch failed after {retries} attempts: {url}") from last_err
+
+
+def fetch_json_paginated(
+    url: str,
+    page_token_param: str = "pagetoken",
+    token_key: str = "next_page_token",
+    max_pages: int = 10,
+    **fetch_kwargs,
+) -> list[str]:
+    """Follow Google-Places-style `next_page_token` pagination, returning
+    the raw text of each page (parity-plus: the reference issues a single
+    GET, dag_collection_data_from_z.py:44-48, and silently truncates at
+    the API's 20-result first page).
+
+    Each page fetch gets the full bounded-retry budget of `fetch_json`;
+    `max_pages` bounds the loop so a server echoing a token forever
+    cannot spin us — hitting the bound with a token still present raises
+    (silent truncation would be indistinguishable from completion)."""
+    pages: list[str] = []
+    token: str | None = None
+    for _ in range(max_pages):
+        u = (
+            url
+            if token is None
+            else f"{url}{'&' if '?' in url else '?'}{page_token_param}={token}"
+        )
+        text = fetch_json(u, **fetch_kwargs)
+        pages.append(text)
+        nxt = json.loads(text).get(token_key)
+        token = nxt if isinstance(nxt, str) and nxt else None
+        if token is None:
+            return pages
+    raise FetchError(
+        f"pagination still yielding {token_key} after max_pages={max_pages}: {url}"
+    )
 
 
 def land_payload(payload: str, landing_dir: str, source: str, batch_id: str) -> str:

@@ -141,3 +141,24 @@ def test_scd2_fold_broadcasts_batch(spark, sf_small, cat):
     df = cat["scd2_dimension_fold"].fn(spark, sf_small)
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_oracle_twins_bounded_by_construction(spark, sf_small, cat):
+    """The two deliberately-quadratic oracle twins must carry their
+    vec_id sample bound INTO the parquet scan (pushed filter on both
+    sides), so a corpus-wide all-pairs run is not expressible through
+    the catalog (VERDICT r2 item 3)."""
+    from chchfr_data_collection_spark.queries.llm import (
+        dedup_embedding_cosine,
+        similarity_threshold_pairs,
+    )
+
+    for name in ("similarity_threshold_pairs", "dedup_embedding_cosine"):
+        df = cat[name].fn(spark, sf_small)
+        assert_pushed_filter(df, "embeddings", "vec_id")
+    # and an unbounded invocation must be impossible to express
+    for fn in (similarity_threshold_pairs, dedup_embedding_cosine):
+        with pytest.raises(ValueError):
+            fn(spark, sf_small, sample_n=None)
+        with pytest.raises(ValueError):
+            fn(spark, sf_small, sample_n=0)
