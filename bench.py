@@ -5,9 +5,18 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced end-to-end with a noop-format write (full
 materialization, no driver collect, no result pruning). Per-query time
-is the best of 2 back-to-back runs: run 1 pays one-off JVM/codegen
-compilation (~1-3 s of JIT per distinct plan shape), run 2 measures the
-steady-state execution the plan actually has — the number that scales.
+is the best of 3 INTERLEAVED passes over the whole headline list
+(pass 1 → all queries, pass 2 → all queries, pass 3 → all queries):
+pass 1 pays one-off JVM/codegen compilation (~1-3 s of JIT per
+distinct plan shape) and the later passes measure steady state, while
+interleaving decorrelates any transient machine load from individual
+queries — a load spike hurts one pass of many queries a little instead
+of both runs of one query a lot (round-2 verdict item 4: back-to-back
+best-of-2 made per-query regression calls unfalsifiable under the
+documented 6x noise envelope). The JSON line carries `loadavg`
+(1-minute load sampled before and after) so a loaded-box artifact is
+visible in the record itself, and `passes` per query for post-hoc
+noise inspection.
 """
 
 from __future__ import annotations
@@ -72,16 +81,17 @@ def main() -> None:
     # warm the JVM/session on a trivial action so q1 doesn't pay startup
     spark.range(1).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = cat[name].fn
-        best = float("inf")
-        for _ in range(2):
+    load_before = os.getloadavg()[0]
+    passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            fn = cat[name].fn
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            passes[name].append(round(time.perf_counter() - t0, 3))
+    load_after = os.getloadavg()[0]
 
+    timings = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -91,6 +101,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": "interleaved_best_of_3",
+                "loadavg": [round(load_before, 2), round(load_after, 2)],
+                "passes": passes,
             }
         )
     )

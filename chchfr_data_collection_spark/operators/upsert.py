@@ -57,12 +57,26 @@ def upsert_last_wins(
     )
 
 
-def overwrite_date_partition(df: DataFrame, path: str, date_col: str = "date") -> None:
+def overwrite_date_partition(
+    df: DataFrame, path: str, date_col: str = "date", fence: bool = True
+) -> None:
     """Idempotent daily write: replace only the partitions present in `df`.
 
     Requires spark.sql.sources.partitionOverwriteMode=dynamic (set by the
     session factory). Re-running the job for the same date rewrites the
     same partition to the same content — the retry-safety the reference
     gets from ON CONFLICT.
+
+    `fence=True` (default) serializes concurrent writers on the same
+    table via a lease file (operators/lease.py): two jobs racing the
+    same date wait on each other instead of interleaving their commit
+    phases into a mixed-file partition. Matches the isolation the
+    reference gets from Postgres row locks under ON CONFLICT.
     """
-    df.write.mode("overwrite").partitionBy(date_col).parquet(path)
+    if fence:
+        from .lease import WriterLease
+
+        with WriterLease(df.sparkSession, path):
+            df.write.mode("overwrite").partitionBy(date_col).parquet(path)
+    else:
+        df.write.mode("overwrite").partitionBy(date_col).parquet(path)

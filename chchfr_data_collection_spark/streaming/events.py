@@ -148,9 +148,21 @@ def foreach_batch_upsert(
     this whole function is one MERGE INTO; documented in NOTES.md.)"""
     import uuid
 
+    from ..operators.lease import WriterLease
     from ..operators.upsert import upsert_by_key
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # Writer fence: the read-merge-publish below is a lost-update
+        # hazard if two streams (or a stream + a batch backfill) target
+        # the same path — A reads pre-B state, then renames over B's
+        # result. The lease serializes cooperating writers
+        # (operators/lease.py); within one stream, checkpointing already
+        # serializes epochs.
+        with WriterLease(spark, target_path):
+            _merge_batch_locked(batch_df)
+
+    def _merge_batch_locked(batch_df: DataFrame) -> None:
         spark = batch_df.sparkSession
         # Hadoop FileSystem API, NOT os.path/os.rename: the target may be
         # hdfs:// or s3a:// — driver-local fs calls would see a missing

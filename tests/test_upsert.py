@@ -1,9 +1,18 @@
-"""Upsert / MERGE emulation tests (SURVEY.md §2 K2) incl. idempotence."""
+"""Upsert / MERGE emulation tests (SURVEY.md §2 K2) incl. idempotence
+and concurrent-writer fencing (round-2 verdict item 5)."""
 
 from __future__ import annotations
 
 import datetime as dt
+import threading
+import time
 
+import pytest
+
+from chchfr_data_collection_spark.operators.lease import (
+    ConcurrentWriteError,
+    WriterLease,
+)
 from chchfr_data_collection_spark.operators.upsert import (
     overwrite_date_partition,
     upsert_by_key,
@@ -66,3 +75,63 @@ def test_overwrite_date_partition_idempotent(spark, tmp_path):
         (str(r.date)): r.price for r in spark.read.parquet(path).collect()
     }
     assert got == {"2026-08-01": 2.10, "2026-08-02": 2.25}
+
+
+def test_lease_mutual_exclusion(spark, tmp_path):
+    target = str(tmp_path / "t")
+    a = WriterLease(spark, target, timeout_s=0.0)
+    b = WriterLease(spark, target, timeout_s=0.3, poll_s=0.05)
+    a.acquire()
+    assert not b.try_acquire()
+    with pytest.raises(ConcurrentWriteError):
+        b.acquire()
+    a.release()
+    b.acquire()
+    assert not a.try_acquire()
+    b.release()
+
+
+def test_lease_breaks_stale_holder(spark, tmp_path):
+    """A lease past its TTL is presumed orphaned (crashed writer) and is
+    broken by the next acquirer."""
+    target = str(tmp_path / "t")
+    dead = WriterLease(spark, target, timeout_s=0.0)
+    dead.acquire()  # never released: simulated crash
+    taker = WriterLease(spark, target, ttl_s=0.2, timeout_s=2.0, poll_s=0.05)
+    time.sleep(0.4)
+    taker.acquire()
+    taker.release()
+
+
+def test_concurrent_overwrite_serializes(spark, tmp_path):
+    """Two writers racing the same partition serialize via the lease:
+    both complete, the survivor is exactly ONE writer's consistent
+    output (no mixed-file partition), and the table stays readable."""
+    path = str(tmp_path / "fuel_price")
+    d = dt.date(2026, 8, 3)
+    schema = SCHEMA + ", date date"
+    # enough rows for a multi-file write so interleaving would be visible
+    frame_a = spark.createDataFrame(
+        [(f"loc{i}", "Diesel", 1.0, d) for i in range(200)], schema
+    ).repartition(8)
+    frame_b = spark.createDataFrame(
+        [(f"loc{i}", "Diesel", 2.0, d) for i in range(200)], schema
+    ).repartition(8)
+    errs: list = []
+
+    def write(df):
+        try:
+            overwrite_date_partition(df, path)
+        except Exception as e:  # pragma: no cover - failure recorded for assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=write, args=(f,)) for f in (frame_a, frame_b)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    rows = spark.read.parquet(path).collect()
+    prices = {r.price for r in rows}
+    assert len(rows) == 200, f"mixed partition: {len(rows)} rows"
+    assert prices in ({1.0}, {2.0}), f"interleaved writers: {prices}"
