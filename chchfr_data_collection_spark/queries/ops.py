@@ -301,27 +301,29 @@ def bucketed_join_colocated(spark, sf_dir):
     the write path ONCE; every subsequent orderkey join (Q18/Q7/Q12/Q21
     shapes) is shuffle-free. The oracle reads the unbucketed source —
     bucketing must be invisible to results."""
-    # fixed table names, overwritten per run — uuid-suffixed names would
-    # leak a full lineitem+orders copy into the warehouse per invocation
-    li_t, o_t = "chchfr_li_bucketed", "chchfr_orders_bucketed"
-    # a previous PROCESS may have left the warehouse dirs behind while
-    # this session's in-memory catalog has no such table — saveAsTable
-    # then fails with LOCATION_ALREADY_EXISTS; drop both table and dir
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = spark._jvm.org.apache.hadoop.fs.Path
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    import os
+    import tempfile
+
+    # Table names are scoped by a per-process token and the data lives in
+    # a per-process tempdir (external tables via option("path")), so two
+    # processes sharing one warehouse (pytest + bench) can never clobber
+    # each other's dirs mid-write; within a process the single token keeps
+    # re-runs to ONE overwritten copy instead of leaking one per call.
+    base = getattr(bucketed_join_colocated, "_loc", None)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="chchfr_bucketed_")
+        bucketed_join_colocated._loc = base
+    tok = os.path.basename(base).rsplit("_", 1)[-1]
+    li_t, o_t = f"chchfr_li_bucketed_{tok}", f"chchfr_orders_bucketed_{tok}"
     for t in (li_t, o_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        p = HPath(f"{warehouse}/{t}")
-        fs = p.getFileSystem(hconf)
-        if fs.exists(p):
-            fs.delete(p, True)
     (
         T(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_quantity")
         .write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .mode("overwrite")
+        .option("path", os.path.join(base, "lineitem"))
         .saveAsTable(li_t)
     )
     (
@@ -330,6 +332,7 @@ def bucketed_join_colocated(spark, sf_dir):
         .write.bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .mode("overwrite")
+        .option("path", os.path.join(base, "orders"))
         .saveAsTable(o_t)
     )
     li, orders = spark.table(li_t), spark.table(o_t)
