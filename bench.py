@@ -83,16 +83,28 @@ def main() -> None:
 
     load_before = os.getloadavg()[0]
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    errors: dict[str, str] = {}
     for _ in range(3):
         for name in HEADLINE:
+            if name in errors:
+                continue  # don't re-run a query that already crashed
             fn = cat[name].fn
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                # One broken query must not zero the whole record
+                # (round-3 postmortem: events crash → BENCH_r03 = null).
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             passes[name].append(round(time.perf_counter() - t0, 3))
     load_after = os.getloadavg()[0]
 
-    timings = {name: min(ts) for name, ts in passes.items()}
-    total = round(sum(timings.values()), 3)
+    timings: dict[str, object] = {
+        name: (min(ts) if ts else {"err": errors.get(name, "no passes")})
+        for name, ts in passes.items()
+    }
+    total = round(sum(t for t in timings.values() if isinstance(t, float)), 3)
     print(
         json.dumps(
             {
@@ -104,9 +116,12 @@ def main() -> None:
                 "protocol": "interleaved_best_of_3",
                 "loadavg": [round(load_before, 2), round(load_after, 2)],
                 "passes": passes,
+                "errors": errors,
             }
         )
     )
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

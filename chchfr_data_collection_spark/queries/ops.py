@@ -301,19 +301,28 @@ def bucketed_join_colocated(spark, sf_dir):
     the write path ONCE; every subsequent orderkey join (Q18/Q7/Q12/Q21
     shapes) is shuffle-free. The oracle reads the unbucketed source —
     bucketing must be invisible to results."""
+    import atexit
     import os
+    import shutil
     import tempfile
+    import uuid
 
     # Table names are scoped by a per-process token and the data lives in
     # a per-process tempdir (external tables via option("path")), so two
     # processes sharing one warehouse (pytest + bench) can never clobber
     # each other's dirs mid-write; within a process the single token keeps
     # re-runs to ONE overwritten copy instead of leaking one per call.
+    # The dir is removed at process exit, and the token is generated
+    # independently of the tempdir name (tempfile's alphabet includes '_',
+    # which made name-derived tokens truncatable).
     base = getattr(bucketed_join_colocated, "_loc", None)
     if base is None:
-        base = tempfile.mkdtemp(prefix="chchfr_bucketed_")
+        tok = uuid.uuid4().hex[:8]
+        base = tempfile.mkdtemp(prefix=f"chchfr_bucketed_{tok}_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         bucketed_join_colocated._loc = base
-    tok = os.path.basename(base).rsplit("_", 1)[-1]
+        bucketed_join_colocated._tok = tok
+    tok = bucketed_join_colocated._tok
     li_t, o_t = f"chchfr_li_bucketed_{tok}", f"chchfr_orders_bucketed_{tok}"
     for t in (li_t, o_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -68,22 +68,49 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one fixture table, normalizing engine-specific gotchas.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark has no
-    native type for — read it as nanos-since-epoch (legacy conf) and
-    truncate to a microsecond TimestampType (`div 1000` floors, exactly
-    what DuckDB's micro-precision TIMESTAMP does). Session timezone is
-    pinned to UTC so formatted timestamps match the naive-UTC fixture.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    generations and TIMESTAMP(MICROS) in others, so the loader dispatches
+    on the schema Spark actually infers rather than assuming a physical
+    type (a hard-coded assumption here silently broke when the fixtures
+    flipped). Session timezone is pinned to UTC so naive-UTC fixture
+    timestamps keep their face value.
+    """
+    if name == "events":
+        return _load_events(spark, f"{sf_dir}/{name}.parquet")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def _load_events(spark: SparkSession, path: str):
+    """Load events with ``ts`` normalized to microsecond TimestampType.
+
+    Three physical layouts are handled:
+    - TIMESTAMP(MICROS) / TIMESTAMP_NTZ → cast to session-TZ TimestampType
+      (UTC-pinned, so this is a relabel, not a wall-clock shift);
+    - INT64 nanos already surfaced as LongType (legacy conf active) →
+      floor-divide to micros, same truncation DuckDB applies;
+    - TIMESTAMP(NANOS), which Spark cannot infer without the legacy
+      ``nanosAsLong`` conf → enable it (fallback only; the conf is a
+      no-op for non-NANOS parquet, so later micros reads are unaffected)
+      and take the LongType path.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    if name == "events":
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # TIMESTAMP(NANOS) parquet is unreadable without the legacy conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.select(*_EVENTS_COLS)
 
 
 def parallelize_scan(df, min_factor: float = 0.5):

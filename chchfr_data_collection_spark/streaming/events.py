@@ -16,31 +16,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet carries TIMESTAMP(NANOS) -> read as long nanos, convert
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos since epoch
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Stream the events fixture with ``ts`` normalized to TimestampType.
+
+    The streaming file source needs an explicit schema, and the fixture's
+    physical ``ts`` layout has drifted across generations (TIMESTAMP(NANOS)
+    → TIMESTAMP(MICROS)), so the schema is probed from the parquet footer
+    via a driver-side batch read instead of being hard-coded — same
+    dispatch as the batch loader (`session._load_events`).
+    """
+    path = f"{sf_dir}/events.parquet"
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        # TIMESTAMP(NANOS) parquet needs the legacy conf to be readable.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(path).schema
     # the streaming file source requires a directory — point it at the
     # fixture dir and glob-filter to the events file
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):  # nanos since epoch
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def tumbling_counts(

@@ -33,11 +33,151 @@ def test_extract_features_deterministic(media):
     assert len(f1) == media.count()  # 1:1, no rows lost across Arrow batches
 
 
-def test_extract_features_real_decode_is_stubbed(media):
-    from py4j.protocol import Py4JJavaError
+def _encode_png(width, height, channels, pix, filters=None):
+    """Minimal PNG writer for test fixtures: 8-bit, non-interlaced, one
+    forward-filtered scanline per `filters[y]` (default all 0/None)."""
+    import struct
+    import zlib
 
-    with pytest.raises((Py4JJavaError, Exception)):
-        extract_features(media, decode="real").collect()
+    color = {1: 0, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pix[y * stride : (y + 1) * stride]
+        f = filters[y]
+        raw.append(f)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = (line[i] - a) & 0xFF
+            elif f == 2:
+                v = (line[i] - b) & 0xFF
+            elif f == 3:
+                v = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (line[i] - pred) & 0xFF
+            raw.append(v)
+        prev = line
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_bmp24(width, height, rgb, top_down=False):
+    """Minimal uncompressed 24-bit BMP writer (BGR, 4-byte row padding)."""
+    import struct
+
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    body = bytearray()
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    for y in rows:
+        line = bytearray()
+        for x in range(width):
+            i = (y * width + x) * 3
+            line += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # RGB -> BGR
+        body += line + bytes(stride - row_bytes)
+    pix_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height if not top_down else -height,
+        1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return bytes(header + dib + body)
+
+
+def test_png_decode_all_filters_roundtrip():
+    """decode_image inverts every PNG scanline filter (None/Sub/Up/
+    Average/Paeth) on an 8-bit RGB image."""
+    import random
+
+    from chchfr_data_collection_spark.multimodal import decode_image
+
+    rng = random.Random(42)
+    w, h, c = 7, 5, 3
+    pix = bytes(rng.randrange(256) for _ in range(w * h * c))
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        png = _encode_png(w, h, c, pix, filters=filters)
+        assert decode_image(png) == (w, h, c, pix), f"filters={filters}"
+
+
+def test_png_decode_gray_and_rgba():
+    import random
+
+    from chchfr_data_collection_spark.multimodal import decode_image
+
+    rng = random.Random(7)
+    gray = bytes(rng.randrange(256) for _ in range(6 * 4))
+    assert decode_image(_encode_png(6, 4, 1, gray)) == (6, 4, 1, gray)
+    rgba = bytes(rng.randrange(256) for _ in range(3 * 2 * 4))
+    assert decode_image(_encode_png(3, 2, 4, rgba, filters=[4, 1])) == (3, 2, 4, rgba)
+
+
+def test_bmp_decode_both_orientations():
+    import random
+
+    from chchfr_data_collection_spark.multimodal import decode_image
+
+    rng = random.Random(9)
+    w, h = 5, 3  # odd width exercises the 4-byte row padding
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    assert decode_image(_encode_bmp24(w, h, rgb)) == (w, h, 3, rgb)
+    assert decode_image(_encode_bmp24(w, h, rgb, top_down=True)) == (w, h, 3, rgb)
+
+
+def test_extract_features_real_decode_via_spark(spark):
+    """End-to-end: real PNG/BMP payloads through the mapInPandas kernel —
+    features carry exact dimension and integer-exact channel means."""
+    from chchfr_data_collection_spark.multimodal import extract_features
+
+    # 2x2 RGB: solid red, green, blue, white -> channel means 2/4*255ths
+    pix = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    png = _encode_png(2, 2, 3, pix)
+    bmp = _encode_bmp24(2, 2, pix)
+    rows = [(1, "image/png", len(png), 2, 2, bytearray(png)),
+            (2, "image/bmp", len(bmp), 2, 2, bytearray(bmp))]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, media_type string, n_bytes int, width int, "
+        "height int, payload binary",
+    )
+    feats = {r.doc_id: r.feat for r in extract_features(media, decode="real").collect()}
+    expect_mean = (255 + 255) / (4 * 255.0)  # each channel lit in 2 of 4 px
+    for doc_id in (1, 2):
+        f = feats[doc_id]
+        assert f[0] == pytest.approx(2 / 1024.0)   # width
+        assert f[1] == pytest.approx(2 / 1024.0)   # height
+        assert f[2] == pytest.approx(3 / 4.0)      # channels
+        assert f[3] == 0.0 and f[4] == 1.0          # min/max samples
+        assert f[5] == pytest.approx(expect_mean)   # R mean
+        assert f[6] == pytest.approx(expect_mean)   # G mean
+        assert f[7] == pytest.approx(expect_mean)   # B mean
+    # PNG and BMP decode to identical pixels -> identical features
+    assert feats[1] == feats[2]
+
+
+def test_real_decode_unsupported_format_raises():
+    from chchfr_data_collection_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
 
 
 def test_sample_frames_video_only_1_to_n(media):
