@@ -290,6 +290,61 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_real",
+    sql="""
+    WITH px AS (
+      SELECT doc_id, k, (doc_id * 31 + k * 7) % 256 AS v
+      FROM documents CROSS JOIN LATERAL unnest(range(0, 48)) AS t(k)
+    )
+    SELECT doc_id,
+           CAST(MIN(v) AS DOUBLE) / 255.0 AS px_min,
+           CAST(MAX(v) AS DOUBLE) / 255.0 AS px_max,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS DOUBLE) / 4080.0 AS mean_r,
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS DOUBLE) / 4080.0 AS mean_g,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS DOUBLE) / 4080.0 AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "decode"),
+)
+def multimodal_decode_real(spark, sf_dir):
+    """REAL image decode, end-to-end and oracle-checked: per document a
+    deterministic 4x4 RGB image (byte k = (doc_id*31 + 7k) mod 256) is
+    encoded to an uncompressed BMP and decoded back by the pure-stdlib
+    codec inside an Arrow-batched mapInPandas kernel; the emitted
+    channel statistics are integer-exact (single IEEE division), so the
+    DuckDB oracle reproduces them arithmetically without any codec.
+    At 100 TB this is the decode→feature stage shape: payload bytes stay
+    in Arrow batches, one Python worker per partition, no JVM round trip
+    per row."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..multimodal import _real_features, encode_bmp24
+
+    docs = T(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    out_schema = (
+        "doc_id bigint, px_min double, px_max double, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "px_min", "px_max", "mean_r", "mean_g", "mean_b"]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pix = bytes((d * 31 + k * 7) % 256 for k in range(48))
+                f = _real_features(encode_bmp24(4, 4, pix))
+                rows.append((d, f[3], f[4], f[5], f[6], f[7]))
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"doc_id": "int64", **{c: "float64" for c in cols[1:]}}
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)
+
+
+@register(
     "validate_fk_orphans",
     sql="""
     SELECT o_orderkey, o_custkey FROM orders

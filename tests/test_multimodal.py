@@ -33,75 +33,10 @@ def test_extract_features_deterministic(media):
     assert len(f1) == media.count()  # 1:1, no rows lost across Arrow batches
 
 
-def _encode_png(width, height, channels, pix, filters=None):
-    """Minimal PNG writer for test fixtures: 8-bit, non-interlaced, one
-    forward-filtered scanline per `filters[y]` (default all 0/None)."""
-    import struct
-    import zlib
-
-    color = {1: 0, 3: 2, 4: 6}[channels]
-    stride = width * channels
-    filters = filters or [0] * height
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        line = pix[y * stride : (y + 1) * stride]
-        f = filters[y]
-        raw.append(f)
-        for i in range(stride):
-            a = line[i - channels] if i >= channels else 0
-            b = prev[i]
-            c = prev[i - channels] if i >= channels else 0
-            if f == 0:
-                v = line[i]
-            elif f == 1:
-                v = (line[i] - a) & 0xFF
-            elif f == 2:
-                v = (line[i] - b) & 0xFF
-            elif f == 3:
-                v = (line[i] - ((a + b) >> 1)) & 0xFF
-            else:  # Paeth
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                v = (line[i] - pred) & 0xFF
-            raw.append(v)
-        prev = line
-
-    def chunk(ctype, data):
-        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
-        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
-    )
-
-
-def _encode_bmp24(width, height, rgb, top_down=False):
-    """Minimal uncompressed 24-bit BMP writer (BGR, 4-byte row padding)."""
-    import struct
-
-    row_bytes = width * 3
-    stride = (row_bytes + 3) & ~3
-    body = bytearray()
-    rows = range(height) if top_down else range(height - 1, -1, -1)
-    for y in rows:
-        line = bytearray()
-        for x in range(width):
-            i = (y * width + x) * 3
-            line += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # RGB -> BGR
-        body += line + bytes(stride - row_bytes)
-    pix_off = 14 + 40
-    header = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
-    dib = struct.pack(
-        "<IiiHHIIiiII", 40, width, height if not top_down else -height,
-        1, 24, 0, len(body), 2835, 2835, 0, 0,
-    )
-    return bytes(header + dib + body)
+from chchfr_data_collection_spark.multimodal import (  # noqa: E402
+    encode_bmp24 as _encode_bmp24,
+    encode_png as _encode_png,
+)
 
 
 def test_png_decode_all_filters_roundtrip():
