@@ -250,6 +250,56 @@ def encode_bmp24(width: int, height: int, rgb: bytes, top_down: bool = False) ->
     return bytes(header + dib + body)
 
 
+def decode_audio(payload: bytes) -> tuple[int, int, "object"]:
+    """Decode a PCM WAV payload to ``(sample_rate, channels, samples)``.
+
+    Supports RIFF/WAVE with format code 1 (integer PCM), 16-bit samples.
+    ``samples`` is an int16 numpy array, frame-major interleaved. Chunks
+    are walked properly (fmt/data need not be adjacent — some writers
+    insert LIST/fact chunks).
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    sr = nch = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt, nch, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format {fmt} / {bits}-bit unsupported (PCM16 only)"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return sr, nch, np.frombuffer(data, dtype="<i2")
+
+
+def encode_wav(sample_rate: int, channels: int, samples) -> bytes:
+    """Minimal PCM16 WAV writer — inverse of `decode_audio`."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def _real_features(payload: bytes, dim: int = 8) -> list:
     """Decode and reduce to a `dim`-float feature vector: normalized
     dimensions plus integer-exact per-channel means (sum/n/255 — stable

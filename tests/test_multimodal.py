@@ -115,6 +115,34 @@ def test_real_decode_unsupported_format_raises():
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
 
 
+def test_wav_roundtrip_and_chunk_walking():
+    """PCM16 WAV encode→decode round-trips mono and stereo; the chunk
+    walker skips unknown chunks between fmt and data."""
+    import struct
+
+    from chchfr_data_collection_spark.multimodal import decode_audio, encode_wav
+
+    mono = [(k * 1234 - 7000) % 65536 - 32768 for k in range(31)]  # odd count
+    sr, nch, got = decode_audio(encode_wav(8000, 1, mono))
+    assert (sr, nch, got.tolist()) == (8000, 1, mono)
+
+    stereo = list(range(-16, 16))
+    sr, nch, got = decode_audio(encode_wav(44100, 2, stereo))
+    assert (sr, nch, got.tolist()) == (44100, 2, stereo)
+
+    # splice a LIST chunk between fmt and data (odd length -> pad byte)
+    wav = encode_wav(8000, 1, mono)
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = wav[:fmt_end] + junk + wav[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    sr, nch, got = decode_audio(spliced)
+    assert (sr, nch, got.tolist()) == (8000, 1, mono)
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS not a wav")
+
+
 def test_sample_frames_video_only_1_to_n(media):
     frames = sample_frames(media, every_n_bytes=64)
     vids = media.filter(media.media_type == "video/mp4")
