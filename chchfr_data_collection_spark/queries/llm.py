@@ -1458,6 +1458,51 @@ def text_top_words(spark, sf_dir):
 
 
 @register(
+    "bpe_pair_merge_candidates",
+    sql="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair
+      FROM words CROSS JOIN LATERAL unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS freq
+    FROM pairs GROUP BY pair ORDER BY freq DESC, pair LIMIT 50
+    """,
+    tags=("llm", "text", "bpe", "explode"),
+)
+def bpe_pair_merge_candidates(spark, sf_dir):
+    """One merge round of BPE vocabulary training: count adjacent symbol
+    pairs across the corpus and rank — the top pair is the next merge a
+    BPE trainer would apply. Symbols here are characters (round 0 of the
+    iteration); subsequent rounds would re-tokenize with the merged
+    vocab and repeat, each round being exactly this shape.
+
+    Scale: explode + groupBy is one shuffle on the pair key; pair
+    cardinality is bounded (≤ alphabet², ~10^4 for ASCII corpora), so
+    the reduce side is tiny regardless of corpus size — map-side partial
+    aggregation does nearly all the work. Character indexing via
+    substring keeps the kernel whole-stage-codegen JVM-side (no UDF) and
+    matches DuckDB's substr semantics exactly."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    words = d.select(F.explode(F.split("text", " ", -1)).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+@register(
     "text_tfidf_topterms",
     sql="""
     WITH tf AS (

@@ -162,3 +162,28 @@ def test_oracle_twins_bounded_by_construction(spark, sf_small, cat):
             fn(spark, sf_small, sample_n=None)
         with pytest.raises(ValueError):
             fn(spark, sf_small, sample_n=0)
+
+
+def test_bpe_pairs_single_shuffle_pruned(spark, sf_small, cat):
+    """BPE pair counting: documents scan prunes to the text column, the
+    pair groupBy is the only aggregation shuffle (plus the global top-50
+    sort exchange), and the symbol kernel stays JVM-side (no Python)."""
+    df = cat["bpe_pair_merge_candidates"].fn(spark, sf_small)
+    assert_read_columns(df, "documents", {"text"})
+    # repartition (parallelize_scan) + groupBy + global sort = 3 max
+    assert_max_shuffles(df, 3)
+    assert count_nodes(df, "BatchEvalPython") == 0
+    assert count_nodes(df, "ArrowEvalPython") == 0
+
+
+def test_multimodal_real_kernels_scan_shape(spark, sf_small, cat):
+    """Real-codec kernels: documents scan prunes to doc_id only, and the
+    whole decode stage is one Arrow python stage over the scan — no
+    joins, no aggregation shuffle (map-only at any scale)."""
+    for name in ("multimodal_decode_real", "multimodal_audio_real"):
+        df = cat[name].fn(spark, sf_small)
+        assert_read_columns(df, "documents", {"doc_id"})
+        assert count_nodes(df, "SortMergeJoin") == 0
+        assert count_nodes(df, "BroadcastHashJoin") == 0
+        # parallelize_scan's repartition is the only allowed exchange
+        assert_max_shuffles(df, 1)
