@@ -511,9 +511,7 @@ def _twin_sample(emb, sample_n):
     return emb.filter(F.col("vec_id") < sample_n)
 
 
-@register(
-    "similarity_threshold_pairs",
-    sql=f"""
+_TWIN_PAIRS_DUCK = f"""
     WITH {_NORM2_DUCK},
     dots AS (
       SELECT a.vec_id AS va, b.vec_id AS vb, {_DOT_QUANT} AS d
@@ -526,7 +524,12 @@ def _twin_sample(emb, sample_n):
       CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
     FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
     WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) >= 0.45
-    """,
+    """
+
+
+@register(
+    "similarity_threshold_pairs",
+    sql=_TWIN_PAIRS_DUCK,
     tags=("llm", "similarity", "join", "oracle-twin"),
 )
 def similarity_threshold_pairs(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
@@ -752,6 +755,56 @@ def similarity_lsh_ann(spark, sf_dir):
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _LSH_THRESHOLD)
+    )
+
+
+@register(
+    "ann_recall_audit",
+    sql=f"""
+    WITH exact AS ({_TWIN_PAIRS_DUCK}),
+    ann AS (
+      SELECT va, vb FROM ({_lsh_ann_duck()}) WHERE va < 1000 AND vb < 1000
+    ),
+    j AS (
+      SELECT e.va, e.vb, a.va AS hit_marker
+      FROM exact e LEFT JOIN ann a ON a.va = e.va AND a.vb = e.vb)
+    SELECT COUNT(*) AS n_exact,
+           (SELECT COUNT(*) FROM ann) AS n_ann,
+           COUNT(hit_marker) AS n_hit,
+           CAST(COUNT(hit_marker) AS DOUBLE) / COUNT(*) AS recall
+    FROM j
+    """,
+    tags=("llm", "similarity", "ann", "audit"),
+)
+def ann_recall_audit(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
+    """Recall audit of the ANN scale path, as a first-class operator:
+    join the sign-LSH candidate-verified result against the bounded
+    brute-force twin on the same vec_id slice and emit
+    (n_exact, n_ann, n_hit, recall) as one row.
+
+    This is the production pattern for shipping an approximate dedup or
+    similarity pass over 100 TB: the quadratic exact join runs only on
+    the fixed audit slice (pushed scan bound, see _twin_sample), the
+    ANN pass runs corpus-wide, and the audit row is the go/no-go gate a
+    pipeline asserts on (e.g. recall >= 0.9) before trusting the
+    approximate output. Both inputs reuse the catalog operators
+    unchanged, so the audit measures exactly what ships."""
+    exact = similarity_threshold_pairs(spark, sf_dir, sample_n).select("va", "vb")
+    ann = (
+        similarity_lsh_ann(spark, sf_dir)
+        .filter((F.col("va") < sample_n) & (F.col("vb") < sample_n))
+        .select("va", "vb")
+    )
+    marked = exact.join(ann.withColumn("m", F.lit(1)), ["va", "vb"], "left")
+    hits = marked.agg(
+        F.count("*").alias("n_exact"), F.count("m").alias("n_hit")
+    )
+    totals = ann.agg(F.count("*").alias("n_ann"))
+    return hits.crossJoin(totals).select(
+        "n_exact",
+        "n_ann",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
     )
 
 
