@@ -69,6 +69,8 @@ HEADLINE = [
     "stations_ingest_antijoin",
     "salted_join_lineitem",
     "scd2_dimension_fold",
+    "bpe_pair_merge_candidates",
+    "multimodal_decode_real",
 ]
 
 

@@ -180,3 +180,57 @@ def test_merge_rollup_any_split(spark, vals, cut):
     else:
         merged = merge_rollup(partials(left), partials(right))
     assert sorted(map(tuple, merged.collect())) == full
+
+
+# ---------------------------------------------------------------- codecs
+# Pure-Python round trips — no Spark session, so examples are cheap.
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    c=st.sampled_from([1, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, c, data):
+    from chchfr_data_collection_spark.multimodal import decode_image, encode_png
+
+    pix = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h * c, max_size=w * h * c)
+        )
+    )
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    assert decode_image(encode_png(w, h, c, pix, filters=filters)) == (w, h, c, pix)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    top_down=st.booleans(),
+    data=st.data(),
+)
+def test_bmp_roundtrip_property(w, h, top_down, data):
+    from chchfr_data_collection_spark.multimodal import decode_image, encode_bmp24
+
+    rgb = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3))
+    )
+    assert decode_image(encode_bmp24(w, h, rgb, top_down=top_down)) == (w, h, 3, rgb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sr=st.sampled_from([8000, 16000, 44100]),
+    nch=st.integers(1, 2),
+    samples=st.lists(st.integers(-32768, 32767), max_size=64),
+)
+def test_wav_roundtrip_property(sr, nch, samples):
+    from chchfr_data_collection_spark.multimodal import decode_audio, encode_wav
+
+    # frame-align for multi-channel
+    samples = samples[: len(samples) - (len(samples) % nch)]
+    got_sr, got_nch, got = decode_audio(encode_wav(sr, nch, samples))
+    assert (got_sr, got_nch, got.tolist()) == (sr, nch, samples)
