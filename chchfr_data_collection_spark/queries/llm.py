@@ -1066,7 +1066,7 @@ def embedding_centroids(spark, sf_dir):
     """,
     tags=("llm", "similarity", "join", "pandas-udf", "gemm"),
 )
-def similarity_pairs_gemm(spark, sf_dir, block_rows: int = 2048):
+def similarity_pairs_gemm(spark, sf_dir, block_rows: int | None = None):
     """Blocked-GEMM all-pairs similarity: the brute-force threshold join
     recast as numpy int64 matrix multiplies over a DISTRIBUTED block
     grid — no driver-side collection, no silent truncation.
@@ -1083,13 +1083,27 @@ def similarity_pairs_gemm(spark, sf_dir, block_rows: int = 2048):
     similarity_threshold_pairs; quantization is round-half-away-from-
     zero in kernel, JVM, and DuckDB paths, so every cosine is
     bit-identical to the oracle's."""
+    import math
+
     import numpy as np
     import pandas as pd
 
-    emb = (
-        T(spark, sf_dir, "embeddings", parallel=True)
-        .select("vec_id", "embedding")
-        .withColumn("blk", F.floor(F.col("vec_id") / block_rows).cast("bigint"))
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select("vec_id", "embedding")
+    if block_rows is None:
+        # Adaptive block size: aim for ~2x default-parallelism grid cells
+        # so the quadratic work spreads over every core (a fixed 2048 at
+        # 5k vectors gives 3 blocks -> 6 tasks on 32 cores: straggler-
+        # bound, measured 1.6-13 s variance). Clamped to [256, 2048]:
+        # the upper bound caps per-task memory (2 blocks of 64-dim int64
+        # vectors ~ 2 MB), so at large n the cell count grows instead of
+        # the block - the scale-safe direction. One column-pruned count
+        # job is negligible against the inherent quadratic.
+        n = emb.count()
+        cells = 2 * spark.sparkContext.defaultParallelism
+        b = max(1, int(math.sqrt(2 * cells)))
+        block_rows = min(2048, max(256, math.ceil(max(n, 1) / b)))
+    emb = emb.withColumn(
+        "blk", F.floor(F.col("vec_id") / block_rows).cast("bigint")
     )
     blks = emb.select("blk").distinct()
     grid = (
