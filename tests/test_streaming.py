@@ -238,3 +238,40 @@ def test_streaming_static_enrich_equals_batch(spark, sf_small):
     s = {(r.event_id, r.lifetime_events) for r in streamed.collect()}
     b = {(r.event_id, r.lifetime_events) for r in batch.collect()}
     assert s == b
+
+
+def test_transform_with_state_plan_constructs(spark, sf_small):
+    """Spark 4 state API v2 (transformWithStateInPandas): the operator
+    builds a valid streaming plan; execution needs protobuf (absent in
+    this container), so the replay-equals-batch check runs only where
+    the runtime protocol is available."""
+    from chchfr_data_collection_spark.streaming.stateful import (
+        running_user_extremes_tws,
+        transform_with_state_available,
+    )
+
+    stream = running_user_extremes_tws(read_events_stream(spark, sf_small))
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "user_id", "min_value", "max_value", "n_events",
+    ]
+
+    if not transform_with_state_available():
+        import pytest
+
+        pytest.skip("google.protobuf absent: transformWithState runtime unavailable")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = run_available_now(stream, "t_tws_extremes", mode="update")
+    ev = load_table(spark, sf_small, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count("*").alias("n_events"),
+    )
+    s = {r.user_id: (r.min_value, r.max_value, r.n_events) for r in out.collect()}
+    b = {r.user_id: (r.min_value, r.max_value, r.n_events) for r in batch.collect()}
+    assert s == b
