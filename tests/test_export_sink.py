@@ -59,3 +59,45 @@ def test_export_empty_frame_writes_manifest_only(spark, sf_small, tmp_path):
     manifest = _read_manifest(out)
     assert manifest == {"shards": [], "total_rows": 0}
     assert [f for f in os.listdir(out) if f.endswith(".jsonl")] == []
+
+
+def test_export_gzip_shards_readable(spark, sf_small, tmp_path):
+    register(spark)
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "export_gz")
+    (docs.repartition(2).write.format("chchfr_export")
+        .option("compression", "gzip").mode("overwrite").save(out))
+    shards = [f for f in os.listdir(out) if f.endswith(".jsonl.gz")]
+    assert shards and all(f.endswith(".jsonl.gz") for f in shards)
+    back = spark.read.json(out + "/*.jsonl.gz")  # Spark decompresses by ext
+    assert back.count() == docs.count()
+    assert _read_manifest(out)["total_rows"] == docs.count()
+
+
+def test_export_stream_per_batch_commit(spark, sf_small, tmp_path):
+    """Streaming sink: AvailableNow replay of events writes per-batch
+    shards + batch manifests; total rows equal the batch count."""
+    from chchfr_data_collection_spark.streaming.events import read_events_stream
+
+    register(spark)
+    out = str(tmp_path / "export_stream")
+    ck = str(tmp_path / "ck")
+    stream = read_events_stream(spark, sf_small).select("event_id", "event_type")
+    q = (stream.writeStream.format("chchfr_export")
+         .option("path", out).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    batches = sorted(f for f in os.listdir(out) if f.startswith("_batch-"))
+    assert batches, os.listdir(out)
+    total = 0
+    for b in batches:
+        with open(os.path.join(out, b), encoding="utf-8") as fh:
+            m = json.load(fh)
+        for s in m["shards"]:
+            assert os.path.exists(os.path.join(out, s["shard"]))
+        total += m["total_rows"]
+    n = load_table(spark, sf_small, "events").count()
+    assert total == n
+    back = spark.read.json(out + "/*.jsonl")
+    assert back.count() == n
