@@ -1009,6 +1009,118 @@ def similarity_ivf_ann(spark, sf_dir):
     )
 
 
+_IVF_MULTIPROBE_DUCK = f"""
+WITH {_NORM2_DUCK},
+cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 8),
+adot AS (
+  SELECT v.vec_id, c.cent_id,
+    SUM({_Q.format(e='v.embedding[i]')} * {_Q.format(e='c.embedding[i]')}) AS d
+  FROM embeddings v, cent c CROSS JOIN range(1, 65) t(i)
+  GROUP BY v.vec_id, c.cent_id),
+ranked AS (
+  SELECT a.vec_id, a.cent_id,
+    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      CAST(a.d AS DOUBLE) / (SQRT(CAST(nv.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+      a.cent_id) AS rn
+  FROM adot a JOIN norms nv ON nv.vec_id = a.vec_id
+  JOIN norms nc ON nc.vec_id = a.cent_id),
+assign AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+probe AS (SELECT vec_id, cent_id FROM ranked WHERE rn <= 2 AND vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(
+    {_Q.format(e='q.embedding[i]')} * {_Q.format(e='c.embedding[i]')}) AS d
+  FROM embeddings q JOIN probe pq ON pq.vec_id = q.vec_id
+  JOIN assign ac ON ac.cent_id = pq.cent_id
+  JOIN embeddings c ON c.vec_id = ac.vec_id AND c.vec_id <> q.vec_id
+  CROSS JOIN range(1, 65) t(i)
+  GROUP BY q.vec_id, c.vec_id)
+SELECT qid, cid, cos_sim, rnk FROM (
+  SELECT p.qid, p.cid,
+    CAST(p.d AS DOUBLE) / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) AS cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+      CAST(p.d AS DOUBLE) / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+      p.cid) AS rnk
+  FROM pairs p JOIN norms nq ON nq.vec_id = p.qid
+  JOIN norms nc ON nc.vec_id = p.cid) t
+WHERE rnk <= 3
+"""
+
+
+@register(
+    "similarity_ivf_multiprobe",
+    sql=_IVF_MULTIPROBE_DUCK,
+    tags=("llm", "similarity", "ann", "multiprobe"),
+)
+def similarity_ivf_multiprobe(spark, sf_dir, nprobe: int = 2):
+    """IVF ANN with MULTIPROBE (nprobe=2): each query searches its top-2
+    centroids' inverted lists — the standard recall dial when a neighbor
+    falls just across a cell boundary. Candidates grow ~nprobe× (cells
+    are disjoint, so no dedup needed); indexing is unchanged (every
+    vector lives in exactly its own rn=1 cell). At 100 TB nprobe trades
+    one extra hash-join probe per increment for recall — the same
+    equi-join shape as nprobe=1, never a cartesian."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        V.quantize("embedding").alias("qv"),
+        V.dot_exact("embedding", "embedding").alias("n2"),
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    dotvc = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cosvc = dotvc.cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "qv", "n2", "cent_id", cosvc.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(aw))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "qv", "n2", "cent_id")
+    probe = (
+        ranked.filter((F.col("rn") <= nprobe) & (F.col("vec_id") < 5))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("qv").alias("qq"),
+            F.col("n2").alias("qn2"),
+            "cent_id",
+        )
+    )
+    c = assign.select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("qc"),
+        F.col("n2").alias("cn2"),
+        "cent_id",
+    )
+    dotqc = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        probe.join(c, "cent_id")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dotqc.cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            ).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(pw))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 @register(
     "embedding_centroids",
     sql=f"""
