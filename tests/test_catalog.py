@@ -139,3 +139,28 @@ def test_approx_quantiles_bounds(spark, sf_small, cat):
     ).collect()[0]
     for r in rows:
         assert lims.lo <= r.p50 <= r.p95 <= r.p99 <= lims.hi
+
+
+def test_column_parity_with_oracle(spark, sf_small, cat):
+    """Driver-gate precondition, checked statically for EVERY entry: the
+    Spark result's column names equal the oracle SQL's column names
+    (the driver sorts columns by name before value-hashing, so a name
+    mismatch red-rows a query even with identical values). DuckDB
+    DESCRIBE binds the SQL without executing it; the Spark side needs
+    only plan analysis — the whole catalog checks in seconds."""
+    import duckdb
+
+    from chchfr_data_collection_spark.session import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'")
+    bad = []
+    for name, q in sorted(cat.items()):
+        if q.sql is None:
+            continue
+        scols = sorted(q.fn(spark, sf_small).columns)
+        dcols = sorted(r[0] for r in con.execute(f"DESCRIBE {q.sql}").fetchall())
+        if scols != dcols:
+            bad.append((name, scols, dcols))
+    assert not bad, f"column-name drift vs oracle: {bad}"
