@@ -97,6 +97,11 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
             # date vs datetime64, ns vs us) are hash-safe, so only kind
             # mismatches are flagged.
             sk, dk = _dtype_kind(sv), _dtype_kind(dv)
+            # Empty results carry no values to hash, so dtype kind is
+            # meaningless there ('?' vs the other engine's declared
+            # type) — a 0-row match is a match.
+            if len(s) == 0:
+                continue
             # (s, t) is allowed: Spark date-formatted strings vs DuckDB
             # DATE hashed equal in every driver row that hit the class
             # (q18_large_orders, fuel_price_crossjoin,
