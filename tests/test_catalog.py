@@ -164,3 +164,20 @@ def test_column_parity_with_oracle(spark, sf_small, cat):
         if scols != dcols:
             bad.append((name, scols, dcols))
     assert not bad, f"column-name drift vs oracle: {bad}"
+
+
+def test_bench_headline_names_resolve(cat):
+    """Every bench.py HEADLINE entry must be a registered catalog query —
+    a rename that misses bench.py would otherwise only surface as a
+    per-query err in the round's official bench record."""
+    import importlib.util as iu
+    import os
+
+    spec = iu.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    mod = iu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    missing = [n for n in mod.HEADLINE if n not in cat]
+    assert not missing, f"bench HEADLINE names not in catalog: {missing}"
