@@ -577,6 +577,102 @@ def similarity_threshold_pairs(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
 
 
 @register(
+    "embedding_norm_outliers",
+    sql=f"""
+    WITH {_NORM2_DUCK},
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(norm2) AS BIGINT) AS s FROM norms)
+    SELECT v.vec_id, CAST(v.norm2 AS BIGINT) AS norm2,
+           CAST(s AS DOUBLE) / n AS mean_norm2,
+           (CAST(v.norm2 AS DOUBLE) > 1.5 * (CAST(s AS DOUBLE) / n)
+            OR CAST(v.norm2 AS DOUBLE) < 0.5 * (CAST(s AS DOUBLE) / n))
+             AS is_outlier
+    FROM norms v CROSS JOIN stats
+    """,
+    tags=("llm", "embedding", "quality", "validate"),
+)
+def embedding_norm_outliers(spark, sf_dir):
+    """Embedding quality gate: flag vectors whose squared L2 norm is
+    outside [0.5, 1.5]× the corpus mean — the standing pre-ANN filter
+    for truncated/degenerate/unnormalized vectors (a zero or doubled
+    vector silently poisons cosine buckets downstream).
+
+    Exactness: norm² is an int64 sum of quantized squares; the corpus
+    mean is one int64 sum and one IEEE division, and the flag compares
+    doubles produced by the same two operations in both engines — no
+    epsilon anywhere. Scale: one map-side norm pass + a 1-row broadcast
+    of (n, sum); the flag evaluates inside the scan stage."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", V.dot_exact("embedding", "embedding").alias("norm2")
+    )
+    stats = emb.agg(
+        F.count("*").alias("n"), F.sum("norm2").cast("bigint").alias("s")
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "norm2",
+            mean.alias("mean_norm2"),
+            (
+                (F.col("norm2").cast("double") > 1.5 * mean)
+                | (F.col("norm2").cast("double") < 0.5 * mean)
+            ).alias("is_outlier"),
+        )
+    )
+
+
+@register(
+    "text_commonness_score",
+    sql="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+    scored AS (
+      SELECT words.doc_id,
+             CAST(SUM(df.df) AS BIGINT) AS df_sum,
+             COUNT(*) AS n_words
+      FROM words JOIN df ON words.w = df.w
+      GROUP BY words.doc_id)
+    SELECT doc_id, df_sum, n_words,
+           CAST(df_sum AS DOUBLE) / n_words AS commonness
+    FROM scored
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_commonness_score(spark, sf_dir):
+    """Corpus-commonness quality score: the mean document frequency of a
+    doc's words — a perplexity proxy with NO floating-point model (a log-
+    likelihood score would hinge on libm bit-compatibility across
+    engines; an integer df sum with one final division is hash-exact by
+    construction). Low commonness ≈ rare/garbled text, high ≈
+    boilerplate — both tails are the curation cut candidates.
+
+    Scale: word explode + two pair-key shuffles (df, then per-doc sum);
+    df cardinality is vocabulary-sized, and the df relation joins back
+    map-side under AQE broadcast promotion when small."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    words = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
+    df_rel = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        words.join(df_rel, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("df").cast("bigint").alias("df_sum"),
+            F.count("*").alias("n_words"),
+        )
+        .select(
+            "doc_id",
+            "df_sum",
+            "n_words",
+            (F.col("df_sum").cast("double") / F.col("n_words")).alias("commonness"),
+        )
+    )
+
+
+@register(
     "embedding_stats",
     sql=f"""
     SELECT vec_id, label,
