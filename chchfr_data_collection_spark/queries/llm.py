@@ -1709,6 +1709,45 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
 
 
 @register(
+    "dedup_recall_audit",
+    sql=f"""
+    WITH exact AS ({_JACCARD_CAPPED_DUCK}),
+    approx AS ({{approx_sql}}),
+    j AS (
+      SELECT e.da, e.db, a.da AS hit_marker
+      FROM exact e LEFT JOIN approx a ON a.da = e.da AND a.db = e.db)
+    SELECT COUNT(*) AS n_exact,
+           (SELECT COUNT(*) FROM approx) AS n_approx,
+           COUNT(hit_marker) AS n_hit,
+           CAST(COUNT(hit_marker) AS DOUBLE) / COUNT(*) AS recall
+    FROM j
+    """.format(approx_sql=_minhash_banded_duck()),
+    tags=("llm", "dedup", "minhash", "audit"),
+)
+def dedup_recall_audit(spark, sf_dir):
+    """Recall audit for the APPROXIMATE dedup path: banded-MinHash
+    verified pairs vs the exact capped-Jaccard join, one audit row
+    (n_exact, n_approx, n_hit, recall) — the dedup-family twin of
+    ann_recall_audit. The theoretical floor is P(candidate | J=0.8) =
+    1-(1-0.8^4)^8 ≈ 0.985 per pair; the audit measures the realized
+    value (bucket-cap skips included) on exactly the operators that
+    ship, so a curation pipeline asserts `recall >= target` before
+    trusting the MinHash pass at 100 TB (where the exact join runs on
+    a sampled audit slice instead of the full corpus)."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    approx = dedup_minhash_banded(spark, sf_dir).select("da", "db")
+    marked = exact.join(approx.withColumn("m", F.lit(1)), ["da", "db"], "left")
+    hits = marked.agg(F.count("*").alias("n_exact"), F.count("m").alias("n_hit"))
+    totals = approx.agg(F.count("*").alias("n_approx"))
+    return hits.crossJoin(totals).select(
+        "n_exact",
+        "n_approx",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+    )
+
+
+@register(
     "text_top_words",
     sql="""
     SELECT w, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
