@@ -422,9 +422,7 @@ norms AS (
 """
 
 
-@register(
-    "similarity_topk_cosine",
-    sql=f"""
+_TOPK_DUCK = f"""
     WITH {_NORM2_DUCK},
     dots AS (
       SELECT a.vec_id AS qid, b.vec_id AS cid, {_DOT_QUANT} AS d
@@ -441,7 +439,12 @@ norms AS (
                                    ORDER BY cos_sim DESC, cid) AS rnk
       FROM scored) t
     WHERE rnk <= 5
-    """,
+    """
+
+
+@register(
+    "similarity_topk_cosine",
+    sql=_TOPK_DUCK,
     tags=("llm", "similarity", "topk"),
 )
 def similarity_topk_cosine(spark, sf_dir):
@@ -1214,6 +1217,60 @@ def similarity_ivf_multiprobe(spark, sf_dir, nprobe: int = 2):
         )
         .withColumn("rnk", F.row_number().over(pw))
         .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "ivf_recall_audit",
+    sql=f"""
+    WITH exact AS (
+      SELECT qid, cid FROM ({{topk_sql}}) WHERE rnk <= 3
+    ),
+    np1 AS (SELECT qid, cid FROM ({{ivf1_sql}})),
+    np2 AS (SELECT qid, cid FROM ({{ivf2_sql}})),
+    j AS (
+      SELECT e.qid, e.cid, a1.qid AS h1, a2.qid AS h2
+      FROM exact e
+      LEFT JOIN np1 a1 ON a1.qid = e.qid AND a1.cid = e.cid
+      LEFT JOIN np2 a2 ON a2.qid = e.qid AND a2.cid = e.cid)
+    SELECT COUNT(*) AS n_exact,
+           COUNT(h1) AS n_hit_np1,
+           COUNT(h2) AS n_hit_np2,
+           CAST(COUNT(h1) AS DOUBLE) / COUNT(*) AS recall_np1,
+           CAST(COUNT(h2) AS DOUBLE) / COUNT(*) AS recall_np2
+    FROM j
+    """.format(
+        topk_sql=_TOPK_DUCK,
+        ivf1_sql=_IVF_DUCK,
+        ivf2_sql=_IVF_MULTIPROBE_DUCK,
+    ),
+    tags=("llm", "similarity", "ann", "audit"),
+)
+def ivf_recall_audit(spark, sf_dir):
+    """Recall@3 audit of IVF, measured at BOTH nprobe settings in one
+    row: (n_exact, n_hit_np1, n_hit_np2, recall_np1, recall_np2) vs the
+    brute-force exact top-3 on the same probe slice — the empirical
+    recall dial (nprobe=2 recall ≥ nprobe=1 by construction, the audit
+    shows by how much for this corpus/centroid layout). Completes the
+    audit trio: ann_recall_audit (LSH), dedup_recall_audit (MinHash),
+    this (IVF). All three reuse the shipped operators unchanged."""
+    exact = (
+        similarity_topk_cosine(spark, sf_dir)
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "cid")
+    )
+    a1 = similarity_ivf_ann(spark, sf_dir).select("qid", "cid")
+    a2 = similarity_ivf_multiprobe(spark, sf_dir).select("qid", "cid")
+    marked = (
+        exact.join(a1.withColumn("m1", F.lit(1)), ["qid", "cid"], "left")
+        .join(a2.withColumn("m2", F.lit(1)), ["qid", "cid"], "left")
+    )
+    return marked.agg(
+        F.count("*").alias("n_exact"),
+        F.count("m1").alias("n_hit_np1"),
+        F.count("m2").alias("n_hit_np2"),
+        (F.count("m1").cast("double") / F.count("*")).alias("recall_np1"),
+        (F.count("m2").cast("double") / F.count("*")).alias("recall_np2"),
     )
 
 
