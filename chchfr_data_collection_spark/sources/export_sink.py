@@ -7,9 +7,9 @@ is the symmetric sink: each task streams its Arrow batches into ONE
 temp shard (`_tmp/<uuid>.jsonl`), the driver commit renames the shards
 into place with deterministic final names and writes a `_SUCCESS`
 manifest carrying per-shard row counts. Task retries/speculation are
-safe: an abandoned attempt leaves only an orphaned temp file that
-commit ignores and abort sweeps — the rename-at-commit protocol is the
-same idea as the Hadoop v1 output committer, expressed in ~60 lines.
+safe: an abandoned attempt leaves only an orphaned temp file that both
+commit and abort sweep — the rename-at-commit protocol is the same
+idea as the Hadoop v1 output committer, expressed in ~60 lines.
 
 JSONL because it is the lingua franca of training-data interchange; the
 payload bytes never become Python row objects (Arrow batch → pandas →
@@ -98,11 +98,26 @@ class ExportWriter(DataSourceArrowWriter):
     # ---- driver side ---------------------------------------------------
     def commit(self, messages) -> None:
         os.makedirs(self.path, exist_ok=True)
+        prior: list = []
         if self.overwrite:
             for f in os.listdir(self.path):
                 if f.endswith((".jsonl", ".jsonl.gz")) or f == "_SUCCESS":
                     os.remove(os.path.join(self.path, f))
-        manifest = _rename_into_place(self.path, messages, prefix="shard")
+            start = 0
+        else:
+            # append: number new shards after the existing max so os.replace
+            # can never clobber prior data, and carry the prior manifest
+            # forward into the rewritten _SUCCESS
+            start = 1 + max(
+                (_shard_index(f) for f in os.listdir(self.path)), default=-1
+            )
+            success = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(success):
+                with open(success, encoding="utf-8") as fh:
+                    prior = json.load(fh).get("shards", [])
+        manifest = prior + _rename_into_place(
+            self.path, messages, prefix="shard", start=start
+        )
         with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as fh:
             json.dump(
                 {"shards": manifest, "total_rows": sum(s["rows"] for s in manifest)},
@@ -150,14 +165,27 @@ class ExportStreamWriter(DataSourceStreamArrowWriter):
                 },
                 fh,
             )
+        # all live temp files for this batch were just renamed into place,
+        # so anything left in _tmp is an orphan from a crashed/speculative
+        # attempt — sweep it now instead of letting it accumulate
+        _sweep_tmp(self.path)
 
     def abort(self, messages, batchId: int) -> None:
         _drop_tmp_files(messages)
 
 
-def _rename_into_place(path_dir: str, messages, prefix: str) -> list:
+def _shard_index(fname: str) -> int:
+    """Index of a batch-mode shard file (`shard-NNNNN.jsonl[.gz]`); -1 for
+    anything else (manifests, streaming shards, foreign files)."""
+    if not fname.startswith("shard-"):
+        return -1
+    stem = fname[len("shard-") :].split(".", 1)[0]
+    return int(stem) if stem.isdigit() else -1
+
+
+def _rename_into_place(path_dir: str, messages, prefix: str, start: int = 0) -> list:
     manifest = []
-    shard_id = 0
+    shard_id = start
     for m in messages:
         if m is None or m.rows == 0:
             # empty/failed task: drop its temp file, emit no shard

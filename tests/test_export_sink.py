@@ -51,6 +51,31 @@ def test_export_overwrite_replaces_shards(spark, sf_small, tmp_path):
     assert sum(1 for f in os.listdir(out) if f.endswith(".jsonl")) < len(first)
 
 
+def test_export_append_preserves_existing_shards(spark, sf_small, tmp_path):
+    """Append mode must not clobber prior shards: new shards are numbered
+    after the existing max and _SUCCESS merges both generations."""
+    register(spark)
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "export_append")
+    docs.repartition(3).write.format("chchfr_export").mode("overwrite").save(out)
+    first = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    n = docs.count()
+
+    docs.limit(10).repartition(2).write.format("chchfr_export").mode(
+        "append"
+    ).save(out)
+    after = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    # every first-generation shard is still present, plus the new ones
+    assert set(first) <= set(after)
+    manifest = _read_manifest(out)
+    assert manifest["total_rows"] == n + 10
+    assert sorted(s["shard"] for s in manifest["shards"]) == after
+    # shard indices are unique (no overwrite could have happened)
+    assert len({f.split(".")[0] for f in after}) == len(after)
+    back = spark.read.json(out + "/*.jsonl")
+    assert back.count() == n + 10
+
+
 def test_export_empty_frame_writes_manifest_only(spark, sf_small, tmp_path):
     register(spark)
     docs = load_table(spark, sf_small, "documents").filter("doc_id < 0")
@@ -101,3 +126,5 @@ def test_export_stream_per_batch_commit(spark, sf_small, tmp_path):
     assert total == n
     back = spark.read.json(out + "/*.jsonl")
     assert back.count() == n
+    # streaming commit sweeps orphaned temp files, same as the batch path
+    assert not os.path.exists(os.path.join(out, "_tmp"))
