@@ -726,7 +726,7 @@ _LSH_PLANES = [
 ]
 
 
-def _lsh_ann_duck() -> str:
+def _lsh_ann_duck(multiprobe: bool = False) -> str:
     def bucket_expr(t: int) -> str:
         bits = []
         for j in range(_LSH_BITS):
@@ -742,6 +742,29 @@ def _lsh_ann_duck() -> str:
         f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bkt FROM q"
         for t in range(_LSH_TABLES)
     )
+    if multiprobe:
+        # probe set = home bucket + every 1-bit flip; probes join against
+        # HOME buckets only, both directions covered via least/greatest
+        flips = "\n      UNION ALL ".join(
+            f"SELECT vec_id, tbl, xor(bkt, {1 << j}) AS bkt FROM b"
+            for j in range(_LSH_BITS)
+        )
+        probe_cte = f"""
+    p AS (
+      SELECT vec_id, tbl, bkt FROM b
+      UNION ALL {flips}),"""
+        cand = """
+    cand AS (
+      SELECT DISTINCT LEAST(a.vec_id, c.vec_id) AS va,
+                      GREATEST(a.vec_id, c.vec_id) AS vb
+      FROM p a JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt
+                       AND a.vec_id <> c.vec_id),"""
+    else:
+        probe_cte = ""
+        cand = """
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id),"""
     return f"""
     WITH q AS (
       SELECT vec_id,
@@ -751,10 +774,7 @@ def _lsh_ann_duck() -> str:
       SELECT vec_id,
         CAST(list_sum([qv[i] * qv[i] for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) AS norm2
       FROM q),
-    b AS ({tables}),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
-      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id),
+    b AS ({tables}),{probe_cte}{cand}
     dots AS (
       SELECT cand.va, cand.vb,
         CAST(list_sum([qa.qv[i] * qb.qv[i] for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) AS d
@@ -789,11 +809,76 @@ def similarity_lsh_ann(spark, sf_dir):
     (bits per table) is scaled with n. This entry pins the shape and
     its cross-engine semantics; IVF (similarity_ivf_ann) is the
     measured ANN scale path on this fixture."""
-    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+    emb = _lsh_emb(spark, sf_dir)
+    tables = _lsh_buckets(emb)
+    a = tables.select(F.col("vec_id").alias("va"), "tbl", "bkt")
+    b = tables.select(F.col("vec_id").alias("vb"), "tbl", "bkt")
+    cand = (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    return _lsh_verify(emb, cand)
+
+
+@register(
+    "similarity_lsh_multiprobe",
+    sql=_lsh_ann_duck(multiprobe=True),
+    tags=("llm", "similarity", "ann", "multiprobe"),
+)
+def similarity_lsh_multiprobe(spark, sf_dir):
+    """Sign-LSH with MULTIPROBE: each vector probes its home bucket PLUS
+    every 1-bit-flip neighbor (H+1 probes per table) against the other
+    side's HOME buckets — the recall dial for hyperplane LSH, recovering
+    pairs that straddle exactly one hyperplane in a table (the dominant
+    miss mode: P[one bit differs | cos=0.45] ≈ 3·0.27²·0.73 per table).
+    The probe set contains the home bucket, so candidates — and, after
+    exact verification, results — are a SUPERSET of similarity_lsh_ann's:
+    recall is ≥ single-probe by construction, measured in
+    ann_recall_audit.
+
+    At 100 TB: candidate generation stays an equi-join on (table,
+    bucket) — multiprobe multiplies the probe side's ROW COUNT by H+1
+    (ids only, no payload) instead of coarsening buckets or adding
+    tables, trading shuffle volume for recall without ever touching a
+    cartesian. Same trade as IVF's nprobe (similarity_ivf_multiprobe)."""
+    emb = _lsh_emb(spark, sf_dir)
+    tables = _lsh_buckets(emb)
+    probe_arr = F.array(
+        F.col("bkt"), *[F.expr(f"bkt ^ {1 << j}") for j in range(_LSH_BITS)]
+    )
+    probes = tables.select(
+        F.col("vec_id").alias("va"), "tbl", F.explode(probe_arr).alias("bkt")
+    )
+    homes = tables.select(F.col("vec_id").alias("vb"), "tbl", "bkt")
+    cand = (
+        probes.join(homes, ["tbl", "bkt"])
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            F.least("va", "vb").alias("va"), F.greatest("va", "vb").alias("vb")
+        )
+        .distinct()
+    )
+    return _lsh_verify(emb, cand)
+
+
+def _lsh_emb(spark, sf_dir):
+    """Quantized embeddings + exact self-dot, the shared LSH input."""
+    return T(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id",
         V.quantize("embedding").alias("qv"),
         V.dot_exact("embedding", "embedding").alias("n2"),
     )
+
+
+def _lsh_buckets(emb):
+    """Home bucket assignment (vec_id, tbl, bkt) for all L tables.
+
+    Candidate generation downstream carries IDS ONLY — the 64-element
+    quantized arrays would otherwise ride through the bucket join +
+    distinct shuffle (the dominant cost); verification joins them back
+    by id (_lsh_verify)."""
 
     def plane_dot(t: int, j: int):
         plane = F.array(*[F.lit(v) for v in _LSH_PLANES[t][j]])
@@ -809,10 +894,7 @@ def similarity_lsh_ann(spark, sf_dir):
             b = b + F.when(plane_dot(t, j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         return b
 
-    # candidate generation carries IDS ONLY — the 64-element quantized
-    # arrays would otherwise ride through the bucket join + distinct
-    # shuffle (the dominant cost); verification joins them back by id
-    tables = emb.select(
+    return emb.select(
         "vec_id",
         F.explode(
             F.array(
@@ -823,14 +905,11 @@ def similarity_lsh_ann(spark, sf_dir):
             )
         ).alias("tb"),
     ).select("vec_id", "tb.tbl", "tb.bkt")
-    a = tables.select(F.col("vec_id").alias("va"), "tbl", "bkt")
-    b = tables.select(F.col("vec_id").alias("vb"), "tbl", "bkt")
-    cand = (
-        a.join(b, ["tbl", "bkt"])
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb")
-        .distinct()
-    )
+
+
+def _lsh_verify(emb, cand):
+    """Exact cosine verification of candidate pairs: join the quantized
+    vectors back by id, keep pairs at/above the catalog threshold."""
     qa = emb.select(
         F.col("vec_id").alias("va"), F.col("qv").alias("qa"), F.col("n2").alias("na2")
     )
@@ -862,24 +941,36 @@ def similarity_lsh_ann(spark, sf_dir):
     sql=f"""
     WITH exact AS ({_TWIN_PAIRS_DUCK}),
     ann AS (
-      SELECT va, vb FROM ({_lsh_ann_duck()}) WHERE va < 1000 AND vb < 1000
+      SELECT va, vb FROM ({_lsh_ann_duck()})
+      WHERE va < {_TWIN_SAMPLE_N} AND vb < {_TWIN_SAMPLE_N}
+    ),
+    mp AS (
+      SELECT va, vb FROM ({_lsh_ann_duck(multiprobe=True)})
+      WHERE va < {_TWIN_SAMPLE_N} AND vb < {_TWIN_SAMPLE_N}
     ),
     j AS (
-      SELECT e.va, e.vb, a.va AS hit_marker
-      FROM exact e LEFT JOIN ann a ON a.va = e.va AND a.vb = e.vb)
+      SELECT e.va, e.vb, a.va AS hit_marker, m.va AS hit_marker_mp
+      FROM exact e
+      LEFT JOIN ann a ON a.va = e.va AND a.vb = e.vb
+      LEFT JOIN mp m ON m.va = e.va AND m.vb = e.vb)
     SELECT COUNT(*) AS n_exact,
            (SELECT COUNT(*) FROM ann) AS n_ann,
+           (SELECT COUNT(*) FROM mp) AS n_mp,
            COUNT(hit_marker) AS n_hit,
-           CAST(COUNT(hit_marker) AS DOUBLE) / COUNT(*) AS recall
+           COUNT(hit_marker_mp) AS n_hit_mp,
+           CAST(COUNT(hit_marker) AS DOUBLE) / COUNT(*) AS recall,
+           CAST(COUNT(hit_marker_mp) AS DOUBLE) / COUNT(*) AS recall_mp
     FROM j
     """,
     tags=("llm", "similarity", "ann", "audit"),
 )
 def ann_recall_audit(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
     """Recall audit of the ANN scale path, as a first-class operator:
-    join the sign-LSH candidate-verified result against the bounded
-    brute-force twin on the same vec_id slice and emit
-    (n_exact, n_ann, n_hit, recall) as one row.
+    join BOTH sign-LSH variants (single-probe and multiprobe) against
+    the bounded brute-force twin on the same vec_id slice and emit
+    (n_exact, n_ann, n_mp, n_hit, n_hit_mp, recall, recall_mp) as one
+    row — recall_mp ≥ recall by construction (the probe set contains
+    the home bucket); the audit shows by how much for this corpus.
 
     This is the production pattern for shipping an approximate dedup or
     similarity pass over 100 TB: the quadratic exact join runs only on
@@ -888,22 +979,41 @@ def ann_recall_audit(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
     pipeline asserts on (e.g. recall >= 0.9) before trusting the
     approximate output. Both inputs reuse the catalog operators
     unchanged, so the audit measures exactly what ships."""
+    if sample_n != _TWIN_SAMPLE_N:
+        raise ValueError(
+            "ann_recall_audit's registered oracle SQL is bound to "
+            f"sample_n={_TWIN_SAMPLE_N}; got {sample_n!r}"
+        )
     exact = similarity_threshold_pairs(spark, sf_dir, sample_n).select("va", "vb")
     ann = (
         similarity_lsh_ann(spark, sf_dir)
         .filter((F.col("va") < sample_n) & (F.col("vb") < sample_n))
         .select("va", "vb")
     )
-    marked = exact.join(ann.withColumn("m", F.lit(1)), ["va", "vb"], "left")
-    hits = marked.agg(
-        F.count("*").alias("n_exact"), F.count("m").alias("n_hit")
+    mp = (
+        similarity_lsh_multiprobe(spark, sf_dir)
+        .filter((F.col("va") < sample_n) & (F.col("vb") < sample_n))
+        .select("va", "vb")
     )
-    totals = ann.agg(F.count("*").alias("n_ann"))
+    marked = exact.join(
+        ann.withColumn("m", F.lit(1)), ["va", "vb"], "left"
+    ).join(mp.withColumn("m2", F.lit(1)), ["va", "vb"], "left")
+    hits = marked.agg(
+        F.count("*").alias("n_exact"),
+        F.count("m").alias("n_hit"),
+        F.count("m2").alias("n_hit_mp"),
+    )
+    totals = ann.agg(F.count("*").alias("n_ann")).crossJoin(
+        mp.agg(F.count("*").alias("n_mp"))
+    )
     return hits.crossJoin(totals).select(
         "n_exact",
         "n_ann",
+        "n_mp",
         "n_hit",
+        "n_hit_mp",
         (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        (F.col("n_hit_mp").cast("double") / F.col("n_exact")).alias("recall_mp"),
     )
 
 

@@ -92,6 +92,20 @@ def test_lsh_ann_recall_vs_exact(spark, cat):
         assert len(lsh & exact) / len(exact) >= 0.80
 
 
+def test_lsh_multiprobe_recall_dominates_single_probe(spark, cat):
+    """Multiprobe probes the home bucket plus every 1-bit flip, so its
+    verified result must be a SUPERSET of single-probe's, a subset of
+    the exact pairs (perfect precision), and strictly-or-equally higher
+    recall."""
+    sf = "/root/testdata/sf0.01"
+    exact = {(r.va, r.vb) for r in cat["similarity_threshold_pairs"].fn(spark, sf).collect()}
+    lsh = {(r.va, r.vb) for r in cat["similarity_lsh_ann"].fn(spark, sf).collect()}
+    mp = {(r.va, r.vb) for r in cat["similarity_lsh_multiprobe"].fn(spark, sf).collect()}
+    assert lsh <= mp <= exact
+    if exact:
+        assert len(mp & exact) / len(exact) >= len(lsh & exact) / len(exact)
+
+
 def test_gemm_equals_jvm_brute_force(spark, cat):
     """The blocked-GEMM kernel must produce BIT-IDENTICAL pairs and
     cosines to the JVM zip_with/aggregate brute force — same quantized

@@ -135,6 +135,14 @@ def test_lsh_ann_no_cartesian(spark, sf_small, cat):
     assert_read_columns(df, "embeddings", {"vec_id", "embedding"})
 
 
+def test_lsh_multiprobe_no_cartesian(spark, sf_small, cat):
+    """Multiprobe keeps the equi-join candidate shape: (H+1)× probe rows,
+    never a cartesian, and the embeddings scan still prunes columns."""
+    df = cat["similarity_lsh_multiprobe"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert_read_columns(df, "embeddings", {"vec_id", "embedding"})
+
+
 def test_scd2_fold_broadcasts_batch(spark, sf_small, cat):
     """SCD2: the change batch is dimension-sized; every join in the fold
     must broadcast it rather than shuffle the dimension."""
