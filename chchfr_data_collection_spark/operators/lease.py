@@ -22,7 +22,12 @@ lease file next to the target:
   every lease system makes (Chubby/ZooKeeper ephemeral nodes) without
   a coordination service on the classpath;
 - `timeout_s` lets the loser wait-and-retry instead of failing, so two
-  daily jobs racing the same date serialize instead of erroring.
+  daily jobs racing the same date serialize instead of erroring. The
+  default budget is sized for a CONTENDED box: the holder's write phase
+  can stretch many times its idle duration under external load, and a
+  waiting writer is far cheaper than a failed daily job, so the loser
+  waits minutes (with exponential backoff polling, capped so a freed
+  lease is still picked up promptly), not seconds.
 
 This is fencing for cooperating writers (both sides use the lease), the
 same contract Delta's optimistic log gives cooperating Delta writers. A
@@ -57,14 +62,16 @@ class WriterLease:
         spark,
         target_path: str,
         ttl_s: float = 600.0,
-        timeout_s: float = 30.0,
+        timeout_s: float = 300.0,
         poll_s: float = 0.1,
+        poll_max_s: float = 2.0,
     ) -> None:
         self._spark = spark
         self.lease_path = f"{target_path.rstrip('/')}__lease"
         self.ttl_s = ttl_s
         self.timeout_s = timeout_s
         self.poll_s = poll_s
+        self.poll_max_s = poll_max_s
         self.owner = uuid.uuid4().hex
         jvm = spark._jvm
         self._HPath = jvm.org.apache.hadoop.fs.Path
@@ -98,15 +105,20 @@ class WriterLease:
 
     def acquire(self) -> None:
         deadline = time.monotonic() + self.timeout_s
+        poll = self.poll_s
         while True:
             if self.try_acquire():
                 return
-            if time.monotonic() >= deadline:
+            now = time.monotonic()
+            if now >= deadline:
                 raise ConcurrentWriteError(
                     f"another writer holds {self.lease_path} "
                     f"(waited {self.timeout_s}s; lease TTL {self.ttl_s}s)"
                 )
-            time.sleep(self.poll_s)
+            # exponential backoff, capped: cheap on a long wait, still
+            # sub-`poll_max_s` latency to grab a freed lease
+            time.sleep(min(poll, deadline - now))
+            poll = min(poll * 2, self.poll_max_s)
 
     def release(self) -> None:
         if self._held:
