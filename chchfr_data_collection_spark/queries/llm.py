@@ -1385,6 +1385,65 @@ def ivf_recall_audit(spark, sf_dir):
 
 
 @register(
+    "streaming_ivf_assign_replay",
+    sql=f"""
+    WITH {_NORM2_DUCK},
+    cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 8),
+    adot AS (
+      SELECT v.vec_id, c.cent_id,
+        SUM({_Q.format(e='v.embedding[i]')} * {_Q.format(e='c.embedding[i]')}) AS d
+      FROM embeddings v, cent c CROSS JOIN range(1, 65) t(i)
+      GROUP BY v.vec_id, c.cent_id)
+    SELECT vec_id, cent_id, cos_c FROM (
+      SELECT a.vec_id, a.cent_id,
+        CAST(a.d AS DOUBLE) / (SQRT(CAST(nv.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) AS cos_c,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+          CAST(a.d AS DOUBLE) / (SQRT(CAST(nv.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+          a.cent_id) AS rn
+      FROM adot a JOIN norms nv ON nv.vec_id = a.vec_id
+      JOIN norms nc ON nc.vec_id = a.cent_id) t
+    WHERE rn = 1
+    """,
+    tags=("streaming", "llm", "similarity", "ann", "ivf"),
+)
+def streaming_ivf_assign_replay(spark, sf_dir):
+    """Streaming IVF index maintenance, replayed end-to-end: the
+    embeddings feed streams through foreachBatch, every arriving vector
+    is assigned to its nearest fixed centroid (exact quantized cosine,
+    asc-cent_id tie-break — the arithmetic of similarity_ivf_ann's
+    assignment stage), and lands appended to parquet PARTITIONED BY
+    cent_id — the piece a 100 TB pipeline needs between "new crawl
+    lands" and "index serves": the landed layout IS the inverted file,
+    a probe for cell c partition-prunes to `cent_id=c/`.
+
+    Assignment is per-row against a static broadcast dim, so the result
+    is independent of micro-batch boundaries and arrival order — the
+    replay equals the batch assignment exactly (pinned by the oracle and
+    the equivalence test), unlike order-sensitive streaming state ops."""
+    import tempfile
+    import uuid
+
+    from ..streaming.embeddings import (
+        foreach_batch_ivf_assign,
+        ivf_centroids,
+        read_embeddings_stream,
+    )
+
+    cent = ivf_centroids(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix=f"ivf_assign_{uuid.uuid4().hex[:8]}_")
+    target, ck = f"{base}/index", f"{base}/ck"
+    q = foreach_batch_ivf_assign(
+        read_embeddings_stream(spark, sf_dir), cent, target, ck
+    )
+    q.awaitTermination()
+    # cent_id rides back as a partition directory (inferred int) —
+    # restore the dim's long type for the cross-engine compare
+    return spark.read.parquet(target).select(
+        "vec_id", F.col("cent_id").cast("long").alias("cent_id"), "cos_c"
+    )
+
+
+@register(
     "embedding_centroids",
     sql=f"""
     SELECT label, i - 1 AS pos,

@@ -226,6 +226,28 @@ def test_streaming_interval_join_equals_batch(spark, sf_small):
     assert s == b
 
 
+def test_streaming_ivf_assign_equals_batch(spark, sf_small):
+    """The streamed IVF insert path (foreachBatch assignment into a
+    cent_id-partitioned index) equals the batch assignment of the whole
+    table: per-row argmax against a static dim is batch-boundary- and
+    order-independent."""
+    from chchfr_data_collection_spark.queries import catalog
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    streamed = catalog()["streaming_ivf_assign_replay"].fn(spark, sf_small)
+    batch = ivf_assign(
+        load_table(spark, sf_small, "embeddings"), ivf_centroids(spark, sf_small)
+    )
+    s = {(r.vec_id, r.cent_id, r.cos_c) for r in streamed.collect()}
+    b = {(r.vec_id, r.cent_id, r.cos_c) for r in batch.collect()}
+    assert s == b
+    # every vector assigned exactly once
+    assert len({v for v, _, _ in s}) == len(s)
+
+
 def test_streaming_static_enrich_equals_batch(spark, sf_small):
     from chchfr_data_collection_spark.queries import catalog
 
