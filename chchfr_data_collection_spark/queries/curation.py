@@ -98,6 +98,61 @@ def shard_packing(spark, sf_dir):
 
 
 @register(
+    "shard_packing_substratified",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             ({_HASH_MOD_DUCK.format(col='doc_id')}) % 4 AS sub,
+             CAST(len(regexp_extract_all(text, '{TX.TOKEN_RE}')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, sub, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang, sub ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, lang, sub, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 20000.0) AS BIGINT) AS shard_id
+    FROM c
+    """,
+    tags=("llm", "curation", "packing", "skew"),
+)
+def shard_packing_substratified(spark, sf_dir):
+    """shard_packing with the stratum-skew mitigation SCALE.md names:
+    each language stratum is SUB-STRATIFIED by a hash prefix of the doc
+    id into fixed-width substrata, and the running-token window runs per
+    (lang, sub) — so the single ordered pass that packs a stratum is
+    bounded at stratum_size / n_sub regardless of how lopsided the
+    language mix is (en ≫ zh). The en stratum stops being one giant
+    window partition walked by one task; production sizes n_sub so the
+    widest substratum fits one task's memory, keeping the packing pass
+    embarrassingly parallel at 100 TB.
+
+    The substratum id is the same portable md5 hash as the samplers
+    (never rand()) so the assignment — and every shard id — is
+    reproducible across engines, reruns, and retries. Shards are
+    addressed (lang, sub, shard_id); the budget invariant holds per
+    substratum exactly as in shard_packing."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    toks = TX.token_count("text").cast("bigint")
+    sub = (_HASH_MOD_SPARK("doc_id") % 4).alias("sub")
+    t = d.select("doc_id", "lang", sub, toks.alias("n_tokens"))
+    w = (
+        W.partitionBy("lang", "sub")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "sub",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 20000.0)
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
+@register(
     "decontaminate_overlap",
     sql="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -74,6 +74,44 @@ def test_shard_packing_one_shuffle(spark, sf_small, cat):
     assert_read_columns(df, "documents", {"doc_id", "lang", "text"})
 
 
+def test_substratified_packing_budget_and_width(spark, sf_small, cat):
+    """Substratified packing: the budget invariant holds per (lang, sub)
+    substratum, the union of substrata is exactly the corpus, and the
+    widest window partition is strictly narrower than the widest plain
+    stratum (the skew mitigation actually bites on this fixture)."""
+    out = cat["shard_packing_substratified"].fn(spark, sf_small).collect()
+    assert out
+    by_sub: dict = {}
+    for r in out:
+        assert 0 <= r["sub"] < 4
+        by_sub.setdefault((r["lang"], r["sub"]), []).append(r)
+    for key, rows in by_sub.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["shard_id"] == cum // 20000, (key, r["doc_id"])
+            cum += r["n_tokens"]
+    plain = cat["shard_packing"].fn(spark, sf_small).collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in plain}
+    widest_stratum: dict = {}
+    for r in plain:
+        widest_stratum[r["lang"]] = widest_stratum.get(r["lang"], 0) + 1
+    assert max(len(v) for v in by_sub.values()) < max(widest_stratum.values())
+
+
+def test_substratified_packing_partitions_on_sub(spark, sf_small, cat):
+    """The window exchange must hash on (lang, sub) — the substratum is
+    in the partitioning key, which is what bounds per-task width."""
+    df = cat["shard_packing_substratified"].fn(spark, sf_small)
+    assert_max_shuffles(df, 2)
+    assert_read_columns(df, "documents", {"doc_id", "lang", "text"})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"hashpartitioning\(([^)]*)\)", plan)
+    assert m and "lang" in m.group(1) and "sub" in m.group(1), plan[:2000]
+
+
 def test_decontaminate_broadcasts_eval_side(spark, sf_small, cat):
     """The eval/benchmark side is tiny by construction — it must arrive
     at the join as a broadcast, so the training corpus is never
