@@ -9,10 +9,12 @@ Decode support is tiered by what the container offers:
 - `decode="fake"`: deterministic feature vector from raw bytes —
   exercises the full Arrow/batch/schema plumbing with zero codecs.
 - `decode="real"`: pure-stdlib decoders for PNG (8-bit gray/RGB/RGBA,
-  non-interlaced; zlib + all five scanline filters) and uncompressed
-  24/32-bit BMP, dispatched on magic bytes. Formats that genuinely need
-  external codecs (JPEG/audio/video) still raise NotImplementedError at
-  the exact point PIL/ffmpeg would be called.
+  non-interlaced; zlib + all five scanline filters), uncompressed
+  24/32-bit BMP, and baseline sequential JPEG (Huffman + dequant + iDCT
+  + YCbCr->RGB; 4:4:4, restart markers supported), dispatched on magic
+  bytes. Formats that genuinely need external codecs (progressive /
+  subsampled JPEG, video) still raise NotImplementedError at the exact
+  point PIL/ffmpeg would be called.
 """
 
 from __future__ import annotations
@@ -67,24 +69,31 @@ def _fake_features(payload: bytes, dim: int = 8) -> list:
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _BMP_MAGIC = b"BM"
+_JPEG_MAGIC = b"\xff\xd8"
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode PNG or BMP bytes to ``(width, height, channels, pixels)``.
+    """Decode PNG, BMP, or baseline JPEG bytes to
+    ``(width, height, channels, pixels)``.
 
     ``pixels`` is row-major interleaved RGB/RGBA/gray, top-down, 8 bits
     per sample. PNG: bit depth 8, color types 0 (gray), 2 (RGB), 6
     (RGBA), non-interlaced, with full support for the five scanline
     filters (None/Sub/Up/Average/Paeth). BMP: uncompressed (BI_RGB)
-    24/32-bit, bottom-up or top-down, returned as RGB/RGBA.
+    24/32-bit, bottom-up or top-down, returned as RGB/RGBA. JPEG:
+    baseline sequential DCT (SOF0), 8-bit, grayscale or 4:4:4 YCbCr,
+    restart markers handled; progressive and subsampled streams raise
+    NotImplementedError.
     """
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
     if payload[:2] == _BMP_MAGIC:
         return _decode_bmp(payload)
+    if payload[:2] == _JPEG_MAGIC:
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG/BMP have in-container decoders; JPEG/audio/video need "
-        "codec libraries (PIL/ffmpeg) not available here"
+        "only PNG/BMP/baseline-JPEG have in-container decoders; other "
+        "formats (video) need codec libraries (PIL/ffmpeg) not available here"
     )
 
 
@@ -248,6 +257,518 @@ def encode_bmp24(width: int, height: int, rgb: bytes, top_down: bool = False) ->
         1, 24, 0, len(body), 2835, 2835, 0, 0,
     )
     return bytes(header + dib + body)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, sequential DCT, Huffman): pure-stdlib encoder
+# and decoder. Scope: 8-bit samples, grayscale or 4:4:4 YCbCr (no chroma
+# subsampling), the standard Annex K Huffman tables on the encode side,
+# arbitrary DHT on the decode side, DRI/RSTn handled. Progressive (SOF2),
+# arithmetic coding, and subsampled streams raise NotImplementedError at
+# the exact point a full codec library would take over.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K.1: the example luminance/chrominance quant tables.
+_QUANT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QUANT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3: standard Huffman table specs as (BITS[1..16], HUFFVAL).
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(spec):
+    """Canonical Huffman code assignment (T.81 C.2): symbol -> (code, length)."""
+    bits, vals = spec
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_cos():
+    import math
+
+    return [
+        [math.cos((2 * x + 1) * u * math.pi / 16.0) for x in range(8)]
+        for u in range(8)
+    ]
+
+
+def _fdct_block(block):
+    """Forward 8x8 DCT (T.81 A.3.3), float, on level-shifted samples."""
+    import math
+
+    cos = _dct_cos()
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    out = [0.0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += block[y * 8 + x] * cos[u][x] * cos[v][y]
+            cu = inv_sqrt2 if u == 0 else 1.0
+            cv = inv_sqrt2 if v == 0 else 1.0
+            out[v * 8 + u] = 0.25 * cu * cv * s
+    return out
+
+
+def _idct_block(coef):
+    """Inverse 8x8 DCT (T.81 A.3.3), float, to level-shifted samples."""
+    import math
+
+    cos = _dct_cos()
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    c = coef[v * 8 + u]
+                    if c:
+                        cu = inv_sqrt2 if u == 0 else 1.0
+                        cv = inv_sqrt2 if v == 0 else 1.0
+                        s += cu * cv * c * cos[u][x] * cos[v][y]
+            out[y * 8 + x] = 0.25 * s
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill to byte boundary
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, extend-bits) encoding of a DC diff / AC value (F.1.2)."""
+    if v == 0:
+        return 0, 0
+    a, size = abs(v), 0
+    while a:
+        a >>= 1
+        size += 1
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(
+    width: int, height: int, channels: int, pix: bytes, quant=None
+) -> bytes:
+    """Baseline JFIF encoder: 8-bit grayscale (1 channel) or 4:4:4 color
+    (3 channels, RGB in -> YCbCr). `quant` optionally overrides the luma
+    quant table (64 ints, row-major) — `[1]*64` gives a near-lossless
+    stream for round-trip tests. Inverse of `_decode_jpeg`."""
+    import struct
+
+    if channels not in (1, 3):
+        raise NotImplementedError("JPEG encoder: 1 or 3 channels only")
+    ql = list(quant) if quant is not None else _QUANT_LUMA
+    qc = list(quant) if quant is not None else _QUANT_CHROMA
+
+    # component planes, level-shifted; RGB -> YCbCr (JFIF / BT.601)
+    planes = []
+    n = width * height
+    if channels == 1:
+        planes.append([pix[i] - 128 for i in range(n)])
+    else:
+        ys, cbs, crs = [0.0] * n, [0.0] * n, [0.0] * n
+        for i in range(n):
+            r, g, b = pix[3 * i], pix[3 * i + 1], pix[3 * i + 2]
+            ys[i] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            cbs[i] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            crs[i] = 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [ys, cbs, crs]
+
+    dc_specs = [_DC_LUMA_SPEC] + [_DC_CHROMA_SPEC] * 2
+    ac_specs = [_AC_LUMA_SPEC] + [_AC_CHROMA_SPEC] * 2
+    dc_codes = [_huff_codes(s) for s in dc_specs]
+    ac_codes = [_huff_codes(s) for s in ac_specs]
+    quants = [ql] + [qc] * 2
+
+    bw = _BitWriter()
+    pred = [0] * channels
+    bx_max = (width + 7) // 8
+    by_max = (height + 7) // 8
+    for by in range(by_max):
+        for bx in range(bx_max):
+            for comp in range(channels):
+                plane, q = planes[comp], quants[comp]
+                block = [0.0] * 64
+                for y in range(8):
+                    sy = min(by * 8 + y, height - 1)  # edge replication
+                    for x in range(8):
+                        sx = min(bx * 8 + x, width - 1)
+                        block[y * 8 + x] = plane[sy * width + sx]
+                coef = _fdct_block(block)
+                zz = [
+                    int(round(coef[_ZIGZAG[k]] / q[_ZIGZAG[k]])) for k in range(64)
+                ]
+                diff = zz[0] - pred[comp]
+                pred[comp] = zz[0]
+                size, bits = _magnitude(diff)
+                code, length = dc_codes[comp][size]
+                bw.put(code, length)
+                if size:
+                    bw.put(bits, size)
+                run = 0
+                for k in range(1, 64):
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        zcode, zlen = ac_codes[comp][0xF0]  # ZRL
+                        bw.put(zcode, zlen)
+                        run -= 16
+                    size, bits = _magnitude(zz[k])
+                    acode, alen = ac_codes[comp][(run << 4) | size]
+                    bw.put(acode, alen)
+                    bw.put(bits, size)
+                    run = 0
+                if run:
+                    ecode, elen = ac_codes[comp][0x00]  # EOB
+                    bw.put(ecode, elen)
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql[_ZIGZAG[k]] for k in range(64)))
+    if channels == 3:
+        out += seg(0xFFDB, b"\x01" + bytes(qc[_ZIGZAG[k]] for k in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for comp in range(channels):
+        sof += bytes((comp + 1, 0x11, 0 if comp == 0 else 1))  # h=v=1
+    out += seg(0xFFC0, sof)
+    for cls, tid, spec in (
+        (0, 0, _DC_LUMA_SPEC),
+        (1, 0, _AC_LUMA_SPEC),
+    ) + (((0, 1, _DC_CHROMA_SPEC), (1, 1, _AC_CHROMA_SPEC)) if channels == 3 else ()):
+        bits, vals = spec
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([channels])
+    for comp in range(channels):
+        t = 0 if comp == 0 else 1
+        sos += bytes((comp + 1, (t << 4) | t))
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker (returns it via `.marker`)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> bool:
+        if self.pos >= len(self.data):
+            return False
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = 0xFF00 | nxt
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise ValueError("JPEG entropy data truncated")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Skip to the next marker (after an entropy segment)."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                m = 0xFF00 | self.data[self.pos + 1]
+                self.pos += 2
+                self.marker = None
+                return m
+            self.pos += 1
+        raise ValueError("JPEG: no trailing marker")
+
+
+def _huff_decode_table(bits, vals):
+    """(length, code) -> symbol map for canonical Huffman decode."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Baseline sequential JPEG decoder (T.81): marker parse, Huffman
+    entropy decode, dequantize, de-zigzag, iDCT, level shift, and
+    YCbCr->RGB for 3-component streams. Supports 8-bit 4:4:4 / grayscale
+    and restart intervals; progressive (SOF2) and subsampled streams
+    raise NotImplementedError."""
+    import struct
+
+    pos = 2
+    quants: dict = {}
+    dc_tables: dict = {}
+    ac_tables: dict = {}
+    comps: list = []
+    width = height = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant tables")
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_ZIGZAG[k]] = body[off + 1 + k]
+                quants[tq] = tbl
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                (dc_tables if cls == 0 else ac_tables)[tid] = _huff_decode_table(
+                    bits, vals
+                )
+                off += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "JPEG: chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG: only baseline sequential (SOF0) supported, got SOF{marker - 0xC0}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS -> entropy data follows
+            nscan = body[0]
+            scan_sel = []
+            for c in range(nscan):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                comp["dc"] = dc_tables[tt >> 4]
+                comp["ac"] = ac_tables[tt & 0xF]
+                scan_sel.append(comp)
+            br = _BitReader(payload, pos)
+            ncomp = len(scan_sel)
+            bx_max = (width + 7) // 8
+            by_max = (height + 7) // 8
+            planes = [
+                [0] * (bx_max * 8 * by_max * 8) for _ in range(ncomp)
+            ]
+            pred = [0] * ncomp
+            mcu = 0
+            for by in range(by_max):
+                for bx in range(bx_max):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        m = br.align_to_marker()
+                        if not (0xFFD0 <= m <= 0xFFD7):
+                            raise ValueError(f"JPEG: expected RSTn, got {m:#x}")
+                        pred = [0] * ncomp
+                    for ci, comp in enumerate(scan_sel):
+                        size = _read_symbol(br, comp["dc"])
+                        diff = _extend(br.bits(size), size) if size else 0
+                        pred[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, comp["ac"])
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            size = rs & 0xF
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        q = quants[comp["tq"]]
+                        coef = [0] * 64
+                        for k in range(64):
+                            coef[_ZIGZAG[k]] = zz[k] * q[_ZIGZAG[k]]
+                        blk = _idct_block(coef)
+                        plane = planes[ci]
+                        stride = bx_max * 8
+                        for y in range(8):
+                            base = (by * 8 + y) * stride + bx * 8
+                            for x in range(8):
+                                v = int(round(blk[y * 8 + x] + 128.0))
+                                plane[base + x] = 0 if v < 0 else (255 if v > 255 else v)
+                    mcu += 1
+            # crop padding, interleave, color-convert
+            stride = bx_max * 8
+            if ncomp == 1:
+                out = bytearray(width * height)
+                for y in range(height):
+                    row = planes[0][y * stride : y * stride + width]
+                    out[y * width : (y + 1) * width] = bytes(row)
+                return width, height, 1, bytes(out)
+            out = bytearray(width * height * 3)
+            yp, cbp, crp = planes
+            for y in range(height):
+                for x in range(width):
+                    i = y * stride + x
+                    Y, cb, cr = yp[i], cbp[i] - 128, crp[i] - 128
+                    r = int(round(Y + 1.402 * cr))
+                    g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
+                    b = int(round(Y + 1.772 * cb))
+                    o = (y * width + x) * 3
+                    out[o] = 0 if r < 0 else (255 if r > 255 else r)
+                    out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                    out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+            return width, height, 3, bytes(out)
+        elif marker == 0xD9:  # EOI before SOS: malformed
+            break
+    raise ValueError("JPEG: no SOS segment found")
 
 
 def decode_audio(payload: bytes) -> tuple[int, int, "object"]:

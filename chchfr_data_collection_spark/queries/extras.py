@@ -345,6 +345,67 @@ def multimodal_decode_real(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode_jpeg",
+    sql="""
+    WITH px AS (
+      SELECT doc_id, bi, ((doc_id * 31 + bi * 37) % 128) * 2 AS v
+      FROM documents CROSS JOIN LATERAL unnest(range(0, 4)) AS t(bi)
+    )
+    SELECT doc_id,
+           CAST(MIN(v) AS DOUBLE) / 255.0 AS px_min,
+           CAST(MAX(v) AS DOUBLE) / 255.0 AS px_max,
+           CAST(SUM(v) * 64 AS DOUBLE) / 65280.0 AS mean_gray
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "jpeg"),
+)
+def multimodal_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode, end-to-end and oracle-checked: per
+    document a 16x16 grayscale image of four constant 8x8 blocks (block
+    bi's value = ((doc_id*31 + 37*bi) mod 128) * 2) is Huffman-encoded
+    to a real JFIF stream and decoded back by the pure-stdlib baseline
+    decoder (marker parse, Huffman, dequant, iDCT) inside an
+    Arrow-batched mapInPandas kernel. Constant blocks with EVEN sample
+    values quantize exactly under the standard luminance table (DC =
+    8s/16 = s/2, an integer), so the lossy codec is bit-exact on these
+    payloads and the DuckDB oracle reproduces the channel statistics
+    arithmetically with no codec. The general decoder handles arbitrary
+    baseline 4:4:4/grayscale streams (property tests bound the q=1
+    round-trip error); same 100 TB shape as the PNG/BMP/WAV rows —
+    payloads stay in Arrow batches, swap in nvJPEG in the same slot."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..multimodal import _real_features, encode_jpeg
+
+    docs = T(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    out_schema = "doc_id bigint, px_min double, px_max double, mean_gray double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "px_min", "px_max", "mean_gray"]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = bytearray(256)
+                for bi in range(4):
+                    v = ((d * 31 + bi * 37) % 128) * 2
+                    by, bx = divmod(bi, 2)
+                    for y in range(8):
+                        base = (by * 8 + y) * 16 + bx * 8
+                        for x in range(8):
+                            img[base + x] = v
+                f = _real_features(encode_jpeg(16, 16, 1, bytes(img)))
+                rows.append((d, f[3], f[4], f[5]))
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"doc_id": "int64", **{c: "float64" for c in cols[1:]}}
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)
+
+
+@register(
     "multimodal_audio_real",
     sql="""
     WITH s AS (

@@ -112,7 +112,40 @@ def test_real_decode_unsupported_format_raises():
     from chchfr_data_collection_spark.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
+        decode_image(b"GIF89a not a supported payload")
+
+
+def test_jpeg_decode_roundtrip_and_boundaries():
+    """Baseline JPEG: gray and color round-trips through the real
+    Huffman/DCT path; progressive (SOF2) and subsampled streams raise
+    NotImplementedError at the codec boundary."""
+    import struct
+
+    from chchfr_data_collection_spark.multimodal import decode_image, encode_jpeg
+
+    img = bytes((7 * i) % 256 for i in range(16 * 8))
+    w, h, c, out = decode_image(encode_jpeg(16, 8, 1, img, quant=[1] * 64))
+    assert (w, h, c) == (16, 8, 1)
+    assert max(abs(a - b) for a, b in zip(out, img)) <= 2
+
+    rgb = bytes((13 * i) % 256 for i in range(8 * 8 * 3))
+    w, h, c, out = decode_image(encode_jpeg(8, 8, 3, rgb, quant=[1] * 64))
+    assert (w, h, c) == (8, 8, 3)
+    assert max(abs(a - b) for a, b in zip(out, rgb)) <= 4
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    sof_body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0))
+    progressive = b"\xff\xd8" + seg(0xFFC2, sof_body) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError):
+        decode_image(progressive)
+
+    subsampled = b"\xff\xd8" + seg(
+        0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x22, 0))
+    ) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError):
+        decode_image(subsampled)
 
 
 def test_wav_roundtrip_and_chunk_walking():

@@ -221,6 +221,57 @@ def test_bmp_roundtrip_property(w, h, top_down, data):
     assert decode_image(encode_bmp24(w, h, rgb, top_down=top_down)) == (w, h, 3, rgb)
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 10),
+    c=st.sampled_from([1, 3]),
+    data=st.data(),
+)
+def test_jpeg_near_lossless_roundtrip_property(w, h, c, data):
+    """With an all-ones quant table the only loss is DCT-coefficient
+    rounding: every sample must come back within a small bound (gray:
+    quantization of 64 float coefficients; color adds two rounded
+    YCbCr conversions)."""
+    from chchfr_data_collection_spark.multimodal import decode_image, encode_jpeg
+
+    pix = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h * c, max_size=w * h * c)
+        )
+    )
+    gw, gh, gc, got = decode_image(encode_jpeg(w, h, c, pix, quant=[1] * 64))
+    assert (gw, gh, gc) == (w, h, c)
+    bound = 2 if c == 1 else 4
+    assert max(abs(a - b) for a, b in zip(got, pix)) <= bound
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 127), min_size=4, max_size=4),
+)
+def test_jpeg_constant_blocks_exact_property(vals):
+    """Constant 8x8 blocks with even sample values survive the DEFAULT
+    (lossy) luminance quant table bit-exactly: DC = 8*(v-128)/16 is an
+    integer, every AC is zero — the arithmetic the oracle-checked
+    catalog row (multimodal_decode_jpeg) relies on."""
+    from chchfr_data_collection_spark.multimodal import decode_image, encode_jpeg
+
+    img = bytearray(256)
+    for bi, half in enumerate(vals):
+        v = half * 2
+        by, bx = divmod(bi, 2)
+        for y in range(8):
+            for x in range(8):
+                img[(by * 8 + y) * 16 + bx * 8 + x] = v
+    assert decode_image(encode_jpeg(16, 16, 1, bytes(img))) == (
+        16,
+        16,
+        1,
+        bytes(img),
+    )
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     sr=st.sampled_from([8000, 16000, 44100]),
