@@ -10,11 +10,12 @@ Decode support is tiered by what the container offers:
   exercises the full Arrow/batch/schema plumbing with zero codecs.
 - `decode="real"`: pure-stdlib decoders for PNG (8-bit gray/RGB/RGBA,
   non-interlaced; zlib + all five scanline filters), uncompressed
-  24/32-bit BMP, and baseline sequential JPEG (Huffman + dequant + iDCT
-  + YCbCr->RGB; 4:4:4, restart markers supported), dispatched on magic
+  24/32-bit BMP, baseline sequential JPEG (Huffman + dequant + iDCT
+  + YCbCr->RGB; 4:4:4, restart markers supported), and AVI/MJPEG video
+  (RIFF container walk + per-frame JPEG decode), dispatched on magic
   bytes. Formats that genuinely need external codecs (progressive /
-  subsampled JPEG, video) still raise NotImplementedError at the exact
-  point PIL/ffmpeg would be called.
+  subsampled JPEG, inter-frame video codecs) still raise
+  NotImplementedError at the exact point PIL/ffmpeg would be called.
 """
 
 from __future__ import annotations
@@ -769,6 +770,96 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xD9:  # EOI before SOS: malformed
             break
     raise ValueError("JPEG: no SOS segment found")
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG video: the RIFF container walked with the same stdlib struct
+# machinery as WAV, each '00dc' frame chunk a complete baseline JPEG
+# decoded by _decode_jpeg. Motion-JPEG is the one video coding a pure
+# stdlib implementation can really decode — inter-frame codecs (H.264,
+# VP9, AV1) raise at the boundary where ffmpeg would take over.
+# ---------------------------------------------------------------------------
+
+
+def decode_video(payload: bytes) -> tuple[int, int, int, list]:
+    """Decode an AVI/MJPEG payload to ``(width, height, n_frames,
+    frames)`` where each frame is the `decode_image` tuple
+    ``(width, height, channels, pixels)``.
+
+    Walks RIFF 'AVI ' → LIST 'hdrl' (avih gives dimensions) → LIST
+    'movi' ('00dc'/'00db' chunks are frames; MJPEG frames start with the
+    JPEG SOI marker and go through the baseline JPEG decoder). Non-MJPEG
+    streams raise NotImplementedError at the codec boundary."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+    width = height = None
+    frames: list = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body_at = pos + 8
+            if cid == b"LIST":
+                walk(body_at + 4, body_at + clen)  # skip the list type tag
+            elif cid == b"avih":
+                # dwWidth/dwHeight at offsets 32/36 of the main header
+                width, height = struct.unpack_from("<II", payload, body_at + 32)
+            elif cid[2:4] in (b"dc", b"db"):
+                frame = payload[body_at : body_at + clen]
+                if frame[:2] != _JPEG_MAGIC:
+                    raise NotImplementedError(
+                        "only MJPEG (JPEG-per-frame) AVI streams are decodable "
+                        "in-container; inter-frame codecs need ffmpeg"
+                    )
+                frames.append(_decode_jpeg(frame))
+            pos = body_at + clen + (clen & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if width is None:
+        raise ValueError("AVI missing avih header")
+    return width, height, len(frames), frames
+
+
+def encode_avi_mjpeg(width: int, height: int, jpeg_frames: list) -> bytes:
+    """Minimal AVI/MJPEG writer — inverse of `decode_video`. Takes
+    already-encoded JPEG frame payloads (from `encode_jpeg`) so tests
+    control the frame content exactly; fps is fixed metadata (25)."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(jpeg_frames)
+    max_len = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        40000,  # dwMicroSecPerFrame (25 fps)
+        0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, 25, 0, n, max_len, 0xFFFFFFFF, 0,
+        0, 0, width, height,
+    )
+    # BITMAPINFOHEADER
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def decode_audio(payload: bytes) -> tuple[int, int, "object"]:

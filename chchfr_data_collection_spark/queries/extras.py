@@ -406,6 +406,94 @@ def multimodal_decode_jpeg(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_real",
+    sql="""
+    WITH px AS (
+      SELECT doc_id, fi, bi, ((doc_id * 31 + fi * 53 + bi * 37) % 128) * 2 AS v
+      FROM documents
+      CROSS JOIN LATERAL unnest(range(0, 2)) AS f(fi)
+      CROSS JOIN LATERAL unnest(range(0, 4)) AS t(bi)
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           CAST(MIN(v) AS DOUBLE) / 255.0 AS px_min,
+           CAST(MAX(v) AS DOUBLE) / 255.0 AS px_max,
+           CAST(SUM(v) * 64 AS DOUBLE) / 65280.0 AS mean_gray
+    FROM px GROUP BY doc_id, fi
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "video"),
+)
+def multimodal_video_real(spark, sf_dir):
+    """REAL video decode, end-to-end and oracle-checked: per document a
+    2-frame AVI/MJPEG container is assembled (frame fi = a 16x16
+    grayscale image of four constant 8x8 blocks valued
+    ((doc_id*31 + 53*fi + 37*bi) mod 128) * 2), then decoded back by the
+    pure-stdlib RIFF walker + baseline JPEG decoder inside mapInPandas,
+    emitting per-frame pixel statistics. The constant-even-block trick
+    (see multimodal_decode_jpeg) makes the lossy MJPEG frames bit-exact,
+    so the DuckDB oracle replays the generator formula with no codec.
+    This is the 1:N container→frames stage of a video curation pipeline
+    at its real shape: payload bytes stay in Arrow batches, the row
+    explosion happens inside the kernel, map-only at any scale — swap
+    the per-frame decode for nvJPEG/ffmpeg in the same slot."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal import decode_video, encode_avi_mjpeg, encode_jpeg
+
+    docs = T(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    out_schema = (
+        "doc_id bigint, frame_idx int, px_min double, px_max double, "
+        "mean_gray double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "frame_idx", "px_min", "px_max", "mean_gray"]
+
+        def mkframe(d: int, fi: int) -> bytes:
+            img = bytearray(256)
+            for bi in range(4):
+                v = ((d * 31 + fi * 53 + bi * 37) % 128) * 2
+                by, bx = divmod(bi, 2)
+                for y in range(8):
+                    base = (by * 8 + y) * 16 + bx * 8
+                    for x in range(8):
+                        img[base + x] = v
+            return bytes(img)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                avi = encode_avi_mjpeg(
+                    16, 16, [encode_jpeg(16, 16, 1, mkframe(d, fi)) for fi in range(2)]
+                )
+                _w, _h, _n, frames = decode_video(avi)
+                for fi, (fw, fh, fc, pix) in enumerate(frames):
+                    arr = np.frombuffer(pix, dtype=np.uint8)
+                    n = fw * fh * fc
+                    rows.append(
+                        (
+                            d,
+                            fi,
+                            int(arr.min()) / 255.0,
+                            int(arr.max()) / 255.0,
+                            float(int(arr.sum(dtype=np.int64))) / (n * 255.0),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "int32",
+                    **{c: "float64" for c in cols[2:]},
+                }
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)
+
+
+@register(
     "multimodal_audio_real",
     sql="""
     WITH s AS (

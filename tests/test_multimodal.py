@@ -148,6 +148,36 @@ def test_jpeg_decode_roundtrip_and_boundaries():
         decode_image(subsampled)
 
 
+def test_avi_mjpeg_decode_roundtrip_and_boundaries():
+    """AVI/MJPEG: container walk + per-frame JPEG decode round-trips
+    multi-frame videos; non-MJPEG frame payloads and non-AVI RIFFs raise
+    NotImplementedError at the codec boundary."""
+    from chchfr_data_collection_spark.multimodal import (
+        decode_video,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    frames = [
+        bytes((7 * i + fi) % 256 for i in range(16 * 8)) for fi in range(3)
+    ]
+    avi = encode_avi_mjpeg(
+        16, 8, [encode_jpeg(16, 8, 1, f, quant=[1] * 64) for f in frames]
+    )
+    w, h, n, decoded = decode_video(avi)
+    assert (w, h, n) == (16, 8, 3)
+    for (fw, fh, fc, pix), src in zip(decoded, frames):
+        assert (fw, fh, fc) == (16, 8, 1)
+        assert max(abs(a - b) for a, b in zip(pix, src)) <= 2
+
+    with pytest.raises(NotImplementedError):
+        decode_video(b"RIFF\x04\x00\x00\x00WAVE")  # not an AVI
+    # an AVI whose frame chunk is not JPEG -> boundary error
+    raw = encode_avi_mjpeg(8, 8, [b"\x00\x01\x02\x03"])
+    with pytest.raises(NotImplementedError):
+        decode_video(raw)
+
+
 def test_wav_roundtrip_and_chunk_walking():
     """PCM16 WAV encode→decode round-trips mono and stereo; the chunk
     walker skips unknown chunks between fmt and data."""
