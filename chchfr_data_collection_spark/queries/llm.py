@@ -1483,6 +1483,132 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+def _kmeans_iter_duck(n_iter: int = 2) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs, integer-exact: squared-L2
+    over int64-quantized vectors, centroid update re-quantized via
+    ROUND(SUM/COUNT) (one IEEE double division + round, identical in
+    both engines), empty clusters carry their previous centroid."""
+    ctes = [
+        """q AS (
+      SELECT vec_id,
+        [CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings),
+    qpos AS (
+      SELECT vec_id, i - 1 AS pos, qv[i] AS qval
+      FROM q CROSS JOIN range(1, 65) t(i)),
+    cent0 AS (
+      SELECT vec_id AS cent_id, pos, qval AS c_val, CAST(0 AS BIGINT) AS n_assigned
+      FROM qpos WHERE vec_id < 8)"""
+    ]
+    for it in range(1, n_iter + 1):
+        p = it - 1
+        ctes.append(f"""d{it} AS (
+      SELECT qp.vec_id, c.cent_id,
+             SUM((qp.qval - c.c_val) * (qp.qval - c.c_val)) AS dist
+      FROM qpos qp JOIN cent{p} c ON c.pos = qp.pos
+      GROUP BY qp.vec_id, c.cent_id),
+    a{it} AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM d{it}) t WHERE rn = 1),
+    u{it} AS (
+      SELECT a.cent_id, qp.pos,
+             CAST(ROUND(CAST(SUM(qp.qval) AS DOUBLE) / COUNT(*)) AS BIGINT) AS new_val,
+             COUNT(*) AS n
+      FROM a{it} a JOIN qpos qp ON qp.vec_id = a.vec_id
+      GROUP BY a.cent_id, qp.pos),
+    cent{it} AS (
+      SELECT c.cent_id, c.pos,
+             COALESCE(u.new_val, c.c_val) AS c_val,
+             COALESCE(u.n, 0) AS n_assigned
+      FROM cent{p} c LEFT JOIN u{it} u
+        ON u.cent_id = c.cent_id AND u.pos = c.pos)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT cent_id, pos, c_val, n_assigned FROM cent{n_iter}"
+    )
+
+
+@register(
+    "embedding_kmeans_iter",
+    sql=_kmeans_iter_duck(2),
+    tags=("llm", "similarity", "kmeans", "iterative"),
+)
+def embedding_kmeans_iter(spark, sf_dir, n_iter: int = 2):
+    """Lloyd's k-means, the IVF TRAINING loop run for real: starting
+    from the fixed seed centroids (vec_id < 8, as similarity_ivf_ann
+    probes them), run `n_iter` assign/update rounds and emit the final
+    centroid table (cent_id, pos, c_val, n_assigned).
+
+    Cross-engine exactness for an ITERATIVE float algorithm: distances
+    are squared-L2 over int64-quantized vectors (exact integers), and
+    the centroid update re-quantizes the mean to int64 via one IEEE
+    double division + round — so every iteration's state is integer and
+    the DuckDB oracle replays the whole loop bit-identically. Empty
+    clusters keep their previous centroid (the standard practical
+    policy, encoded in both engines as a left-join coalesce).
+
+    Distributed shape per iteration: assignment is a broadcast cross
+    join (k=8 rows) + window argmin — ONE shuffle on vec_id; update is
+    posexplode + groupBy(cent_id, pos) — map-side partials dominate,
+    reduce side is k*64 rows. At 100 TB this is exactly MLlib's k-means
+    step shape (broadcast centroids, aggregate partials); n_iter more
+    rounds = n_iter more passes over the data, no state on the driver
+    beyond the k*64 centroid relation."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", V.quantize("embedding").alias("qv")
+    )
+    cent_pos = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.posexplode("qv").alias("pos", "c_val"),
+        )
+        .withColumn("n_assigned", F.lit(0).cast("bigint"))
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))
+    for _ in range(n_iter):
+        cent_arr = cent_pos.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c_val"))),
+                lambda s: s["c_val"],
+            ).alias("cv")
+        )
+        assign = (
+            emb.crossJoin(F.broadcast(cent_arr))
+            .select("vec_id", "qv", "cent_id", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "qv", "cent_id")
+        )
+        upd = (
+            assign.select("cent_id", F.posexplode("qv").alias("pos", "q"))
+            .groupBy("cent_id", "pos")
+            .agg(
+                F.round(F.sum("q") / F.count("*")).cast("bigint").alias("new_val"),
+                F.count("*").alias("n"),
+            )
+        )
+        cent_pos = (
+            cent_pos.select("cent_id", "pos", "c_val")
+            .join(upd, ["cent_id", "pos"], "left")
+            .select(
+                "cent_id",
+                "pos",
+                F.coalesce("new_val", F.col("c_val")).alias("c_val"),
+                F.coalesce("n", F.lit(0)).cast("bigint").alias("n_assigned"),
+            )
+        )
+    return cent_pos.select("cent_id", "pos", "c_val", "n_assigned")
+
+
 @register(
     "similarity_pairs_gemm",
     sql=f"""

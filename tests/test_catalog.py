@@ -106,6 +106,24 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark, cat):
         assert len(mp & exact) / len(exact) >= len(lsh & exact) / len(exact)
 
 
+def test_kmeans_iter_partition_and_determinism(spark, cat):
+    """Lloyd loop invariants: 8x64 centroid rows, every vector assigned
+    to exactly one cluster (n_assigned sums to the corpus size on every
+    dimension row), empty clusters carry forward with n=0, and the whole
+    iterative computation is deterministic across runs."""
+    sf = "/root/testdata/sf0.001"
+    rows = cat["embedding_kmeans_iter"].fn(spark, sf).collect()
+    assert len(rows) == 8 * 64
+    n_vecs = cat["embedding_stats"].fn(spark, sf).count()
+    per_pos: dict = {}
+    for r in rows:
+        per_pos.setdefault(r.pos, 0)
+        per_pos[r.pos] += r.n_assigned
+    assert set(per_pos.values()) == {n_vecs}
+    again = cat["embedding_kmeans_iter"].fn(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
 def test_gemm_equals_jvm_brute_force(spark, cat):
     """The blocked-GEMM kernel must produce BIT-IDENTICAL pairs and
     cosines to the JVM zip_with/aggregate brute force — same quantized
