@@ -220,6 +220,35 @@ def streaming_doc_dedup_replay(spark, sf_dir):
 
 
 @register(
+    "streaming_doc_dedup_watermarked",
+    sql="SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    tags=("streaming", "llm", "curation", "dedup", "watermark"),
+)
+def streaming_doc_dedup_watermarked(spark, sf_dir):
+    """Streaming exact dedup with BOUNDED state: the
+    dropDuplicatesWithinWatermark variant of streaming_doc_dedup_replay
+    — the state-eviction production path for a continuous 100 TB crawl
+    ingest (seen-set size is O(distinct content within the watermark
+    window), not O(all distinct content ever). On the bounded replay the
+    watermark delay spans the synthetic ingest times, so the surviving
+    hash set equals the exact distinct and the oracle is the same
+    DISTINCT md5 — the catalog row pins that the bounded operator loses
+    nothing when the window covers the feed."""
+    import uuid
+
+    from ..streaming.documents import (
+        dedup_by_content_within_watermark,
+        read_documents_stream,
+    )
+    from ..streaming.events import run_available_now
+
+    stream = dedup_by_content_within_watermark(read_documents_stream(spark, sf_dir))
+    name = "docdedup_wm_" + uuid.uuid4().hex[:8]
+    out = run_available_now(stream.select("content_hash"), name, mode="append")
+    return out.select("content_hash")
+
+
+@register(
     "text_repetition_filter",
     sql="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -52,3 +52,32 @@ def dedup_by_content(docs: DataFrame) -> DataFrame:
     return docs.withColumn(
         "content_hash", F.md5(F.col("text").cast("binary"))
     ).dropDuplicates(["content_hash"])
+
+
+# epoch seconds of 2025-01-01T00:00:00Z: the synthetic ingest-time base
+_INGEST_EPOCH = 1_735_689_600
+
+
+def dedup_by_content_within_watermark(docs: DataFrame, delay: str = "10 days") -> DataFrame:
+    """The BOUNDED-state production variant the unbounded dedup's
+    docstring names: `dropDuplicatesWithinWatermark` over an ingest-time
+    column, so the seen-set state is evicted once the watermark passes
+    instead of growing with distinct-content count forever.
+
+    The fixture has no arrival time, so ingest_ts is synthesized
+    deterministically (epoch base + doc_id seconds) — in production this
+    is the landing timestamp. Duplicates in crawl feeds cluster in time,
+    so a delay covering the re-crawl horizon catches them while state
+    stays O(distinct content within the window). With the replay's
+    bounded input and a delay wider than the synthetic time span, the
+    surviving hash set equals the exact distinct — which is what the
+    oracle checks; at true scale the operator trades exactness at the
+    window boundary for bounded state, explicitly."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col("text").cast("binary")))
+        .withColumn(
+            "ingest_ts", F.timestamp_seconds(F.lit(_INGEST_EPOCH) + F.col("doc_id"))
+        )
+        .withWatermark("ingest_ts", delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

@@ -172,6 +172,54 @@ def test_train_split_positions_contiguous(spark, sf_small, cat):
     assert len(by_split["train"]) / n > 0.85
 
 
+def test_streaming_doc_dedup_watermarked_drops_in_window_dups(spark, sf_small, tmp_path):
+    """The watermark-bounded dedup must drop duplicates arriving WITHIN
+    the watermark window across micro-batches: the same corpus fed as
+    two files (synthetic ingest times identical per doc) yields one row
+    per distinct text, matching the unbounded variant on bounded input."""
+    import shutil
+    import uuid
+
+    from chchfr_data_collection_spark.streaming.documents import (
+        DOCUMENTS_SCHEMA,
+        dedup_by_content_within_watermark,
+    )
+
+    land = tmp_path / "landwm"
+    land.mkdir()
+    shutil.copy(f"{sf_small}/documents.parquet", land / "b1.parquet")
+    shutil.copy(f"{sf_small}/documents.parquet", land / "b2.parquet")
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land))
+    )
+    name = "docdedup_wm_t_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup_by_content_within_watermark(stream)
+        .select("content_hash")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+    got = {r.content_hash for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    import pyspark.sql.functions as SF
+
+    expected = {
+        r.h
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select(SF.md5(SF.col("text").cast("binary")).alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert got == expected
+
+
 def test_streaming_doc_dedup_state_spans_batches(spark, sf_small, tmp_path):
     """Content-hash dedup state must survive ACROSS micro-batches: feed
     the same corpus as two files processed one per trigger — every doc in
