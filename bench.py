@@ -71,6 +71,9 @@ HEADLINE = [
     "scd2_dimension_fold",
     "bpe_pair_merge_candidates",
     "multimodal_decode_real",
+    "multimodal_decode_jpeg",
+    "shard_packing_substratified",
+    "embedding_kmeans_iter",
 ]
 
 
