@@ -1483,6 +1483,93 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+@register(
+    "similarity_ivf_pruned_probe",
+    sql=_IVF_DUCK,
+    tags=("llm", "similarity", "ann", "ivf", "pruning"),
+)
+def similarity_ivf_pruned_probe(spark, sf_dir):
+    """IVF ANN served FROM THE LANDED INDEX LAYOUT: the corpus is
+    assigned and written as parquet PARTITIONED BY cent_id (exactly the
+    layout streaming_ivf_assign_replay maintains), then the probe joins
+    its centroid cell against the index read — and Spark's dynamic
+    partition pruning turns the broadcast probe side into a partition
+    filter on the scan, so only the probed cells' directories are read.
+
+    This is the serving half of the IVF story at 100 TB: the index
+    build is one write, each query batch reads k/nprobe-th of the data
+    by DIRECTORY, not by row filter — the scan itself shrinks
+    (PartitionFilters: dynamicpruning#... in the plan, asserted in
+    tests/test_plans.py). Results are identical to similarity_ivf_ann
+    (same assignment arithmetic, same candidates), so the oracle is the
+    same SQL."""
+    import tempfile
+    import uuid
+
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        V.quantize("embedding").alias("qv"),
+        V.dot_exact("embedding", "embedding").alias("n2"),
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    dotvc = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cosvc = dotvc.cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "qv", "n2", "cent_id", cosvc.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "n2", "cent_id")
+    )
+    # the index build: one write, the landed layout IS the inverted file
+    base = tempfile.mkdtemp(prefix=f"ivf_index_{uuid.uuid4().hex[:8]}_")
+    assign.write.mode("overwrite").partitionBy("cent_id").parquet(base)
+
+    index = spark.read.parquet(base).select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("qc"),
+        F.col("n2").alias("cn2"),
+        F.col("cent_id").cast("long").alias("cent_id"),
+    )
+    probe = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("qq"),
+        F.col("n2").alias("qn2"),
+        "cent_id",
+    )
+    dotqc = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        index.join(F.broadcast(probe), "cent_id")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dotqc.cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double")))
+            ).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(pw))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 def _kmeans_iter_duck(n_iter: int = 2) -> str:
     """Unrolled Lloyd iterations as DuckDB CTEs, integer-exact: squared-L2
     over int64-quantized vectors, centroid update re-quantized via

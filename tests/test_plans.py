@@ -143,6 +143,17 @@ def test_lsh_multiprobe_no_cartesian(spark, sf_small, cat):
     assert_read_columns(df, "embeddings", {"vec_id", "embedding"})
 
 
+def test_ivf_pruned_probe_dynamic_partition_pruning(spark, sf_small, cat):
+    """The serving probe must read the cent_id-partitioned index with a
+    DYNAMIC partition-pruning filter derived from the broadcast probe
+    side — the scan shrinks by directory, which is the whole point of
+    the landed IVF layout at scale."""
+    df = cat["similarity_ivf_pruned_probe"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
 def test_scd2_fold_broadcasts_batch(spark, sf_small, cat):
     """SCD2: the change batch is dimension-sized; every join in the fold
     must broadcast it rather than shuffle the dimension."""
