@@ -2349,3 +2349,138 @@ def dedup_simhash_levenshtein(spark, sf_dir):
         )
         .filter(F.col("edit_dist") <= 40)
     )
+
+
+# ------------------------------------------- cross-doc duplicated spans
+
+# Exact substring-level dedup at word granularity (the Spark-shaped
+# stand-in for the suffix-array pass of "Deduplicating Training Data
+# Makes Language Models Better", Lee et al. 2022): every word-5-gram
+# window is Rabin-Karp hashed at its position; a window is "duplicated"
+# iff its hash occurs in more than one document; per document we report
+# how many windows are duplicated and the longest CONTIGUOUS duplicated
+# run (a run of R windows = a copied span of R+4 words). The longest-run
+# scan is a single integer-fold over the per-doc flag array — acc packs
+# (best, current) as best*1024 + cur, exact in both engines.
+_SPAN_W = 5
+_SPAN_DUCK = f"""
+WITH wv AS (
+  SELECT doc_id,
+    [CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+     for w in string_split(text, ' ')] AS vs
+  FROM documents),
+hl AS (
+  SELECT doc_id,
+    [list_reduce(list_prepend(CAST(0 AS BIGINT), vs[i:i+{_SPAN_W - 1}]),
+                 (a, b) -> (a * {_RK_BASE} + b) % {_RK_MOD})
+     for i in range(1, len(vs) - {_SPAN_W - 2})] AS hs
+  FROM wv),
+wins AS (
+  SELECT doc_id, generate_subscripts(hs, 1) AS pos, unnest(hs) AS h FROM hl),
+dh AS (
+  SELECT h FROM wins GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id)),
+fl AS (
+  SELECT w.doc_id,
+         list(CAST(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+              ORDER BY w.pos) AS flags
+  FROM wins w LEFT JOIN dh d ON w.h = d.h
+  GROUP BY w.doc_id)
+SELECT doc_id,
+  CAST(len(flags) AS BIGINT) AS n_windows,
+  CAST(list_sum(flags) AS BIGINT) AS n_dup_windows,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), flags),
+    (a, b) -> CASE WHEN b = 1
+      THEN GREATEST(a // 1024, a % 1024 + 1) * 1024 + (a % 1024 + 1)
+      ELSE (a // 1024) * 1024 END) // 1024 AS max_dup_run
+FROM fl
+"""
+
+
+@register(
+    "dedup_duplicate_spans",
+    sql=_SPAN_DUCK,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated-span detection (word-level substring
+    dedup, after Lee et al. 2022 but Spark-shaped: the suffix array
+    becomes a window-hash shuffle).
+
+    Plan at 100 TB: the explode produces ~L windows per doc keyed by a
+    uniform md5-derived hash — ONE shuffle aggregates min/max doc per
+    hash (map-side partial combine applies), and the duplicated-hash set
+    joins back as an equi-join. No document pairs are ever materialized
+    (unlike pairwise dedup, output is per-doc), so there is no quadratic
+    blow-up on hot spans; the per-doc regroup is a second shuffle on
+    doc_id and the longest-run fold is a map-side array scan.
+    """
+    d = T(spark, sf_dir, "documents", parallel=True)
+    word_vals = F.transform(
+        F.split("text", " ", -1),
+        lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+    )
+
+    def horner(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda acc, v: (acc * _RK_BASE + v) % _RK_MOD
+        )
+
+    vs = F.col("vs")
+    hl = d.select("doc_id", word_vals.alias("vs")).select(
+        "doc_id",
+        F.when(
+            F.size(vs) >= _SPAN_W,
+            F.transform(
+                F.sequence(F.lit(1), F.size(vs) - (_SPAN_W - 1)),
+                lambda i: horner(F.slice(vs, i, _SPAN_W)),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("hs"),
+    )
+    wins = hl.select(
+        "doc_id", F.posexplode("hs").alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dh = (
+        wins.groupBy("h")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("dup"))
+        .filter("dup")
+        .select("h", F.lit(1).alias("dup1"))
+    )
+    flagged = wins.join(dh, "h", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("dup1"), F.lit(0)).cast("bigint").alias("flag"),
+    )
+    fl = flagged.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "flag"))), lambda s: s["flag"]
+        ).alias("flags")
+    )
+    flags = F.col("flags")
+    return fl.select(
+        "doc_id",
+        F.size(flags).cast("bigint").alias("n_windows"),
+        F.aggregate(
+            flags, F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("n_dup_windows"),
+        (
+            F.aggregate(
+                flags,
+                F.lit(0).cast("bigint"),
+                lambda a, b: F.when(
+                    b == 1,
+                    F.greatest(
+                        F.floor(a / 1024).cast("bigint"), a % 1024 + 1
+                    )
+                    * 1024
+                    + (a % 1024 + 1),
+                ).otherwise(F.floor(a / 1024).cast("bigint") * 1024),
+            )
+            / 1024
+        )
+        .cast("bigint")
+        .alias("max_dup_run"),
+    )

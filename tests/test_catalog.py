@@ -213,3 +213,47 @@ def test_bench_headline_names_resolve(cat):
     spec.loader.exec_module(mod)
     missing = [n for n in mod.HEADLINE if n not in cat]
     assert not missing, f"bench HEADLINE names not in catalog: {missing}"
+
+
+def test_duplicate_spans_vs_pure_python(spark, cat):
+    """Independent verification: recompute the word-5-gram window hashes,
+    the cross-doc duplicate set, and the longest-run scan in pure Python
+    over the sf0.001 corpus, and require exact agreement per document."""
+    import collections
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(sf + "/documents.parquet").collect()
+    }
+    MOD, BASE, W = 1_000_000_007, 131, 5
+
+    def wh(words):
+        out = []
+        for i in range(len(words) - W + 1):
+            acc = 0
+            for w in words[i : i + W]:
+                v = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                acc = (acc * BASE + v) % MOD
+            out.append(acc)
+        return out
+
+    hashes = {d: wh(t.split(" ")) for d, t in docs.items()}
+    owners = collections.defaultdict(set)
+    for d, hs in hashes.items():
+        for h in hs:
+            owners[h].add(d)
+    expected = {}
+    for d, hs in hashes.items():
+        flags = [len(owners[h]) > 1 for h in hs]
+        best = cur = 0
+        for f in flags:
+            cur = cur + 1 if f else 0
+            best = max(best, cur)
+        expected[d] = (len(flags), sum(flags), best)
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.max_dup_run)
+        for r in cat["dedup_duplicate_spans"].fn(spark, sf).collect()
+    }
+    assert got == expected
