@@ -2484,3 +2484,119 @@ def dedup_duplicate_spans(spark, sf_dir):
         .cast("bigint")
         .alias("max_dup_run"),
     )
+
+
+# ------------------------------------------------ Bloom membership gate
+
+# A Bloom filter with engine-portable hashing: each key sets K=4 bit
+# positions derived from disjoint 8-hex slices of its md5, mod M=2^18.
+# The "bit array" is materialized as the DISTINCT-position relation —
+# semantically identical to the bitmap and, crucially, BOUNDED BY M
+# ROWS no matter how large the build corpus is. That bound is the
+# 100 TB story: the filter always fits in a broadcast, so the probe
+# side never shuffles — a pre-filter in front of the exact anti-join
+# that eliminates the shuffle for the (typically overwhelming) majority
+# of definitely-new keys. The audit row measures the false-positive
+# rate against exact membership on the same corpus split.
+_BLOOM_M = 262144
+_BLOOM_K = 4
+_BLOOM_POS_DUCK = " , ".join(
+    f"CAST('0x' || substr(md5(s), {1 + 8 * j}, 8) AS BIGINT) % {_BLOOM_M}"
+    for j in range(_BLOOM_K)
+)
+_BLOOM_DUCK = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    [array_to_string(ws[i:i+2], '_') for i in range(1, len(ws) - 1)])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE len(string_split(text, ' ')) >= 3)),
+build AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 0),
+probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 1),
+bloom AS (SELECT DISTINCT unnest([{_BLOOM_POS_DUCK}]) AS pos FROM build),
+ppos AS (SELECT s, unnest([{_BLOOM_POS_DUCK}]) AS pos FROM probe),
+hits AS (
+  SELECT p.s, (COUNT(b.pos) = {_BLOOM_K}) AS bloom_hit
+  FROM ppos p LEFT JOIN bloom b ON p.pos = b.pos
+  GROUP BY p.s),
+agg AS (
+  SELECT
+    COUNT(*) AS n_probe,
+    COUNT(*) FILTER (WHERE bloom_hit) AS n_bloom_hit,
+    COUNT(*) FILTER (WHERE s IN (SELECT s FROM build)) AS n_member,
+    COUNT(*) FILTER (WHERE bloom_hit AND s NOT IN (SELECT s FROM build))
+      AS n_false_pos
+  FROM hits)
+SELECT n_probe, n_bloom_hit, n_member, n_false_pos,
+  CAST(n_false_pos AS DOUBLE) / GREATEST(n_probe - n_member, 1) AS fp_rate
+FROM agg
+"""
+
+
+def _bloom_positions(col):
+    """K md5-slice bit positions for a string column (portable)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.col(col).cast("binary")), 1 + 8 * j, 8), 16, 10
+            ).cast("bigint")
+            % _BLOOM_M
+            for j in range(_BLOOM_K)
+        ]
+    )
+
+
+@register(
+    "dedup_bloom_gate",
+    sql=_BLOOM_DUCK,
+    tags=("llm", "dedup", "bloom"),
+)
+def dedup_bloom_gate(spark, sf_dir):
+    """Bloom-filter membership pre-gate with a measured FP-rate audit.
+
+    Build side = shingles of even-numbered docs, probe side = shingles
+    of odd-numbered docs (a deterministic stand-in for "the corpus so
+    far" vs "today's crawl"). The bloom relation is broadcast (bounded
+    at M=2^18 rows by construction — at 100 TB the filter size is a
+    CONSTANT, the reason this beats a shuffle anti-join as the first
+    gate); the exact-membership join exists only to measure the FP
+    rate. Spark's own bloom_filter_agg would serve the same role but
+    its bit layout is engine-internal — this portable variant is
+    oracle-checkable bit-for-bit.
+    """
+    d = T(spark, sf_dir, "documents", parallel=True)
+    sh = (
+        d.filter(TX.word_count("text") >= 3)
+        .select("doc_id", F.explode(TX.word_shingles("text", 3)).alias("s"))
+    )
+    build = sh.filter(F.col("doc_id") % 2 == 0).select("s").distinct()
+    probe = sh.filter(F.col("doc_id") % 2 == 1).select("s").distinct()
+    bloom = (
+        build.select(F.explode(_bloom_positions("s")).alias("pos"))
+        .distinct()
+        .withColumn("b1", F.lit(1))
+    )
+    ppos = probe.select("s", F.explode(_bloom_positions("s")).alias("pos"))
+    hits = (
+        ppos.join(F.broadcast(bloom), "pos", "left")
+        .groupBy("s")
+        .agg((F.count("b1") == _BLOOM_K).alias("bloom_hit"))
+    )
+    member = build.withColumn("m1", F.lit(1))
+    audited = hits.join(member, "s", "left").select(
+        "s", "bloom_hit", F.col("m1").isNotNull().alias("is_member")
+    )
+    return audited.agg(
+        F.count("*").alias("n_probe"),
+        F.count_if("bloom_hit").alias("n_bloom_hit"),
+        F.count_if("is_member").alias("n_member"),
+        F.count_if(F.col("bloom_hit") & ~F.col("is_member")).alias("n_false_pos"),
+    ).select(
+        "n_probe",
+        "n_bloom_hit",
+        "n_member",
+        "n_false_pos",
+        (
+            F.col("n_false_pos").cast("double")
+            / F.greatest(F.col("n_probe") - F.col("n_member"), F.lit(1))
+        ).alias("fp_rate"),
+    )

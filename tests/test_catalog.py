@@ -257,3 +257,14 @@ def test_duplicate_spans_vs_pure_python(spark, cat):
         for r in cat["dedup_duplicate_spans"].fn(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_bloom_gate_no_false_negatives(spark, cat):
+    """Defining Bloom property: every true member must hit the filter
+    (hits decompose exactly into members + false positives), and the
+    measured FP rate stays under the design bound for this fill level."""
+    sf = "/root/testdata/sf0.01"
+    r = cat["dedup_bloom_gate"].fn(spark, sf).collect()[0]
+    assert r.n_probe > 0 and r.n_member > 0
+    assert r.n_bloom_hit == r.n_member + r.n_false_pos
+    assert r.fp_rate < 0.05
