@@ -598,3 +598,74 @@ def pack_sequence_boundaries(spark, sf_dir):
         last_seq.cast("bigint").alias("last_seq"),
         (F.col("tok_before") % 2048).cast("bigint").alias("offset_in_first"),
     )
+
+
+# ------------------------------------------------- context-window chunks
+
+# Overlapping context-window chunking: SIZE-word chunks every STRIDE
+# words (overlap = SIZE-STRIDE words preserves cross-boundary context,
+# the standard prep for fixed-context-length training/embedding). The
+# whole operator is map-only array arithmetic over the scan — no
+# shuffle at any scale; chunk identity is (doc_id, chunk_id) and the
+# chunk content is pinned by an md5 the oracle reproduces.
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+_CHUNK_DUCK = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+c AS (
+  SELECT doc_id, ws,
+    1 + GREATEST(0, (n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1) // {_CHUNK_STRIDE})
+      AS n_chunks
+  FROM d),
+e AS (
+  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, ws FROM c)
+SELECT doc_id, chunk_id,
+  CAST(1 + chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_word,
+  CAST(len(ws[1 + chunk_id * {_CHUNK_STRIDE} :
+              chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}]) AS BIGINT) AS n_words,
+  md5(array_to_string(ws[1 + chunk_id * {_CHUNK_STRIDE} :
+                         chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}], ' '))
+    AS chunk_hash
+FROM e
+"""
+
+
+@register(
+    "doc_chunk_overlap",
+    sql=_CHUNK_DUCK,
+    tags=("llm", "curation", "chunking"),
+)
+def doc_chunk_overlap(spark, sf_dir):
+    """Split documents into overlapping fixed-size word windows.
+
+    chunk k covers words [1+k*STRIDE, 1+k*STRIDE+SIZE), the final chunk
+    is allowed to be short, and every word is covered (the chunk count
+    is ceil((n-SIZE)/STRIDE)+1 clamped at >=1). Map-only: explode +
+    slice run inside the scan stage, so the operator costs one pass
+    over the corpus at any scale and parallelism follows the input
+    partitioning."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    ws = F.split("text", " ", -1)
+    n = F.size(ws)
+    n_chunks = 1 + F.greatest(
+        F.lit(0),
+        F.floor((n - _CHUNK_SIZE + _CHUNK_STRIDE - 1) / _CHUNK_STRIDE).cast("int"),
+    )
+    e = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = 1 + F.col("chunk_id") * _CHUNK_STRIDE
+    chunk = F.slice(F.col("ws"), start, _CHUNK_SIZE)
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_word"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_hash"),
+    )

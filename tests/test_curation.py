@@ -328,3 +328,35 @@ def test_quarantine_loses_no_rows(spark, sf_small, cat):
     assert len(out) == n_supp
     assert {r["disposition"] for r in out} <= {"ingested", "duplicate", "quarantined"}
     assert len({r["location_id"] for r in out}) == n_supp
+
+
+def test_chunk_overlap_covers_every_word(spark):
+    """Chunk windows must tile each document: starts advance by STRIDE
+    from 1, each chunk is min(SIZE, remaining) words, and the last chunk
+    reaches the document's final word."""
+    from chchfr_data_collection_spark.queries import catalog
+    from chchfr_data_collection_spark.queries.curation import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_words = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(sf + "/documents.parquet").collect()
+    }
+    rows = catalog()["doc_chunk_overlap"].fn(spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_words)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = n_words[doc]
+        for k, r in enumerate(chunks):
+            assert r.chunk_id == k
+            assert r.start_word == 1 + k * _CHUNK_STRIDE
+            assert r.n_words == min(_CHUNK_SIZE, n - r.start_word + 1)
+        last = chunks[-1]
+        assert last.start_word + last.n_words - 1 == n
+        assert len(chunks) == 1 or chunks[-2].start_word + _CHUNK_SIZE >= last.start_word
