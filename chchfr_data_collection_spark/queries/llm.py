@@ -2600,3 +2600,83 @@ def dedup_bloom_gate(spark, sf_dir):
             / F.greatest(F.col("n_probe") - F.col("n_member"), F.lit(1))
         ).alias("fp_rate"),
     )
+
+
+# ----------------------------------------------- vocab token-id encoding
+
+# Tokenizer-apply at word granularity: build the top-V vocabulary by
+# corpus frequency (ties broken lexicographically), encode every
+# document's word sequence to token ids with an UNK id for OOV words,
+# and pin the id sequence with an md5 over the comma-joined ids. The
+# shape is exactly a production tokenizer-apply pass: one explode +
+# count shuffle builds the vocab (map-side combine collapses each
+# partition to its distinct-word counts first), the capped vocab is a
+# V-row broadcast, and the encode itself is a broadcast join + per-doc
+# regroup — documents never pairwise interact.
+_VOCAB_V = 16
+
+_TOKEN_IDS_DUCK = f"""
+WITH wpos AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+vocab AS (
+  SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) - 1 AS token_id
+  FROM wpos GROUP BY w
+  ORDER BY COUNT(*) DESC, w ASC LIMIT {_VOCAB_V}),
+enc AS (
+  SELECT p.doc_id, p.pos, COALESCE(v.token_id, {_VOCAB_V}) AS tid,
+         (v.token_id IS NULL) AS oov
+  FROM wpos p LEFT JOIN vocab v ON p.w = v.w)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) FILTER (WHERE oov) AS BIGINT) AS n_oov,
+  md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_hash
+FROM enc GROUP BY doc_id
+"""
+
+
+@register(
+    "text_token_ids",
+    sql=_TOKEN_IDS_DUCK,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_token_ids(spark, sf_dir):
+    """Encode documents to token-id sequences against a corpus-built
+    top-V vocabulary (OOV -> UNK id = V).
+
+    100 TB plan: the vocab pass is one word-count shuffle whose reduce
+    side is bounded by |distinct words| (not corpus size); the top-V cut
+    is a sort of that bounded relation; the encode is a broadcast hash
+    join (vocab is V rows by construction) followed by one per-doc
+    regroup — the same two-shuffle shape regardless of corpus size."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    wpos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    counts = wpos.groupBy("w").agg(F.count("*").alias("cnt"))
+    topv = counts.orderBy(F.desc("cnt"), F.asc("w")).limit(_VOCAB_V)
+    vocab = topv.select(
+        "w",
+        (
+            F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("w"))) - 1
+        ).alias("token_id"),
+    )
+    enc = wpos.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(_VOCAB_V)).alias("tid"),
+        F.col("token_id").isNull().alias("oov"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count_if("oov").cast("bigint").alias("n_oov"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                ",",
+            ).cast("binary")
+        ).alias("ids_hash"),
+    )

@@ -268,3 +268,34 @@ def test_bloom_gate_no_false_negatives(spark, cat):
     assert r.n_probe > 0 and r.n_member > 0
     assert r.n_bloom_hit == r.n_member + r.n_false_pos
     assert r.fp_rate < 0.05
+
+
+def test_token_ids_vs_pure_python(spark, cat):
+    """Recompute the top-V vocab, the per-doc id sequence, and its md5
+    in pure Python and require exact agreement."""
+    import collections
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    from chchfr_data_collection_spark.queries.llm import _VOCAB_V
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(sf + "/documents.parquet").collect()
+    }
+    counts = collections.Counter(w for ws in docs.values() for w in ws)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:_VOCAB_V]
+    vocab = {w: i for i, (w, _) in enumerate(ranked)}
+    expected = {}
+    for d, ws in docs.items():
+        ids = [vocab.get(w, _VOCAB_V) for w in ws]
+        expected[d] = (
+            len(ids),
+            sum(1 for w in ws if w not in vocab),
+            hashlib.md5(",".join(map(str, ids)).encode()).hexdigest(),
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.ids_hash)
+        for r in cat["text_token_ids"].fn(spark, sf).collect()
+    }
+    assert got == expected
