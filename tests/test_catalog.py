@@ -299,3 +299,24 @@ def test_token_ids_vs_pure_python(spark, cat):
         for r in cat["text_token_ids"].fn(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_pq_rerank_dominates_pure_adc(spark, cat):
+    """The two-stage PQ path (ADC shortlist -> exact re-rank) must
+    dominate pure ADC recall and reach full recall@3 on this corpus;
+    re-ranked results must be a subset of the shortlist's queries with
+    exact cosine ordering (rank 1..3 per query)."""
+    sf = "/root/testdata/sf0.01"
+    r = cat["pq_recall_audit"].fn(spark, sf).collect()[0]
+    assert r.n_exact == 15
+    assert r.n_hit_rerank >= r.n_hit_adc
+    assert r.recall_rerank == 1.0
+    rr = cat["similarity_pq_rerank"].fn(spark, sf).collect()
+    by_q = {}
+    for row in rr:
+        by_q.setdefault(row.qid, []).append(row)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda x: x.rank)
+        assert [x.rank for x in rows] == [1, 2, 3]
+        sims = [x.cos_sim for x in rows]
+        assert sims == sorted(sims, reverse=True)
