@@ -71,6 +71,7 @@ def _fake_features(payload: bytes, dim: int = 8) -> list:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _BMP_MAGIC = b"BM"
 _JPEG_MAGIC = b"\xff\xd8"
+_GIF_MAGIC = b"GIF8"
 
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
@@ -92,6 +93,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
         return _decode_bmp(payload)
     if payload[:2] == _JPEG_MAGIC:
         return _decode_jpeg(payload)
+    if payload[:4] == _GIF_MAGIC:
+        return _decode_gif(payload)
     raise NotImplementedError(
         "only PNG/BMP/baseline-JPEG have in-container decoders; other "
         "formats (video) need codec libraries (PIL/ffmpeg) not available here"
@@ -258,6 +261,182 @@ def encode_bmp24(width: int, height: int, rgb: bytes, top_down: bool = False) ->
         1, 24, 0, len(body), 2835, 2835, 0, 0,
     )
     return bytes(header + dib + body)
+
+
+# ---------------------------------------------------------------------------
+# GIF87a/89a: pure-stdlib LZW decoder and a minimal writer. Scope:
+# non-interlaced, global or local color table, extensions skipped,
+# first image block decoded by decode_image (use decode_gif_frames for
+# animations). Interlaced images raise NotImplementedError at the exact
+# point a full codec library would take over.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytearray:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/EOI codes, code
+    width grows to 12 bits as the table fills."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    code_size = min_code + 1
+    bitpos, total = 0, len(data) * 8
+    prev = None
+    out = bytearray()
+    while bitpos + code_size <= total:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table, code_size, prev = fresh(), min_code + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:
+            entry = prev + prev[:1]
+            table.append(entry)
+        # the decoder's table trails the encoder's by one entry (it
+        # learns each phrase one code late), so it must widen one entry
+        # EARLY to stay bit-aligned with the encoder's width switch
+        if len(table) + 1 >= (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    return out
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, bytes]:
+    frames = decode_gif_frames(payload, max_frames=1)
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames[0]
+
+
+def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list:
+    """Decode GIF image blocks to a list of ``(width, height, 3, rgb)``
+    tuples (animated GIFs yield one tuple per frame; frames are decoded
+    standalone — no disposal-method compositing)."""
+    import struct
+
+    if payload[:4] != _GIF_MAGIC or payload[4:6] not in (b"7a", b"9a"):
+        raise NotImplementedError("not a GIF87a/GIF89a payload")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    frames: list = []
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), min_code)[: w * h]
+            if len(idx) < w * h:
+                raise ValueError("GIF LZW stream truncated")
+            rgb = bytearray(w * h * 3)
+            for i, k in enumerate(idx):
+                rgb[3 * i : 3 * i + 3] = ct[3 * k : 3 * k + 3]
+            frames.append((w, h, 3, bytes(rgb)))
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    return frames
+
+
+def encode_gif(
+    width: int, height: int, palette: bytes, indexes: bytes, loop: bool = False
+) -> bytes:
+    """Minimal GIF89a writer — inverse of `_decode_gif` for a single
+    frame (pass `indexes` of len width*height into a `palette` of
+    2/4/8/.../256 RGB triples). Uses the classic "uncompressed" LZW
+    form: literal codes at fixed width with a CLEAR before the decoder
+    would grow the code size — valid GIF, zero compression machinery."""
+    import struct
+
+    n_colors = len(palette) // 3
+    depth = max(2, (n_colors - 1).bit_length())
+    palette = palette + bytes(3 * ((1 << depth) - n_colors))  # pad to 2^depth
+    min_code = depth
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0x80 | ((depth - 1) & 7), 0, 0)
+    out += palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out += bytes([min_code])
+
+    # LZW literal stream: after a CLEAR the decoder adds a table entry
+    # per code starting with the 2nd and widens once table+1 reaches
+    # 2^(min_code+1) — the k-th literal brings the table to
+    # 2^min_code+1+k entries, so at most 2^min_code - 3 literals fit
+    # between CLEARs with every code (including the CLEARs) staying at
+    # fixed width min_code+1.
+    acc = 0
+    nbits = 0
+    body = bytearray()
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    span = (1 << min_code) - 3
+    for i, k in enumerate(indexes):
+        if i and i % span == 0:
+            put(clear)
+        put(k)
+    put(eoi)
+    if nbits:
+        body.append(acc & 0xFF)
+    for off in range(0, len(body), 255):
+        sub = body[off : off + 255]
+        out += bytes([len(sub)]) + sub
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -111,8 +111,11 @@ def test_extract_features_real_decode_via_spark(spark):
 def test_real_decode_unsupported_format_raises():
     from chchfr_data_collection_spark.multimodal import decode_image
 
+    # TIFF and WebP magics: formats with no in-container decoder
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a not a supported payload")
+        decode_image(b"II*\x00 not a supported payload")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_jpeg_decode_roundtrip_and_boundaries():
@@ -241,3 +244,105 @@ def test_resize_integer_invariants(spark, sf_small):
         assert r["out_width"] == min(r["width"], 128)
         assert r["out_height"] == (r["height"] * r["out_width"]) // r["width"]
         assert 1 <= len(r["out_bytes"])
+
+
+def test_gif_roundtrip_and_boundaries():
+    """encode_gif -> decode_image is bit-exact (LZW is lossless); the
+    decoder handles local color tables absent, 89a extensions skipped,
+    interlace rejected at the codec boundary, and animated payloads via
+    decode_gif_frames."""
+    import pytest
+
+    from chchfr_data_collection_spark.multimodal import (
+        decode_gif_frames,
+        decode_image,
+        encode_gif,
+    )
+
+    palette = bytes(c for i in range(16) for c in (17 * i, 255 - 17 * i, (37 * i) % 256))
+    idx = bytes((7 * p) % 16 for p in range(20))
+    g = encode_gif(5, 4, palette, idx)
+    w, h, c, rgb = decode_image(g)
+    assert (w, h, c) == (5, 4, 3)
+    assert rgb == b"".join(palette[3 * k : 3 * k + 3] for k in idx)
+
+    # 89a with a graphic-control extension before the image: skipped
+    with_ext = g[:13 + 48] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + g[13 + 48:]
+    assert decode_image(with_ext)[3] == rgb
+
+    # interlace flag -> NotImplementedError at the boundary
+    body = bytearray(g)
+    body[13 + 48 + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(body))
+
+    # two image blocks = an animation; frames decode independently
+    anim = g[:-1] + g[13 + 48 : -1] + b"\x3b"
+    frames = decode_gif_frames(anim)
+    assert len(frames) == 2 and frames[0] == frames[1]
+
+    # truncated LZW data -> hard error, not silent short pixels
+    broken = bytearray(g)
+    sub_at = 13 + 48 + 10 + 1
+    broken[sub_at] = 2  # lie: first sub-block claims 2 bytes then 0-terminates
+    broken[sub_at + 3] = 0
+    with pytest.raises(ValueError):
+        decode_image(bytes(broken[: sub_at + 4]) + b"\x3b")
+
+
+def test_gif_lzw_decoder_vs_reference_compressor():
+    """Drive the LZW decoder with a textbook compressing encoder
+    (growing code widths, 4096-entry reset) — the uncompressed writer
+    never exercises those paths."""
+    import random
+
+    from chchfr_data_collection_spark.multimodal import _gif_lzw_decode
+
+    def lzw_compress(idx, min_code):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        out = bytearray()
+        acc = nbits = 0
+        code_size = min_code + 1
+
+        def put(c):
+            nonlocal acc, nbits
+            acc |= c << nbits
+            nbits += code_size
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        put(clear)
+        s = b""
+        for k in idx:
+            sk = s + bytes([k])
+            if sk in table:
+                s = sk
+                continue
+            put(table[s])
+            table[sk] = next_code
+            next_code += 1
+            if next_code >= (1 << code_size) and code_size < 12:
+                code_size += 1
+            if next_code >= 4096:
+                put(clear)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                code_size = min_code + 1
+            s = bytes([k])
+        if s:
+            put(table[s])
+        put(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = random.Random(11)
+    for _ in range(40):
+        m = rng.choice([2, 4, 8])
+        n = rng.randint(1, 6000)
+        idx = bytes(rng.choice((0, 0, 0, 0, 1, 2, 3 % (1 << m))) for _ in range(n))
+        assert bytes(_gif_lzw_decode(lzw_compress(idx, m), m)) == idx

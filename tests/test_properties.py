@@ -285,3 +285,23 @@ def test_wav_roundtrip_property(sr, nch, samples):
     samples = samples[: len(samples) - (len(samples) % nch)]
     got_sr, got_nch, got = decode_audio(encode_wav(sr, nch, samples))
     assert (got_sr, got_nch, got.tolist()) == (sr, nch, samples)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=2, max_value=256),
+    st.randoms(use_true_random=False),
+)
+def test_gif_roundtrip_exact(w, h, n_colors, rng):
+    """encode_gif -> decode_image reproduces every pixel exactly for
+    arbitrary palette sizes (LZW is lossless; padding, sub-block
+    splitting, and CLEAR placement must all cancel out)."""
+    from chchfr_data_collection_spark.multimodal import decode_image, encode_gif
+
+    palette = bytes(rng.randrange(256) for _ in range(3 * n_colors))
+    idx = bytes(rng.randrange(n_colors) for _ in range(w * h))
+    ww, hh, ch, rgb = decode_image(encode_gif(w, h, palette, idx))
+    assert (ww, hh, ch) == (w, h, 3)
+    assert rgb == b"".join(palette[3 * k : 3 * k + 3] for k in idx)
