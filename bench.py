@@ -74,6 +74,9 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "shard_packing_substratified",
     "embedding_kmeans_iter",
+    "dedup_duplicate_spans",
+    "similarity_pq_rerank",
+    "doc_chunk_overlap",
 ]
 
 

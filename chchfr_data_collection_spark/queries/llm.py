@@ -2951,3 +2951,41 @@ def pq_recall_audit(spark, sf_dir):
         (F.count("h").cast("double") / F.count("*")).alias("recall_adc"),
         (F.count("hr").cast("double") / F.count("*")).alias("recall_rerank"),
     )
+
+
+@register(
+    "dedup_span_summary",
+    sql=f"""
+    WITH spans AS ({_SPAN_DUCK})
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+      CAST(SUM(n_dup_windows) AS BIGINT) AS n_dup_windows,
+      CAST(SUM(n_dup_windows) AS DOUBLE) / SUM(n_windows) AS dup_fraction,
+      CAST(COUNT(*) FILTER (WHERE n_dup_windows * 2 >= n_windows) AS BIGINT)
+        AS n_docs_half_dup,
+      CAST(MAX(max_dup_run) AS BIGINT) AS longest_run
+    FROM spans
+    """,
+    tags=("llm", "dedup", "substring", "audit"),
+)
+def dedup_span_summary(spark, sf_dir):
+    """Corpus-level duplication report over dedup_duplicate_spans — the
+    one-row readout Lee et al. 2022 lead with ("N% of the corpus is
+    duplicated text"): total windows, duplicated-window fraction, how
+    many documents are majority-duplicate (the removal candidates), and
+    the longest copied span observed. Same plan as the per-doc query
+    plus one scalar aggregate — the audit rides the operator."""
+    spans = dedup_duplicate_spans(spark, sf_dir)
+    return spans.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_windows").cast("bigint").alias("n_windows"),
+        F.sum("n_dup_windows").cast("bigint").alias("n_dup_windows"),
+        (
+            F.sum("n_dup_windows").cast("double") / F.sum("n_windows")
+        ).alias("dup_fraction"),
+        F.count_if(F.col("n_dup_windows") * 2 >= F.col("n_windows"))
+        .cast("bigint")
+        .alias("n_docs_half_dup"),
+        F.max("max_dup_run").cast("bigint").alias("longest_run"),
+    )
