@@ -3003,3 +3003,42 @@ def dedup_span_summary(spark, sf_dir):
         .alias("n_docs_half_dup"),
         F.max("max_dup_run").cast("bigint").alias("longest_run"),
     )
+
+
+@register(
+    "streaming_pq_encode_replay",
+    sql=f"""
+    WITH {_PQ_CORE_DUCK}
+    SELECT vec_id, CAST(j AS INT) AS j, code FROM codes
+    """,
+    tags=("streaming", "llm", "similarity", "pq"),
+)
+def streaming_pq_encode_replay(spark, sf_dir):
+    """Streaming PQ index maintenance, replayed end-to-end: the
+    embeddings feed streams through foreachBatch and every arriving
+    vector is encoded to its M_SUB nearest-sub-centroid codes against
+    the static codebook, appended to the compressed code table — the
+    insert path that keeps similarity_pq_adc's 16x-smaller index
+    current as new crawl batches land (the IVF twin is
+    streaming_ivf_assign_replay; a production index runs both: IVF
+    partitions the corpus, PQ compresses the cells).
+
+    Encoding is per-row against a broadcast dim, so the result is
+    independent of micro-batch boundaries and arrival order — the
+    replay equals similarity_pq_adc's batch encode stage bit-for-bit
+    (pinned by the oracle and the equivalence test)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.embeddings import (
+        foreach_batch_pq_encode,
+        pq_codebook,
+        read_embeddings_stream,
+    )
+
+    cent = pq_codebook(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix=f"pq_encode_{uuid.uuid4().hex[:8]}_")
+    target, ck = f"{base}/codes", f"{base}/ck"
+    q = foreach_batch_pq_encode(read_embeddings_stream(spark, sf_dir), cent, target, ck)
+    q.awaitTermination()
+    return spark.read.parquet(target).select("vec_id", "j", "code")

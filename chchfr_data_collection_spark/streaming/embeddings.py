@@ -118,3 +118,81 @@ def foreach_batch_ivf_assign(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -------------------------------------------------- PQ encode (insert path)
+
+PQ_M = 16
+PQ_DIM = 4
+PQ_C = 16
+
+
+def pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic PQ codebook (same convention as
+    queries.llm.similarity_pq_adc: the first PQ_C vectors' quantized
+    subvectors), one row per (cent_id), carrying the full quantized
+    vector — subspace slicing happens in the encoder so the dim stays
+    one broadcastable row per centroid."""
+    from ..session import load_table
+
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < PQ_C)
+        .select(F.col("vec_id").alias("cent_id"), V.quantize("embedding").alias("cv"))
+    )
+
+
+def pq_encode(batch: DataFrame, cent: DataFrame) -> DataFrame:
+    """Encode a batch of vectors to PQ codes: per subspace, the nearest
+    sub-centroid by integer-exact quantized L2 (asc-cent_id tie-break) —
+    identical arithmetic to similarity_pq_adc's encode stage, so the
+    streamed code table equals the batch-built one bit-for-bit."""
+
+    def sub_d2(j):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("qv"), j * PQ_DIM + 1, PQ_DIM),
+                F.slice(F.col("cv"), j * PQ_DIM + 1, PQ_DIM),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        )
+
+    sd = (
+        batch.select("vec_id", V.quantize("embedding").alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cent_id",
+            F.posexplode(F.array(*[sub_d2(j) for j in range(PQ_M)])).alias("j", "d2"),
+        )
+    )
+    wcode = W.partitionBy("vec_id", "j").orderBy("d2", "cent_id")
+    return (
+        sd.withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", F.col("cent_id").alias("code"))
+    )
+
+
+def foreach_batch_pq_encode(
+    stream_df: DataFrame,
+    cent: DataFrame,
+    target_path: str,
+    checkpoint: str,
+):
+    """Run the PQ insert path over a stream: per micro-batch, encode
+    arriving vectors to codes and append to the compressed index — the
+    16x-smaller table similarity_pq_adc serves from. Same replay story
+    as foreach_batch_ivf_assign (per-row encode vs a static dim)."""
+
+    def _encode_and_append(batch: DataFrame, batch_id: int) -> None:
+        pq_encode(batch, cent).write.mode("append").parquet(target_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_encode_and_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

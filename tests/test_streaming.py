@@ -297,3 +297,28 @@ def test_transform_with_state_plan_constructs(spark, sf_small):
     s = {r.user_id: (r.min_value, r.max_value, r.n_events) for r in out.collect()}
     b = {r.user_id: (r.min_value, r.max_value, r.n_events) for r in batch.collect()}
     assert s == b
+
+
+def test_streaming_pq_encode_equals_batch(spark, sf_small):
+    """The streamed PQ insert path (foreachBatch encode into the code
+    table) equals the batch encode of the whole table: per-row argmin
+    against a static codebook is batch-boundary- and order-independent;
+    every vector gets exactly PQ_M codes."""
+    from chchfr_data_collection_spark.queries import catalog
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        PQ_M,
+        pq_codebook,
+        pq_encode,
+    )
+
+    streamed = catalog()["streaming_pq_encode_replay"].fn(spark, sf_small)
+    batch = pq_encode(
+        load_table(spark, sf_small, "embeddings"), pq_codebook(spark, sf_small)
+    )
+    s = {(r.vec_id, r.j, r.code) for r in streamed.collect()}
+    b = {(r.vec_id, r.j, r.code) for r in batch.collect()}
+    assert s == b
+    per_vec = {}
+    for v, j, _ in s:
+        per_vec.setdefault(v, set()).add(j)
+    assert all(js == set(range(PQ_M)) for js in per_vec.values())
