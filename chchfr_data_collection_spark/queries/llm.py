@@ -3042,3 +3042,98 @@ def streaming_pq_encode_replay(spark, sf_dir):
     q = foreach_batch_pq_encode(read_embeddings_stream(spark, sf_dir), cent, target, ck)
     q.awaitTermination()
     return spark.read.parquet(target).select("vec_id", "j", "code")
+
+
+# --------------------------------------------- sparse tf-idf similarity
+
+# Sparse-vector document similarity via the inverted index — the IR
+# complement to the dense-embedding paths: weight terms by tf·idf,
+# generate candidate pairs ONLY through the posting-list equi-join on
+# the term (df-capped RELATIVE to corpus size — df*8 <= N keeps only
+# the rarest eighth, so the fan-out per term is bounded by (N/8)^2 and
+# the cap is part of the operator's semantics), and
+# score by cosine over the capped term space. Weights are INTEGERS
+# (tf * (N*1000 div df)) so every dot/norm is an exact int64 sum —
+# order-independent, hence bit-identical across engines; only the final
+# cosine divides in IEEE doubles.
+_TFIDF_DF_FRAC = 8  # keep terms with df * 8 <= N (the "rare" eighth)
+_TFIDF_THRESH = 0.8
+
+_TFIDF_PAIRS_DUCK = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+df AS (
+  SELECT w, COUNT(*) AS df, (SELECT COUNT(*) FROM documents) AS n
+  FROM tf GROUP BY w),
+wt AS (
+  SELECT t.doc_id, t.w, t.tf * ((d.n * 1000) // d.df) AS wgt
+  FROM tf t JOIN df d ON t.w = d.w WHERE d.df * {_TFIDF_DF_FRAC} <= d.n),
+norms AS (
+  SELECT doc_id, CAST(SUM(wgt * wgt) AS BIGINT) AS n2 FROM wt GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(SUM(a.wgt * b.wgt) AS BIGINT) AS d
+  FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT da, db,
+  CAST(d.d AS DOUBLE) /
+    (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+FROM dots d JOIN norms na ON na.doc_id = d.da JOIN norms nb ON nb.doc_id = d.db
+WHERE CAST(d.d AS DOUBLE) /
+    (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) >= {_TFIDF_THRESH}
+"""
+
+
+@register(
+    "similarity_tfidf_pairs",
+    sql=_TFIDF_PAIRS_DUCK,
+    tags=("llm", "similarity", "tfidf"),
+)
+def similarity_tfidf_pairs(spark, sf_dir):
+    """Document pairs with tf-idf cosine >= 0.8 via posting-list join.
+
+    100 TB plan: one explode+count shuffle builds (doc, term, tf); the
+    df side is a bounded-reduce aggregate; candidate pairs exist ONLY
+    where two docs share a term with df <= cap, so the join fan-out per
+    term is <= cap^2/2 and hot stop-words never pair (they're cut by
+    the cap, exactly as in the n-gram Jaccard dedup). idf uses integer
+    division (N*1000 div df) rather than a log — rationale: exact int64
+    weights make dots/norms order-independent (a float log would make
+    the sums accumulation-order-dependent and break cross-engine
+    bit-equality); the ranking it induces is the same 1/df family."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    words = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    n_docs = d.groupBy().agg(F.count("*").alias("n"))
+    df = (
+        tf.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * _TFIDF_DF_FRAC <= F.col("n"))
+    )
+    wt = tf.join(df, "w").select(
+        "doc_id",
+        "w",
+        (F.col("tf") * F.expr("(n * 1000) div df")).alias("wgt"),
+    )
+    norms = wt.groupBy("doc_id").agg(
+        F.sum(F.col("wgt") * F.col("wgt")).alias("n2")
+    )
+    a = wt.select(F.col("doc_id").alias("da"), "w", F.col("wgt").alias("wa"))
+    b = wt.select(F.col("doc_id").alias("db"), "w", F.col("wgt").alias("wb"))
+    dots = (
+        a.join(b, "w")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("d"))
+    )
+    cos = F.col("d").cast("double") / (
+        F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))
+    )
+    return (
+        dots.join(norms.alias("na"), F.col("da") == F.col("na.doc_id"))
+        .join(norms.alias("nb"), F.col("db") == F.col("nb.doc_id"))
+        .select("da", "db", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _TFIDF_THRESH)
+    )

@@ -320,3 +320,51 @@ def test_pq_rerank_dominates_pure_adc(spark, cat):
         assert [x.rank for x in rows] == [1, 2, 3]
         sims = [x.cos_sim for x in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_tfidf_pairs_vs_pure_python(spark, cat):
+    """Recompute tf, relative-df cap, integer idf weights, and cosine
+    in pure Python at sf0.001 and require the exact same pair set and
+    bit-identical cosines."""
+    import collections
+    import math
+
+    sf = "/root/testdata/sf0.001"
+    from chchfr_data_collection_spark.queries.llm import (
+        _TFIDF_DF_FRAC,
+        _TFIDF_THRESH,
+    )
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(sf + "/documents.parquet").collect()
+    }
+    n = len(docs)
+    tf = {d: collections.Counter(ws) for d, ws in docs.items()}
+    df = collections.Counter(w for c in tf.values() for w in c)
+    kept = {w for w, k in df.items() if k * _TFIDF_DF_FRAC <= n}
+    wt = {
+        d: {w: c * ((n * 1000) // df[w]) for w, c in cnt.items() if w in kept}
+        for d, cnt in tf.items()
+    }
+    n2 = {d: sum(v * v for v in ws.values()) for d, ws in wt.items()}
+    postings = collections.defaultdict(list)
+    for d, ws in wt.items():
+        for w in ws:
+            postings[w].append(d)
+    cand = set()
+    for w, ds in postings.items():
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                cand.add((min(a, b), max(a, b)))
+    expected = {}
+    for a, b in cand:
+        dot = sum(v * wt[b].get(w, 0) for w, v in wt[a].items())
+        cos = float(dot) / (math.sqrt(float(n2[a])) * math.sqrt(float(n2[b])))
+        if cos >= _TFIDF_THRESH:
+            expected[(a, b)] = cos
+    got = {
+        (r.da, r.db): r.cos_sim
+        for r in cat["similarity_tfidf_pairs"].fn(spark, sf).collect()
+    }
+    assert got == expected
