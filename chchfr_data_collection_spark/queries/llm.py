@@ -3137,3 +3137,144 @@ def similarity_tfidf_pairs(spark, sf_dir):
         .select("da", "db", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _TFIDF_THRESH)
     )
+
+
+# -------------------------------------------------- power iteration (PCA)
+
+# Top principal direction of the embedding cloud by K=8 fixed power
+# iterations of the (uncentered) second-moment operator: w = sum_i
+# (x_i . v) x_i, computed entirely in int64 over quantized elements.
+# The dot products are scaled down by 2^20 between the two matvec
+# halves (FLOOR of an exact power-of-two double division — dots stay
+# under 2^53, and floor != DuckDB's truncating // on negatives), and
+# the vector is re-quantized to +-1e6 between iterations via its exact
+# integer max (round of an IEEE division — portable). The output is
+# max-normalized, NOT unit-normalized: a unit norm would need a sum of
+# float squares, whose accumulation order differs across engines.
+# K=8 chosen by measurement: this corpus's flat spectrum reaches ~0.91
+# of the true top eigenvalue's Rayleigh quotient at 8 steps (0.73 at 2).
+_PI_K = 8
+
+
+def _pi_duck() -> str:
+    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs, and each
+    # v{k} references w{k} twice (via m{k}), so an inlined 8-iteration
+    # chain re-expands the whole prefix ~2^K times and never finishes
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, i, {_Q.format(e='embedding[i]')} AS qv
+  FROM embeddings CROSS JOIN range(1, 65) t(i))""",
+        "v0 AS MATERIALIZED (SELECT i, qv AS v FROM q WHERE vec_id = 0)",
+    ]
+    for k in range(1, _PI_K + 1):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT q.vec_id,
+    CAST(FLOOR(CAST(SUM(q.qv * v{k - 1}.v) AS DOUBLE) / 1048576.0) AS BIGINT) AS s
+  FROM q JOIN v{k - 1} ON q.i = v{k - 1}.i GROUP BY q.vec_id)"""
+        )
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT q.i, CAST(SUM(s{k}.s * q.qv) AS BIGINT) AS w
+  FROM q JOIN s{k} ON q.vec_id = s{k}.vec_id GROUP BY q.i)"""
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{k})"
+        )
+        if k < _PI_K:
+            parts.append(
+                f"""v{k} AS MATERIALIZED (
+  SELECT w{k}.i,
+    CAST(ROUND(CAST(w{k}.w AS DOUBLE) / CAST(m{k}.m AS DOUBLE) * 1000000.0)
+      AS BIGINT) AS v
+  FROM w{k}, m{k})"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(w{_PI_K}.i - 1 AS BIGINT) AS pos,
+       CAST(w{_PI_K}.w AS DOUBLE) / CAST(m{_PI_K}.m AS DOUBLE) AS loading
+FROM w{_PI_K}, m{_PI_K}
+"""
+    )
+
+
+@register(
+    "embedding_power_iteration",
+    sql=_pi_duck(),
+    tags=("llm", "embedding", "iterative"),
+)
+def embedding_power_iteration(spark, sf_dir):
+    """Top principal embedding direction via K=8 distributed power
+    iterations — the training pass behind PCA whitening / dimension
+    pruning of an embedding column.
+
+    Distributed shape per iteration: one broadcast of the 64-element
+    direction, one map pass computing per-vector dots, and one 64-key
+    shuffle summing the weighted re-projection (map-side partials
+    collapse each partition to 64 rows, so reduce volume is constant
+    in corpus size). The direction never leaves the cluster as more
+    than 64 numbers — the same shape Lloyd iterations use in
+    embedding_kmeans_iter."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", V.quantize("embedding").alias("qv")
+    )
+
+    def matvec(v_arr_df):
+        s = (
+            emb.crossJoin(F.broadcast(v_arr_df))
+            .select(
+                "vec_id",
+                "qv",
+                F.floor(
+                    F.aggregate(
+                        F.zip_with("qv", "v", lambda x, y: x * y),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, p: acc + p,
+                    )
+                    / F.lit(1048576)
+                )
+                .cast("bigint")
+                .alias("s"),
+            )
+        )
+        return (
+            s.select("s", F.posexplode("qv").alias("pos0", "q"))
+            .groupBy("pos0")
+            .agg(F.sum(F.col("s") * F.col("q")).alias("w"))
+        )
+
+    def requantize(w_df):
+        m = w_df.agg(F.max(F.abs("w")).alias("m"))
+        return (
+            w_df.crossJoin(F.broadcast(m))
+            .select(
+                "pos0",
+                F.round(F.col("w").cast("double") / F.col("m").cast("double") * 1e6)
+                .cast("bigint")
+                .alias("vv"),
+            )
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "vv"))),
+                    lambda st: st["vv"],
+                ).alias("v")
+            )
+            # 1-row relation: localCheckpoint flattens the lineage so the
+            # plan stays O(1) per iteration instead of doubling (same
+            # trick as operators/graph.py's label propagation) — without
+            # it 8 chained iterations take minutes just to plan
+            .localCheckpoint()
+        )
+
+    v = emb.filter(F.col("vec_id") == 0).select(F.col("qv").alias("v"))
+    w = matvec(v)
+    for _ in range(_PI_K - 1):
+        w = matvec(requantize(w))
+    m = w.agg(F.max(F.abs("w")).alias("m"))
+    return w.crossJoin(F.broadcast(m)).select(
+        F.col("pos0").cast("bigint").alias("pos"),
+        (F.col("w").cast("double") / F.col("m").cast("double")).alias("loading"),
+    )

@@ -368,3 +368,36 @@ def test_tfidf_pairs_vs_pure_python(spark, cat):
         for r in cat["similarity_tfidf_pairs"].fn(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_power_iteration_improves_rayleigh_quotient(spark, cat):
+    """K=8 power steps must not decrease the Rayleigh quotient
+    v'Cv/v'v of the uncentered second-moment matrix, and the returned
+    direction must beat the seed vector and every coordinate axis."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"
+    X = np.array(
+        [
+            r.embedding
+            for r in spark.read.parquet(sf + "/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    C = X.T @ X
+    rows = sorted(
+        cat["embedding_power_iteration"].fn(spark, sf).collect(),
+        key=lambda r: r.pos,
+    )
+    v = np.array([r.loading for r in rows])
+    assert len(v) == 64 and np.abs(v).max() == 1.0
+
+    def rq(u):
+        return float(u @ C @ u) / float(u @ u)
+
+    v0 = X[0]
+    assert rq(v) >= rq(v0) * 0.999  # power steps don't lose ground
+    axes = max(rq(np.eye(64)[i]) for i in range(64))
+    assert rq(v) >= axes  # beats every coordinate direction
+    top = float(np.linalg.eigvalsh(C)[-1])
+    assert rq(v) >= 0.85 * top  # K=8 reaches ~0.91 on this flat spectrum
