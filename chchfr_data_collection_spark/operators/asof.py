@@ -26,18 +26,34 @@ def asof_join(
     right_ts: str,
     right_value: str,
     out_col: str = "asof_value",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """For each left row, the `right_value` of the latest right row with
-    right_ts <= left_ts (per `on` key). Ties: the right row sorts first,
-    so an equal-timestamp right row IS matched (<= semantics).
+    """pandas-merge_asof-shaped as-of join, one window pass per key.
+
+    direction="backward" (default): for each left row, the
+    `right_value` of the latest right row with right_ts <= left_ts.
+    direction="forward": the earliest right row with right_ts >=
+    left_ts. Equal timestamps match in both directions (<= / >=
+    semantics, as in pandas).
+
+    tolerance_s: if set, the match is kept only when
+    |left_ts - matched right_ts| <= tolerance_s seconds — stale (or
+    too-far-future) matches become NULL, exactly pandas' `tolerance`.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
-    # the carried payload is a (present, value) struct, NOT the bare value:
-    # last(ignorenulls) must skip only "no right row here" markers — a
-    # genuine NULL measurement in the right table is a real observation
-    # and must overwrite older values, not be skipped over
+    # the carried payload is a (value, ts) struct, NOT the bare value:
+    # last/first(ignorenulls) must skip only "no right row here"
+    # markers — a genuine NULL measurement in the right table is a real
+    # observation and must overwrite older values, not be skipped over.
+    # The matched ts rides along for the tolerance check.
     rv_type = right.schema[right_value].dataType
-    null_marker = F.lit(None).cast(f"struct<v:{rv_type.simpleString()}>")
+    rt_type = right.schema[right_ts].dataType
+    null_marker = F.lit(None).cast(
+        f"struct<v:{rv_type.simpleString()},t:{rt_type.simpleString()}>"
+    )
     l = left.select(
         *lcols,
         F.col(left_ts).alias("__ts"),
@@ -49,18 +65,40 @@ def asof_join(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.struct(F.col(right_value).alias("v")).alias("__rv"),
+        F.struct(
+            F.col(right_value).alias("v"), F.col(right_ts).alias("t")
+        ).alias("__rv"),
     ).select(*lcols, "__ts", "__is_left", "__rv")
     unioned = l.unionByName(r)
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__ts", "__is_left")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if direction == "backward":
+        # right (0) sorts before left (1) at equal ts -> equal-ts right
+        # rows fall inside the preceding frame and match
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__ts", "__is_left")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.withColumn(out_col, F.last("__rv", ignorenulls=True).over(w))
+    else:
+        # left (1) sorts before right (0) at equal ts -> equal-ts right
+        # rows fall inside the following frame and match
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.asc("__ts"), F.desc("__is_left"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = unioned.withColumn(out_col, F.first("__rv", ignorenulls=True).over(w))
+    matched = F.col(out_col)
+    if tolerance_s is not None:
+        gap = F.abs(
+            F.col("__ts").cast("double") - matched["t"].cast("double")
+        )
+        matched = F.when(gap <= F.lit(float(tolerance_s)), matched)
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .withColumn(out_col, matched["v"])
+        .drop("__ts", "__is_left", "__rv")
     )
-    carried = unioned.withColumn(
-        out_col, F.last("__rv", ignorenulls=True).over(w)["v"]
-    )
-    return carried.filter(F.col("__is_left") == 1).drop("__ts", "__is_left", "__rv")
 
 
 def range_join(

@@ -1002,3 +1002,89 @@ def multimodal_decode_gif(spark, sf_dir):
             )
 
     return docs.mapInPandas(kernel, schema=out_schema)
+
+
+@register(
+    "asof_join_next_purchase",
+    sql=f"""
+    SELECT e.event_id, e.user_id,
+      strftime((SELECT MIN(p.ts) FROM events p
+                WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                  AND p.ts >= e.ts), '{_TS_FMT_DUCK}') AS next_purchase_ts
+    FROM events e WHERE e.event_type = 'click'
+    """,
+    tags=("join", "asof", "events"),
+)
+def asof_join_next_purchase(spark, sf_dir):
+    """FORWARD as-of join (pandas merge_asof direction='forward'): for
+    each click, the next purchase of the same user at or after it —
+    the time-to-conversion probe. Same one-shuffle union+window shape
+    as the backward join, with the frame flipped to following and the
+    equal-ts sort order flipped so >= ties match."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_value="p_ts",
+        out_col="next_purchase",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("next_purchase", _TS_FMT_SPARK).alias("next_purchase_ts"),
+    )
+
+
+@register(
+    "asof_join_tolerance",
+    sql=f"""
+    SELECT e.event_id, e.user_id,
+      strftime((SELECT MAX(c.ts) FROM events c
+                WHERE c.user_id = e.user_id AND c.event_type = 'click'
+                  AND c.ts <= e.ts
+                  AND epoch(e.ts) - epoch(c.ts) <= 600.0), '{_TS_FMT_DUCK}')
+        AS recent_click_ts
+    FROM events e WHERE e.event_type = 'error'
+    """,
+    tags=("join", "asof", "events"),
+)
+def asof_join_tolerance(spark, sf_dir):
+    """Backward as-of join with a 10-minute tolerance (pandas
+    merge_asof `tolerance`): the last prior click of the same user,
+    but only if it is at most 600 s stale — the "was this error part
+    of an active session" probe. The tolerance is a post-window filter
+    on the matched timestamp riding in the carried struct, so the plan
+    is identical to the unbounded join."""
+    ev = T(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_value="click_ts",
+        out_col="recent_click",
+        direction="backward",
+        tolerance_s=600.0,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("recent_click", _TS_FMT_SPARK).alias("recent_click_ts"),
+    )

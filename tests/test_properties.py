@@ -305,3 +305,54 @@ def test_gif_roundtrip_exact(w, h, n_colors, rng):
     ww, hh, ch, rgb = decode_image(encode_gif(w, h, palette, idx))
     assert (ww, hh, ch) == (w, h, 3)
     assert rgb == b"".join(palette[3 * k : 3 * k + 3] for k in idx)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=12),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 9)), max_size=12),
+    st.integers(0, 40),
+)
+def test_asof_forward_and_tolerance_match_bruteforce(spark, lefts, rights, tol):
+    """direction='forward' picks the earliest right row at-or-after the
+    left ts; tolerance nulls matches farther than tol in either
+    direction — both checked against a brute-force recompute."""
+    left = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lefts)], "eid int, k int, ts int"
+    )
+    right = (
+        spark.createDataFrame(rights, "k int, rts int, val int")
+        if rights
+        else spark.createDataFrame([], "k int, rts int, val int")
+    )
+    fwd = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_value="val", out_col="v", direction="forward",
+    )
+    got = {r.eid: r.v for r in fwd.collect()}
+    for i, (k, ts) in enumerate(lefts):
+        cand = [(rts, val) for (rk, rts, val) in rights if rk == k and rts >= ts]
+        if not cand:
+            assert got[i] is None
+        else:
+            best_ts = min(c[0] for c in cand)
+            assert got[i] in {v for (rts, v) in cand if rts == best_ts}
+
+    back_tol = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_value="val", out_col="v", direction="backward", tolerance_s=tol,
+    )
+    got_t = {r.eid: r.v for r in back_tol.collect()}
+    for i, (k, ts) in enumerate(lefts):
+        # note: the window still matches the overall-latest right row;
+        # tolerance only NULLs it if too stale — so a within-tol older
+        # row does NOT rescue an out-of-tol latest row (pandas semantics)
+        all_cand = [(rts, val) for (rk, rts, val) in rights if rk == k and rts <= ts]
+        if not all_cand:
+            assert got_t[i] is None
+        else:
+            best_ts = max(c[0] for c in all_cand)
+            if ts - best_ts <= tol:
+                assert got_t[i] in {v for (rts, v) in all_cand if rts == best_ts}
+            else:
+                assert got_t[i] is None
