@@ -401,3 +401,38 @@ def test_power_iteration_improves_rayleigh_quotient(spark, cat):
     assert rq(v) >= axes  # beats every coordinate direction
     top = float(np.linalg.eigvalsh(C)[-1])
     assert rq(v) >= 0.85 * top  # K=8 reaches ~0.91 on this flat spectrum
+
+
+def test_countmin_contract_vs_pure_python(spark, cat):
+    """Rebuild the Count-Min sketch in pure Python (same md5-slice
+    hashing) and require exact cell agreement for the probed words; the
+    never-underestimate contract must hold for EVERY word, not just the
+    probed top-10."""
+    import collections
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    from chchfr_data_collection_spark.queries.llm import _CMS_D, _CMS_W
+
+    words = [
+        w
+        for r in spark.read.parquet(sf + "/documents.parquet").collect()
+        for w in r.text.split(" ")
+    ]
+    def cells(w):
+        h = hashlib.md5(w.encode()).hexdigest()
+        return [int(h[8 * j : 8 * j + 8], 16) % _CMS_W for j in range(_CMS_D)]
+
+    cms = collections.Counter()
+    for w in words:
+        for j, c in enumerate(cells(w)):
+            cms[(j, c)] += 1
+    exact = collections.Counter(words)
+    for w, n in exact.items():
+        est = min(cms[(j, c)] for j, c in enumerate(cells(w)))
+        assert est >= n
+    got = {r.w: (r.exact_n, r.cms_est) for r in cat["sketch_countmin_words"].fn(spark, sf).collect()}
+    top10 = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == {
+        w: (n, min(cms[(j, c)] for j, c in enumerate(cells(w)))) for w, n in top10
+    }
