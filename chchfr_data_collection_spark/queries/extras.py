@@ -1088,3 +1088,41 @@ def asof_join_tolerance(spark, sf_dir):
         "user_id",
         F.date_format("recent_click", _TS_FMT_SPARK).alias("recent_click_ts"),
     )
+
+
+@register(
+    "range_join_bucketized_tiers",
+    sql="""
+    SELECT b.bucket, COUNT(e.event_id) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 5.0), ('mid', 5.0, 10.0), ('high', 10.0, 100.0))
+         AS b(bucket, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bucket
+    """,
+    tags=("join", "range", "events"),
+)
+def range_join_bucketized_tiers(spark, sf_dir):
+    """The same tier assignment as range_join_value_buckets, through
+    the BUCKETIZED plan `range_join`'s docstring promises for range
+    tables too large to broadcast: both sides map to width-5 integer
+    buckets, ranges replicate to every bucket they overlap, the match
+    is a bucket equi-join + exact interval re-check. Same oracle as
+    the broadcast variant — identical semantics, shuffle-based plan
+    (O(|P| + |R|*repl) instead of |P|*|R| comparisons)."""
+    from ..operators.asof import range_join_bucketized
+
+    ev = T(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 10.0), ("high", 10.0, 100.0)],
+        "bucket string, lo double, hi double",
+    )
+    joined = range_join_bucketized(
+        ev.select("event_id", "value"), buckets, "value", "lo", "hi", bucket_width=5.0
+    )
+    from .common import dsum
+
+    return joined.groupBy("bucket").agg(
+        F.count("event_id").alias("n"), dsum("value").alias("total")
+    )

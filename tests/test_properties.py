@@ -356,3 +356,45 @@ def test_asof_forward_and_tolerance_match_bruteforce(spark, lefts, rights, tol):
                 assert got_t[i] in {v for (rts, v) in all_cand if rts == best_ts}
             else:
                 assert got_t[i] is None
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.floats(min_value=0, max_value=60, allow_nan=False), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=50, allow_nan=False),
+            st.floats(min_value=0.1, max_value=25, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([1.0, 3.0, 7.5]),
+)
+def test_range_join_bucketized_equals_broadcast(spark, pts, spans, width):
+    """The bucketized range join must return exactly the broadcast
+    BNLJ's matches for arbitrary points, ranges, and bucket widths
+    (boundary-owning buckets included)."""
+    from chchfr_data_collection_spark.operators.asof import (
+        range_join,
+        range_join_bucketized,
+    )
+
+    points = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(pts)], "pid int, v double"
+    )
+    ranges = spark.createDataFrame(
+        [(j, float(lo), float(lo + w)) for j, (lo, w) in enumerate(spans)],
+        "rid int, lo double, hi double",
+    )
+    bnl = {
+        (r.pid, r.rid)
+        for r in range_join(points, ranges, "v", "lo", "hi").collect()
+    }
+    bkt = {
+        (r.pid, r.rid)
+        for r in range_join_bucketized(
+            points, ranges, "v", "lo", "hi", bucket_width=width
+        ).collect()
+    }
+    assert bkt == bnl
