@@ -3378,3 +3378,120 @@ def sketch_countmin_words(spark, sf_dir):
         (F.col("cms_est") >= F.col("exact_n")).alias("no_underestimate"),
         (F.col("cms_est").cast("double") / F.col("exact_n")).alias("over_ratio"),
     )
+
+
+# ------------------------------------------- span-pair review evidence
+
+_SPAN_PAIR_DFCAP = 16
+_SPAN_PAIR_MIN = 5
+
+_SPAN_PAIRS_DUCK = f"""
+WITH wv AS (
+  SELECT doc_id,
+    [CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+     for w in string_split(text, ' ')] AS vs
+  FROM documents),
+hl AS (
+  SELECT doc_id,
+    [list_reduce(list_prepend(CAST(0 AS BIGINT), vs[i:i+{_SPAN_W - 1}]),
+                 (a, b) -> (a * {_RK_BASE} + b) % {_RK_MOD})
+     for i in range(1, len(vs) - {_SPAN_W - 2})] AS hs
+  FROM wv),
+wins AS (
+  SELECT doc_id, generate_subscripts(hs, 1) AS pos, unnest(hs) AS h FROM hl),
+hdf AS (
+  SELECT h FROM wins GROUP BY h
+  HAVING COUNT(*) BETWEEN 2 AND {_SPAN_PAIR_DFCAP} AND MIN(doc_id) <> MAX(doc_id)),
+cw AS (SELECT w.* FROM wins w JOIN hdf USING (h)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.h, b.pos - a.pos AS off
+  FROM cw a JOIN cw b ON a.h = b.h AND a.doc_id < b.doc_id),
+agg AS (
+  SELECT da, db, COUNT(DISTINCT h) AS n_shared, MAX(cnt) AS best_aligned
+  FROM (
+    SELECT da, db, h, off, COUNT(*) OVER (PARTITION BY da, db, off) AS cnt
+    FROM pairs) t
+  GROUP BY da, db)
+SELECT da, db, n_shared, CAST(best_aligned AS BIGINT) AS best_aligned
+FROM agg WHERE n_shared >= {_SPAN_PAIR_MIN}
+"""
+
+
+@register(
+    "dedup_span_pairs",
+    sql=_SPAN_PAIRS_DUCK,
+    tags=("llm", "dedup", "substring"),
+)
+def dedup_span_pairs(spark, sf_dir):
+    """Pair-level evidence for the substring dedup: which doc PAIRS
+    share duplicated 5-gram windows, how many, and the size of the
+    best constant-offset block (aligned copies score best_aligned ==
+    n_shared; scattered coincidences don't) — the review-queue output
+    a dedup pipeline hands to a human or a downstream CC clustering.
+
+    100 TB plan: the pair join runs over posting lists CAPPED at
+    df <= {_SPAN_PAIR_DFCAP} occurrences per window hash (the same
+    cap-as-semantics move as dedup_ngram_jaccard — hot template
+    windows are exact-dedup territory), so per-hash fan-out is
+    bounded at df^2/2 and total pair work scales with the number of
+    genuinely-rare shared spans, not corpus size squared."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    word_vals = F.transform(
+        F.split("text", " ", -1),
+        lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+    )
+
+    def horner(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda acc, v: (acc * _RK_BASE + v) % _RK_MOD
+        )
+
+    vs = F.col("vs")
+    hl = d.select("doc_id", word_vals.alias("vs")).select(
+        "doc_id",
+        F.when(
+            F.size(vs) >= _SPAN_W,
+            F.transform(
+                F.sequence(F.lit(1), F.size(vs) - (_SPAN_W - 1)),
+                lambda i: horner(F.slice(vs, i, _SPAN_W)),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("hs"),
+    )
+    # posexplode_OUTER: see dedup_duplicate_spans (InferFiltersFromGenerate)
+    wins = (
+        hl.select("doc_id", F.posexplode_outer("hs").alias("pos0", "h"))
+        .filter(F.col("h").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    hdf = (
+        wins.groupBy("h")
+        .agg(
+            F.count("*").alias("df"),
+            (F.min("doc_id") != F.max("doc_id")).alias("xdoc"),
+        )
+        .filter((F.col("df").between(2, _SPAN_PAIR_DFCAP)) & F.col("xdoc"))
+        .select("h")
+    )
+    cw = wins.join(hdf, "h")
+    a = cw.select(F.col("doc_id").alias("da"), "h", F.col("pos").alias("pa"))
+    b = cw.select(F.col("doc_id").alias("db"), "h", F.col("pos").alias("pb"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "h", (F.col("pb") - F.col("pa")).alias("off"))
+        .distinct()
+    )
+    cnt_w = W.partitionBy("da", "db", "off")
+    return (
+        pairs.withColumn("cnt", F.count("*").over(cnt_w))
+        .groupBy("da", "db")
+        .agg(
+            F.countDistinct("h").alias("n_shared"),
+            F.max("cnt").cast("bigint").alias("best_aligned"),
+        )
+        .filter(F.col("n_shared") >= _SPAN_PAIR_MIN)
+    )

@@ -436,3 +436,60 @@ def test_countmin_contract_vs_pure_python(spark, cat):
     assert got == {
         w: (n, min(cms[(j, c)] for j, c in enumerate(cells(w)))) for w, n in top10
     }
+
+
+def test_span_pairs_vs_pure_python(spark, cat):
+    """Recompute the capped posting lists, pair evidence counts, and
+    best aligned-offset blocks in pure Python and require exact
+    agreement; best_aligned can never exceed n_shared."""
+    import collections
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    from chchfr_data_collection_spark.queries.llm import (
+        _SPAN_PAIR_DFCAP,
+        _SPAN_PAIR_MIN,
+    )
+
+    MOD, BASE, W = 1_000_000_007, 131, 5
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(sf + "/documents.parquet").collect()
+    }
+
+    def wh(words):
+        out = []
+        for i in range(len(words) - W + 1):
+            acc = 0
+            for w in words[i : i + W]:
+                acc = (acc * BASE + int(hashlib.md5(w.encode()).hexdigest()[:8], 16)) % MOD
+            out.append(acc)
+        return out
+
+    occ = collections.defaultdict(list)  # h -> [(doc, pos)]
+    for d, ws in docs.items():
+        for p, h in enumerate(wh(ws), start=1):
+            occ[h].append((d, p))
+    pair_evidence = collections.defaultdict(set)  # (da,db) -> {(h, off)}
+    for h, lst in occ.items():
+        if not (2 <= len(lst) <= _SPAN_PAIR_DFCAP):
+            continue
+        if len({d for d, _ in lst}) < 2:
+            continue
+        for da, pa in lst:
+            for db, pb in lst:
+                if da < db:
+                    pair_evidence[(da, db)].add((h, pb - pa))
+    expected = {}
+    for (da, db), ev in pair_evidence.items():
+        n_shared = len({h for h, _ in ev})
+        by_off = collections.Counter(off for _, off in ev)
+        if n_shared >= _SPAN_PAIR_MIN:
+            expected[(da, db)] = (n_shared, max(by_off.values()))
+    got = {
+        (r.da, r.db): (r.n_shared, r.best_aligned)
+        for r in cat["dedup_span_pairs"].fn(spark, sf).collect()
+    }
+    assert got == expected
+    for n_shared, best in got.values():
+        assert best <= n_shared
