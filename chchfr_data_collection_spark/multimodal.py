@@ -1041,6 +1041,25 @@ def encode_avi_mjpeg(width: int, height: int, jpeg_frames: list) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def resize_image_nn(
+    width: int, height: int, channels: int, pix: bytes, tw: int, th: int
+) -> bytes:
+    """REAL nearest-neighbor resample of a decoded pixel buffer:
+    target pixel (x, y) copies source pixel (x*w//tw, y*h//th) — pure
+    integer index arithmetic, so any engine reproduces the selected
+    pixels (and so the downstream statistics) exactly. The quality
+    ladder (bilinear/Lanczos) swaps into this same slot."""
+    out = bytearray(tw * th * channels)
+    for y in range(th):
+        sy = y * height // th
+        row = sy * width
+        for x in range(tw):
+            si = (row + x * width // tw) * channels
+            di = (y * tw + x) * channels
+            out[di : di + channels] = pix[si : si + channels]
+    return bytes(out)
+
+
 def decode_audio(payload: bytes) -> tuple[int, int, "object"]:
     """Decode a PCM WAV payload to ``(sample_rate, channels, samples)``.
 

@@ -1126,3 +1126,86 @@ def range_join_bucketized_tiers(spark, sf_dir):
     return joined.groupBy("bucket").agg(
         F.count("event_id").alias("n"), dsum("value").alias("total")
     )
+
+
+@register(
+    "multimodal_resize_real",
+    sql="""
+    WITH px AS (
+      SELECT doc_id, t.p % 4 AS x, t.p // 4 AS y, c.c AS ch
+      FROM documents
+      CROSS JOIN LATERAL unnest(range(0, 16)) AS t(p)
+      CROSS JOIN LATERAL unnest(range(0, 3)) AS c(c)
+    ),
+    v AS (
+      SELECT doc_id, ch,
+        (doc_id * 31 + 7 * ((((y * 2) * 8 + (x * 2)) * 3 + ch))) % 256 AS val
+      FROM px
+    )
+    SELECT doc_id,
+      CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+      CAST(MIN(val) AS DOUBLE) / 255.0 AS px_min,
+      CAST(MAX(val) AS DOUBLE) / 255.0 AS px_max,
+      CAST(SUM(CASE WHEN ch = 0 THEN val ELSE 0 END) AS DOUBLE) / 4080.0 AS mean_r,
+      CAST(SUM(CASE WHEN ch = 1 THEN val ELSE 0 END) AS DOUBLE) / 4080.0 AS mean_g,
+      CAST(SUM(CASE WHEN ch = 2 THEN val ELSE 0 END) AS DOUBLE) / 4080.0 AS mean_b
+    FROM v GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "resize"),
+)
+def multimodal_resize_real(spark, sf_dir):
+    """REAL decode -> nearest-neighbor resize -> feature pipeline,
+    end-to-end and oracle-checked: per document an 8x8 RGB image
+    (byte k = (doc_id*31 + 7k) mod 256) round-trips through the BMP
+    codec, is NN-resampled to 4x4 by `resize_image_nn` (target (x,y)
+    copies source (x*8//4, y*8//4) = (2x, 2y) — integer index
+    arithmetic), and the selected pixels' channel statistics are
+    integer-exact, so the DuckDB oracle reproduces them with no codec.
+    Replaces the byte-prefix resize STUB as the quality-bearing path;
+    the stub's metadata contract (`resize_media`) remains for the
+    schema/batching surface. Same 100 TB shape as every decode row:
+    map-only Arrow kernel, swap a vectorized resampler into the slot."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..multimodal import decode_image, encode_bmp24, resize_image_nn
+
+    docs = T(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    out_schema = (
+        "doc_id bigint, out_w int, out_h int, px_min double, px_max double, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "out_w", "out_h", "px_min", "px_max", "mean_r", "mean_g", "mean_b"]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pix = bytes((d * 31 + 7 * k) % 256 for k in range(8 * 8 * 3))
+                w, h, nch, decoded = decode_image(encode_bmp24(8, 8, pix))
+                small = resize_image_nn(w, h, nch, decoded, 4, 4)
+                arr = np.frombuffer(small, dtype=np.uint8).reshape(16, 3)
+                sums = arr.sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (
+                        d, 4, 4,
+                        float(int(arr.min()) / 255.0),
+                        float(int(arr.max()) / 255.0),
+                        float(sums[0]) / 4080.0,
+                        float(sums[1]) / 4080.0,
+                        float(sums[2]) / 4080.0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {
+                    "doc_id": "int64",
+                    "out_w": "int32",
+                    "out_h": "int32",
+                    **{c: "float64" for c in cols[3:]},
+                }
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)

@@ -346,3 +346,25 @@ def test_gif_lzw_decoder_vs_reference_compressor():
         n = rng.randint(1, 6000)
         idx = bytes(rng.choice((0, 0, 0, 0, 1, 2, 3 % (1 << m))) for _ in range(n))
         assert bytes(_gif_lzw_decode(lzw_compress(idx, m), m)) == idx
+
+
+def test_resize_nn_invariants():
+    """Identity resize returns the buffer unchanged; integer 2x
+    downscale picks exactly the stride-2 grid; upscale replicates."""
+    from chchfr_data_collection_spark.multimodal import resize_image_nn
+
+    pix = bytes((i * 7) % 256 for i in range(8 * 8 * 3))  # 8x8 RGB ramp
+    assert resize_image_nn(8, 8, 3, pix, 8, 8) == pix
+    small = resize_image_nn(8, 8, 3, pix, 4, 4)
+    for y in range(4):
+        for x in range(4):
+            si = ((y * 2) * 8 + x * 2) * 3
+            di = (y * 4 + x) * 3
+            assert small[di : di + 3] == pix[si : si + 3]
+    up = resize_image_nn(4, 4, 3, small, 8, 8)
+    # each source pixel appears in a 2x2 block
+    for y in range(8):
+        for x in range(8):
+            si = ((y // 2) * 4 + x // 2) * 3
+            di = (y * 8 + x) * 3
+            assert up[di : di + 3] == small[si : si + 3]
