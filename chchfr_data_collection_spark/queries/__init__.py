@@ -50,6 +50,7 @@ def catalog() -> dict[str, QueryDef]:
         llm,
         ops,
         relational,
+        scale_ops,
         tpch_rest,
     )
 

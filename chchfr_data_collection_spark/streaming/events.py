@@ -249,3 +249,37 @@ def interval_join_clicks_before_errors(
         F.col("e.ts").alias("error_ts"),
         F.col("c.click_ts").alias("click_ts"),
     )
+
+
+def foreach_batch_moment_partials(
+    stream_df: DataFrame, target: str, checkpoint: str
+):
+    """Incremental sufficient-statistics maintenance on the event stream:
+    each micro-batch reduces to per-type moment partials (n, Σv, Σv²) in
+    exact cents-quantized integers and APPENDS them to the stats store —
+    the mergeable-partials pattern (same algebra as the batch 3σ gate,
+    `queries/events_q.events_anomaly_3sigma`). Integer partials are
+    order- and batch-boundary-independent, so the merged stats equal the
+    batch aggregate exactly no matter how the stream was chunked.
+
+    Returns the started query; caller awaits termination."""
+
+    def _acc(batch: DataFrame, batch_id: int) -> None:
+        v = F.round(F.col("value") * 100).cast("bigint")
+        part = (
+            batch.select("event_type", v.alias("v"))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v").alias("s"),
+                F.sum(F.col("v") * F.col("v")).alias("q2"),
+            )
+        )
+        part.write.mode("append").parquet(target)
+
+    return (
+        stream_df.writeStream.foreachBatch(_acc)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,169 @@
+"""Semantic + plan tests for the scale-engineering operators
+(queries/scale_ops.py): z-order layout, PPS sampling, mixture
+rebalance, bigram-LM scoring, heavy hitters, PageRank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chchfr_data_collection_spark.plans.audit import (
+    assert_max_shuffles,
+    count_nodes,
+)
+from chchfr_data_collection_spark.queries import catalog
+from chchfr_data_collection_spark.queries.scale_ops import _HH_K, _PPS_K
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catalog()
+
+
+def test_zorder_files_are_tighter_on_both_dims(spark, sf_med, cat):
+    rows = {
+        r["layout"]: r
+        for r in cat["layout_zorder_clustering"].fn(spark, sf_med).collect()
+    }
+    z, h = rows["zorder"], rows["rowhash"]
+    # z-order pins the top 3 bits of each dimension per file -> spans
+    # bounded by 31; the hash layout mixes the full 0..255 range.
+    assert z["avg_span_x"] <= 31.0 and z["avg_span_y"] <= 31.0
+    assert h["avg_span_x"] > 4 * z["avg_span_x"]
+    assert h["avg_span_y"] > 4 * z["avg_span_y"]
+
+
+def test_zorder_audit_is_two_shuffles_no_window(spark, sf_small, cat):
+    df = cat["layout_zorder_clustering"].fn(spark, sf_small)
+    # stats groupBy + audit groupBy (plus possible AQE output exchange)
+    assert_max_shuffles(df, 2)
+    assert count_nodes(df, "Window") == 0
+
+
+def test_pps_sample_is_reproducible_and_calibrated(spark, sf_med, cat):
+    df = cat["sample_weighted_pps"].fn(spark, sf_med)
+    a = sorted(r["doc_id"] for r in df.collect())
+    b = sorted(r["doc_id"] for r in df.collect())
+    assert a == b  # md5 draw: no RNG, identical across runs
+    # expected size k; the hash draw should land within a loose band
+    assert 0.4 * _PPS_K <= len(a) <= 1.9 * _PPS_K
+    assert df.filter(F.col("incl_prob_ppm") > 1000000).count() == 0
+
+
+def test_pps_inclusion_rule_exact(spark, sf_small, cat):
+    # every emitted doc must satisfy u32 * W < k * w * 2^32 recomputed
+    # independently
+    from chchfr_data_collection_spark.queries.common import T
+
+    d = T(spark, sf_small, "documents")
+    w_total = d.agg(F.sum("n_chars")).collect()[0][0]
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    expect = {
+        r["doc_id"]
+        for r in d.select("doc_id", u32.alias("u"), "n_chars")
+        .filter(F.col("u") * w_total < _PPS_K * F.col("n_chars") * 4294967296)
+        .collect()
+    }
+    got = {
+        r["doc_id"] for r in cat["sample_weighted_pps"].fn(spark, sf_small).collect()
+    }
+    assert got == expect
+
+
+def test_mixture_targets_and_inversion(spark, sf_med, cat):
+    rows = cat["mixture_rebalance_weights"].fn(spark, sf_med).collect()
+    assert sum(r["target_ppm"] for r in rows) == 1000000
+    n_total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        assert r["repeat_factor_ppm"] == (r["target_ppm"] * n_total) // r["n_docs"]
+
+
+def test_bigram_scores_bounded_and_constant_doc_maxes(spark, sf_small, cat):
+    df = cat["text_bigram_lm_score"].fn(spark, sf_small)
+    assert df.filter(
+        (F.col("lm_score_ppb") <= 0) | (F.col("lm_score_ppb") > 1.0e9)
+    ).count() == 0
+    # a document whose every bigram is unique-with-its-prefix scores
+    # the ceiling 1e9 only if each prefix occurs once corpus-wide;
+    # cheaper invariant: the best score cannot exceed the ceiling and
+    # the mean must be positive
+    agg = df.agg(F.max("lm_score_ppb"), F.min("n_bigrams")).collect()[0]
+    assert agg[0] <= 1.0e9 and agg[1] >= 1
+
+
+def test_heavy_hitters_match_exact_groupby(spark, sf_med, cat):
+    from chchfr_data_collection_spark.queries.common import T
+
+    d = T(spark, sf_med, "documents")
+    words = d.select(F.explode(F.split("text", " ", -1)).alias("w"))
+    n_total = words.count()
+    exact = {
+        (r["w"], r["cnt"])
+        for r in words.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * (_HH_K + 1) > n_total)
+        .collect()
+    }
+    got = {
+        (r["w"], r["exact_n"])
+        for r in cat["sketch_heavy_hitters"].fn(spark, sf_med).collect()
+    }
+    assert got == exact and len(got) > 0
+
+
+def test_heavy_hitters_second_pass_broadcasts_candidates(spark, sf_small, cat):
+    df = cat["sketch_heavy_hitters"].fn(spark, sf_small)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_pagerank_mass_and_shape(spark, sf_small, cat):
+    rows = cat["graph_pagerank_trade"].fn(spark, sf_small).collect()
+    assert len(rows) == 25
+    total = sum(r["rank_q"] for r in rows)
+    # floored arithmetic and dropped dangling mass only ever LOSE mass
+    assert 0 < total <= 1000000000
+    assert all(r["rank_q"] > 0 for r in rows)
+
+
+def test_pagerank_iterations_broadcast_not_sortmerge(spark, sf_small, cat):
+    df = cat["graph_pagerank_trade"].fn(spark, sf_small)
+    # rank x edges joins are tiny: every per-iteration join broadcasts;
+    # the only SMJs allowed are none at all
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_streaming_anomaly_equals_batch_twin(spark, sf_small, cat):
+    # merged streaming moment partials must reproduce the batch 3-sigma
+    # gate exactly: same per-type population and same outlier count as
+    # events_anomaly_3sigma computed in one batch pass
+    import pyspark.sql.functions as SF
+
+    batch = (
+        cat["events_anomaly_3sigma"]
+        .fn(spark, sf_small)
+        .groupBy("event_type")
+        .agg(SF.count("*").alias("n_anomalies"))
+    )
+    batch_counts = {r["event_type"]: r["n_anomalies"] for r in batch.collect()}
+    rep = {
+        r["event_type"]: (r["n"], r["n_anomalies"])
+        for r in cat["streaming_anomaly_replay"].fn(spark, sf_small).collect()
+    }
+    from chchfr_data_collection_spark.queries.common import T
+
+    type_n = {
+        r["event_type"]: r["n"]
+        for r in T(spark, sf_small, "events")
+        .groupBy("event_type")
+        .agg(SF.count("*").alias("n"))
+        .collect()
+    }
+    assert set(rep) == set(type_n)
+    for et, (n, n_anom) in rep.items():
+        assert n == type_n[et]
+        assert n_anom == batch_counts.get(et, 0)
