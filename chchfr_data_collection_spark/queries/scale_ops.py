@@ -620,3 +620,218 @@ def streaming_anomaly_replay(spark, sf_dir):
             .alias("n_anomalies"),
         )
     )
+
+
+# --------------------------------------- image near-dup (average hash)
+
+# Deterministic 8x8 grayscale test images: docs in the same group of 4
+# share a base image; members 1/2 carry small sparse perturbations
+# (near-duplicates), member 3 is an unrelated image. Everything integer,
+# so the DuckDB oracle reproduces hashes arithmetically with no codec.
+_AHASH_V_DUCK = """
+      CASE WHEN doc_id % 4 = 3
+           THEN xor((doc_id * 2654435761) % 2147483648, k * 83492791) % 251
+           ELSE xor(((doc_id // 4) * 73856093) % 2147483648,
+                    k * 19349663) % 241
+                + CASE WHEN doc_id % 4 = 1 AND k % 7 = 0 THEN 5 ELSE 0 END
+                + CASE WHEN doc_id % 4 = 2 AND k % 11 = 0 THEN 7 ELSE 0 END
+      END"""
+
+_AHASH_HASH_DUCK = f"""
+px AS (
+  SELECT doc_id, k, {_AHASH_V_DUCK} AS v
+  FROM documents CROSS JOIN LATERAL unnest(range(0, 64)) AS t(k)),
+sums AS (SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id),
+hashes AS (
+  SELECT px.doc_id,
+         CAST(SUM(CASE WHEN k < 32 AND 64 * v > s THEN 1::BIGINT << k
+                       ELSE 0 END) AS BIGINT) AS h_hi,
+         CAST(SUM(CASE WHEN k >= 32 AND 64 * v > s THEN 1::BIGINT << (k - 32)
+                       ELSE 0 END) AS BIGINT) AS h_lo
+  FROM px JOIN sums ON sums.doc_id = px.doc_id
+  GROUP BY px.doc_id)"""
+
+
+def _ahash_pixels(d: int) -> bytes:
+    g, m = d // 4, d % 4
+    if m == 3:
+        dd = (d * 2654435761) % 2147483648
+        return bytes((dd ^ (k * 83492791)) % 251 for k in range(64))
+    gg = (g * 73856093) % 2147483648
+    return bytes(
+        ((gg ^ (k * 19349663)) % 241)
+        + (5 if m == 1 and k % 7 == 0 else 0)
+        + (7 if m == 2 and k % 11 == 0 else 0)
+        for k in range(64)
+    )
+
+
+def _ahash_native(df):
+    """Average-hash columns from pure native expressions (no Python in
+    the hot path): build the 64-pixel array map-side, threshold each
+    pixel against 64*v > sum, pack bits into two 32-bit halves."""
+    k_idx = F.sequence(F.lit(0), F.lit(63))
+
+    def vfun(k0):
+        k = k0.cast("bigint")
+        gg = F.expr(
+            "((doc_id div 4) * 73856093) % 2147483648"
+        ).cast("bigint")
+        base = gg.bitwiseXOR(k * 19349663) % 241 + F.when(
+            (F.col("doc_id") % 4 == 1) & (k % 7 == 0), F.lit(5)
+        ).otherwise(0) + F.when(
+            (F.col("doc_id") % 4 == 2) & (k % 11 == 0), F.lit(7)
+        ).otherwise(0)
+        dd = (F.col("doc_id") * 2654435761) % 2147483648
+        return F.when(
+            F.col("doc_id") % 4 == 3, dd.bitwiseXOR(k * 83492791) % 251
+        ).otherwise(base).cast("bigint")
+
+    arr = F.transform(k_idx, vfun)
+    out = df.withColumn("arr", arr).withColumn(
+        "s", F.aggregate("arr", F.lit(0).cast("bigint"), lambda a, v: a + v)
+    )
+    zero = F.lit(0).cast("bigint")
+    bits = F.transform("arr", lambda v: (64 * v > F.col("s")).cast("bigint"))
+    weights = F.array(*[F.lit(1 << i).cast("bigint") for i in range(32)])
+    packed = lambda half: F.aggregate(  # noqa: E731
+        F.zip_with(half, weights, lambda b, w: b * w), zero, lambda a, v: a + v
+    )
+    h_hi = packed(F.slice(bits, 1, 32))
+    h_lo = packed(F.slice(bits, 33, 32))
+    return out.select("doc_id", h_hi.alias("h_hi"), h_lo.alias("h_lo"))
+
+
+@register(
+    "multimodal_image_ahash",
+    sql=f"""
+    WITH {_AHASH_HASH_DUCK}
+    SELECT doc_id, h_hi, h_lo FROM hashes
+    """,
+    tags=("multimodal", "dedup", "pandas-udf", "decode"),
+)
+def multimodal_image_ahash(spark, sf_dir):
+    """Perceptual image fingerprinting through the REAL codec path:
+    per document an 8x8 grayscale image is encoded to BMP, decoded back
+    by the pure-stdlib decoder inside an Arrow mapInPandas kernel, and
+    reduced to a 64-bit average-hash (bit k set iff pixel k is above
+    the image mean — computed as 64·v > Σv, all integer, so the DuckDB
+    oracle reproduces the hash arithmetically with no codec and the
+    native-expression twin in dedup_image_ahash_pairs is bit-identical,
+    pinned by test).
+
+    aHash is the standard first-pass image near-dup fingerprint
+    (pHash's DCT refinement slots into the same kernel); at 100 TB the
+    decode+hash stage is map-only over Arrow batches — the banded join
+    over the emitted halves is dedup_image_ahash_pairs' job."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..multimodal import decode_image, encode_bmp24
+
+    docs = T(spark, sf_dir, "documents", parallel=True).select("doc_id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gray = _ahash_pixels(d)
+                rgb = bytes(b for v in gray for b in (v, v, v))
+                _, _, nch, pix = decode_image(encode_bmp24(8, 8, rgb))
+                vals = pix[::nch]  # channel 0 of the decoded image
+                s = sum(vals)
+                h_hi = h_lo = 0
+                for k, v in enumerate(vals):
+                    if 64 * v > s:
+                        if k < 32:
+                            h_hi |= 1 << k
+                        else:
+                            h_lo |= 1 << (k - 32)
+                rows.append((d, h_hi, h_lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "h_hi", "h_lo"]).astype(
+                "int64"
+            )
+
+    return docs.mapInPandas(kernel, schema="doc_id bigint, h_hi bigint, h_lo bigint")
+
+
+_AHASH_HAMMING_MAX = 6
+
+
+@register(
+    "dedup_image_ahash_pairs",
+    sql=f"""
+    WITH {_AHASH_HASH_DUCK},
+    bands AS (
+      SELECT doc_id, b AS band_id,
+             CASE b WHEN 0 THEN h_hi & 65535 WHEN 1 THEN h_hi >> 16
+                    WHEN 2 THEN h_lo & 65535 ELSE h_lo >> 16 END AS band_val,
+             h_hi, h_lo
+      FROM hashes CROSS JOIN LATERAL unnest(range(0, 4)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             a.h_hi AS ah, a.h_lo AS al, b.h_hi AS bh, b.h_lo AS bl
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT da, db,
+           bit_count(xor(ah, bh)) + bit_count(xor(al, bl)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ah, bh)) + bit_count(xor(al, bl))
+          <= {_AHASH_HAMMING_MAX}
+    """,
+    tags=("multimodal", "dedup", "lsh"),
+)
+def dedup_image_ahash_pairs(spark, sf_dir):
+    """Image near-duplicate pairs by banded aHash LSH: the 64-bit
+    average hash splits into 4 16-bit bands; documents sharing ANY band
+    become candidates (equi-join per band — identical topology to
+    dedup_minhash_banded's AND-OR scheme), then exact Hamming distance
+    over the full hash keeps pairs within {_AHASH_HAMMING_MAX} bits.
+    Hashes here come from the native-expression twin of
+    multimodal_image_ahash's kernel (bit-identical, pinned by test) so
+    the hot path has no Python.
+
+    100 TB plan: hashing is map-only; the only shuffle is the band
+    equi-join at 4 rows/image, and candidates are bounded by band
+    collisions, never all-pairs (no cartesian — the sign-LSH/minhash
+    scale argument verbatim). Hamming is two xor+bit_counts in
+    whole-stage codegen."""
+    d = T(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    hashes = _ahash_native(d)
+    bands = hashes.select(
+        "doc_id",
+        "h_hi",
+        "h_lo",
+        F.posexplode(
+            F.array(
+                F.col("h_hi").bitwiseAND(F.lit(65535)),
+                F.shiftright("h_hi", 16),
+                F.col("h_lo").bitwiseAND(F.lit(65535)),
+                F.shiftright("h_lo", 16),
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("da"), F.col("h_hi").alias("ah"),
+        F.col("h_lo").alias("al"), "band_id", "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("db"), F.col("h_hi").alias("bh"),
+        F.col("h_lo").alias("bl"), "band_id", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "ah", "al", "bh", "bl")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ah").bitwiseXOR(F.col("bh"))
+    ) + F.bit_count(F.col("al").bitwiseXOR(F.col("bl")))
+    return (
+        cand.select("da", "db", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
+    )

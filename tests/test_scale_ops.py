@@ -167,3 +167,33 @@ def test_streaming_anomaly_equals_batch_twin(spark, sf_small, cat):
     for et, (n, n_anom) in rep.items():
         assert n == type_n[et]
         assert n_anom == batch_counts.get(et, 0)
+
+
+def test_ahash_kernel_matches_native_expressions(spark, sf_small, cat):
+    # the real-codec kernel (encode BMP -> stdlib decode -> hash) and
+    # the native-expression twin must produce identical 64-bit hashes
+    kernel = {
+        r["doc_id"]: (r["h_hi"], r["h_lo"])
+        for r in cat["multimodal_image_ahash"].fn(spark, sf_small).collect()
+    }
+    from chchfr_data_collection_spark.queries.common import T
+    from chchfr_data_collection_spark.queries.scale_ops import _ahash_native
+
+    native = {
+        r["doc_id"]: (r["h_hi"], r["h_lo"])
+        for r in _ahash_native(
+            T(spark, sf_small, "documents").select("doc_id")
+        ).collect()
+    }
+    assert kernel == native and len(kernel) > 0
+
+
+def test_ahash_pairs_no_cartesian_and_near_dups_found(spark, sf_small, cat):
+    df = cat["dedup_image_ahash_pairs"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    rows = df.collect()
+    # designed near-duplicates: members 0/1/2 of each doc_id group of 4
+    same_group = [r for r in rows if r["da"] // 4 == r["db"] // 4]
+    assert len(same_group) > 0
+    assert all(r["hamming"] <= 6 for r in rows)
