@@ -835,3 +835,91 @@ def dedup_image_ahash_pairs(spark, sf_dir):
         cand.select("da", "db", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
     )
+
+
+# ------------------------------------- boilerplate segment removal
+
+_BP_SEG_W = 10  # words per segment
+_BP_DF = 2  # C4 convention: any segment occurring in >1 document
+
+
+@register(
+    "text_boilerplate_removal",
+    sql=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (
+      SELECT doc_id, generate_subscripts(ss, 1) - 1 AS seg_idx, unnest(ss) AS seg
+      FROM (SELECT doc_id,
+              [array_to_string(ws[{_BP_SEG_W}*i+1 : {_BP_SEG_W}*i+{_BP_SEG_W}], ' ')
+               for i in range(0, CAST(ceil(len(ws) / {_BP_SEG_W}.0) AS BIGINT))] AS ss
+            FROM w)),
+    bo AS (
+      SELECT seg FROM segs GROUP BY seg
+      HAVING COUNT(DISTINCT doc_id) >= {_BP_DF})
+    SELECT s.doc_id, COUNT(*) AS n_segs,
+           CAST(SUM(CASE WHEN bo.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+                          FILTER (WHERE bo.seg IS NULL), '')) AS cleaned_md5
+    FROM segs s LEFT JOIN bo ON bo.seg = s.seg
+    GROUP BY s.doc_id
+    """,
+    tags=("llm", "text", "dedup", "curation"),
+)
+def text_boilerplate_removal(spark, sf_dir):
+    """C4-style cross-document boilerplate removal that EMITS the
+    cleaned corpus: split every document into aligned {_BP_SEG_W}-word
+    segments, drop any segment occurring in {_BP_DF}+ distinct
+    documents (navigation chrome / legal footers / templated headers in
+    a web corpus), and rebuild the document from the surviving segments
+    in order — the output row carries the removal counts and the md5 of
+    the cleaned text, so the oracle pins the exact reconstruction, not
+    just the flag set. Complements dedup_duplicate_spans (which REPORTS
+    shared spans) by actually producing the retained text.
+
+    100 TB plan: segmentation is map-side; the df count is one shuffle
+    at segment grain with map-side partials; the boilerplate set joins
+    back WITHOUT a forced broadcast (it scales with corpus size — AQE
+    picks broadcast while it fits, the same reasoning as
+    curation_pipeline's drop list); the rebuild is a per-doc groupBy
+    using sorted-struct collect, never a global sort."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    ws = F.split("text", " ", -1)
+    n_seg = F.ceil(F.size("ws") / F.lit(float(_BP_SEG_W))).cast("int")
+    segs = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.array_join(
+                        F.slice("ws", i * _BP_SEG_W + 1, _BP_SEG_W), " "
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+    )
+    bo = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _BP_DF)
+        .select("seg", F.lit(1).alias("is_bo"))
+    )
+    flagged = segs.join(bo, "seg", "left")
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("is_bo").isNull(),
+                    F.struct(F.col("seg_idx"), F.col("seg")),
+                )
+            )
+        ),
+        lambda x: x["seg"],
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.coalesce("is_bo", F.lit(0))).cast("bigint").alias("n_removed"),
+        F.md5(F.array_join(kept_sorted, " ").cast("binary")).alias("cleaned_md5"),
+    )

@@ -197,3 +197,41 @@ def test_ahash_pairs_no_cartesian_and_near_dups_found(spark, sf_small, cat):
     same_group = [r for r in rows if r["da"] // 4 == r["db"] // 4]
     assert len(same_group) > 0
     assert all(r["hamming"] <= 6 for r in rows)
+
+
+def test_boilerplate_removal_reconstruction(spark, sf_small, cat):
+    # independently recompute one doc's cleaned text in Python and
+    # match the operator's md5; also require that something was removed
+    # somewhere (the fixture embeds cross-doc duplicated spans)
+    import hashlib
+
+    from chchfr_data_collection_spark.queries.common import T
+    from chchfr_data_collection_spark.queries.scale_ops import _BP_DF, _BP_SEG_W
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in T(spark, sf_small, "documents").select("doc_id", "text").collect()
+    }
+    seg_docs = {}
+    segs = {}
+    for d, t in docs.items():
+        ws = t.split(" ")
+        ss = [
+            " ".join(ws[i * _BP_SEG_W : (i + 1) * _BP_SEG_W])
+            for i in range((len(ws) + _BP_SEG_W - 1) // _BP_SEG_W)
+        ]
+        segs[d] = ss
+        for s in ss:
+            seg_docs.setdefault(s, set()).add(d)
+    bo = {s for s, ds in seg_docs.items() if len(ds) >= _BP_DF}
+    rows = {
+        r["doc_id"]: r
+        for r in cat["text_boilerplate_removal"].fn(spark, sf_small).collect()
+    }
+    assert sum(r["n_removed"] for r in rows.values()) > 0
+    for d, ss in segs.items():
+        kept = " ".join(s for s in ss if s not in bo)
+        r = rows[d]
+        assert r["n_segs"] == len(ss)
+        assert r["n_removed"] == sum(1 for s in ss if s in bo)
+        assert r["cleaned_md5"] == hashlib.md5(kept.encode()).hexdigest()
