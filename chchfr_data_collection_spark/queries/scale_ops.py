@@ -923,3 +923,158 @@ def text_boilerplate_removal(spark, sf_dir):
         F.sum(F.coalesce("is_bo", F.lit(0))).cast("bigint").alias("n_removed"),
         F.md5(F.array_join(kept_sorted, " ").cast("binary")).alias("cleaned_md5"),
     )
+
+
+# --------------------------------------- windowed audio features
+
+_AW_FRAMES = 4
+_AW_FLEN = 16  # samples per analysis frame
+
+
+@register(
+    "multimodal_audio_windows",
+    sql=f"""
+    WITH s AS (
+      SELECT doc_id, k, k // {_AW_FLEN} AS frame_idx,
+             (doc_id * 131 + k * 1777) % 65536 - 32768 AS v
+      FROM documents
+      CROSS JOIN LATERAL unnest(range(0, {_AW_FRAMES * _AW_FLEN})) AS t(k)),
+    lagged AS (
+      SELECT doc_id, frame_idx, v,
+             LAG(v) OVER (PARTITION BY doc_id, frame_idx ORDER BY k) AS pv
+      FROM s)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN pv IS NOT NULL
+                          AND CAST(pv AS BIGINT) * v < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_cross
+    FROM lagged GROUP BY doc_id, frame_idx
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "audio"),
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """Windowed audio analysis through the REAL codec path: per
+    document a {_AW_FRAMES * _AW_FLEN}-sample PCM16 mono WAV (sample k
+    = (doc_id·131 + 1777k) mod 2^16 − 2^15) round-trips the
+    pure-stdlib RIFF/WAVE codec inside mapInPandas and is reduced to
+    per-frame features — energy (Σv², the RMS numerator) and
+    zero-crossing count (sign flips between consecutive samples), the
+    two classic cheap VAD/speech-music discriminators. Both are PURE
+    INTEGERS, so the DuckDB oracle reproduces them arithmetically with
+    no codec and no float tolerance at all — a stricter contract than
+    the whole-clip statistics row (multimodal_audio_real).
+
+    100 TB plan: map-only — decode + frame reduction happen inside the
+    Arrow batch with a 1:{_AW_FRAMES} row explosion (the
+    frame-sampling shape); swap a vectorized DSP library into the same
+    kernel slot for production feature sets (MFCC etc.)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..multimodal import decode_audio, encode_wav
+
+    docs = T(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    out_schema = (
+        "doc_id bigint, frame_idx int, energy bigint, n_zero_cross bigint"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "frame_idx", "energy", "n_zero_cross"]
+        n_tot = _AW_FRAMES * _AW_FLEN
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = [
+                    (d * 131 + k * 1777) % 65536 - 32768 for k in range(n_tot)
+                ]
+                _sr, _nch, got = decode_audio(encode_wav(8000, 1, samples))
+                v = got.astype("int64")
+                for f in range(_AW_FRAMES):
+                    fr = v[f * _AW_FLEN : (f + 1) * _AW_FLEN]
+                    energy = int((fr * fr).sum())
+                    zc = int(((fr[:-1] * fr[1:]) < 0).sum())
+                    rows.append((d, f, energy, zc))
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {
+                    "doc_id": "int64",
+                    "frame_idx": "int32",
+                    "energy": "int64",
+                    "n_zero_cross": "int64",
+                }
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)
+
+
+# ----------------------------------- mixture-calibrated subsampling
+
+_MPS_BUDGET = 30000  # total char budget across the sample
+
+
+@register(
+    "sample_mixture_calibrated",
+    sql=f"""
+    WITH g AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS w_g
+      FROM documents GROUP BY lang),
+    tgt AS (
+      SELECT lang, w_g,
+             ({_MPS_BUDGET}::BIGINT * CAST({_MIX_CASE_DUCK} AS BIGINT))
+               // 1000000 AS b_g
+      FROM g),
+    u AS (
+      SELECT doc_id, lang, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               AS u32
+      FROM documents)
+    SELECT u.doc_id, u.lang, u.n_chars,
+           LEAST(1000000::BIGINT, (t.b_g * 1000000) // t.w_g) AS rate_ppm
+    FROM u JOIN tgt t ON t.lang = u.lang
+    WHERE u.u32 * t.w_g < t.b_g * 4294967296
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def sample_mixture_calibrated(spark, sf_dir):
+    """Mixture-calibrated subsampling — the draw that implements
+    mixture_rebalance_weights: each language gets a char budget
+    B_g = B·target_ppm, and documents of that language are kept with
+    probability B_g/W_g (W_g = the language's total chars), so the
+    EXPECTED sampled char mass per language hits the target mixture
+    regardless of how skewed the raw corpus is. The draw is the same
+    integer md5 comparison as sample_weighted_pps (keep iff
+    u32·W_g < B_g·2^32) — deterministic, engine- and retry-stable.
+
+    100 TB plan: per-language totals are a #langs-row aggregate
+    broadcast back to the scan; the keep decision is map-side. One
+    corpus scan, one constant-size shuffle — the sampling step stays
+    scan-bound at any corpus size."""
+    d = T(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.sum("n_chars").cast("bigint").alias("w_g"))
+    tgt = g.select(
+        "lang",
+        "w_g",
+        F.expr(
+            f"({_MPS_BUDGET}L * CAST({_MIX_CASE_DUCK} AS BIGINT)) div 1000000"
+        ).alias("b_g"),
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select("doc_id", "lang", "n_chars", u32.alias("u32"))
+        .join(F.broadcast(tgt), "lang")
+        .filter(F.col("u32") * F.col("w_g") < F.col("b_g") * F.lit(4294967296))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr("(b_g * 1000000) div w_g"),
+            ).alias("rate_ppm"),
+        )
+    )

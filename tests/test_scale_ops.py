@@ -235,3 +235,45 @@ def test_boilerplate_removal_reconstruction(spark, sf_small, cat):
         assert r["n_segs"] == len(ss)
         assert r["n_removed"] == sum(1 for s in ss if s in bo)
         assert r["cleaned_md5"] == hashlib.md5(kept.encode()).hexdigest()
+
+
+def test_audio_windows_match_direct_arithmetic(spark, sf_small, cat):
+    # recompute one frame's features straight from the sample formula
+    # (bypassing the codec) — codec round-trip must be lossless PCM16
+    from chchfr_data_collection_spark.queries.scale_ops import _AW_FLEN, _AW_FRAMES
+
+    rows = {
+        (r["doc_id"], r["frame_idx"]): (r["energy"], r["n_zero_cross"])
+        for r in cat["multimodal_audio_windows"].fn(spark, sf_small).collect()
+    }
+    assert len(rows) > 0
+    some_docs = sorted({d for d, _ in rows})[:10]
+    for d in some_docs:
+        samples = [
+            (d * 131 + k * 1777) % 65536 - 32768
+            for k in range(_AW_FRAMES * _AW_FLEN)
+        ]
+        for f in range(_AW_FRAMES):
+            fr = samples[f * _AW_FLEN : (f + 1) * _AW_FLEN]
+            energy = sum(v * v for v in fr)
+            zc = sum(1 for a, b in zip(fr, fr[1:]) if a * b < 0)
+            assert rows[(d, f)] == (energy, zc)
+
+
+def test_mixture_sampling_is_calibrated_per_lang(spark, sf_med, cat):
+    # expected sampled char mass per language ~= its budget B_g
+    from chchfr_data_collection_spark.queries.common import T
+    from chchfr_data_collection_spark.queries.scale_ops import (
+        _MIX_TARGET_PPM,
+        _MPS_BUDGET,
+    )
+
+    got = cat["sample_mixture_calibrated"].fn(spark, sf_med).collect()
+    assert len(got) > 0
+    by_lang = {}
+    for r in got:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_chars"]
+    for lang, chars in by_lang.items():
+        b_g = _MPS_BUDGET * _MIX_TARGET_PPM[lang] // 1000000
+        # hash-uniform draw: sampled mass within a loose 3x band of target
+        assert b_g / 3 <= chars <= 3 * b_g, (lang, chars, b_g)
