@@ -77,6 +77,12 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "similarity_pq_rerank",
     "doc_chunk_overlap",
+    "layout_zorder_clustering",
+    "text_bigram_lm_score",
+    "sketch_heavy_hitters",
+    "graph_pagerank_trade",
+    "dedup_image_ahash_pairs",
+    "text_boilerplate_removal",
 ]
 
 

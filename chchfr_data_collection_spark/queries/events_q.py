@@ -363,3 +363,161 @@ def events_rollup_hll_incremental(spark, sf_dir):
             ).alias("hll_ok"),
         )
     )
+
+
+@register(
+    "events_funnel_3step",
+    sql=f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT v.user_id, v.first_view, MIN(e.ts) AS first_click
+      FROM v JOIN events e ON e.user_id = v.user_id
+       AND e.event_type = 'click' AND e.ts > v.first_view
+       AND e.ts <= v.first_view + INTERVAL 24 HOUR
+      GROUP BY v.user_id, v.first_view),
+    p AS (
+      SELECT c.user_id, MIN(e.ts) AS first_purchase
+      FROM c JOIN events e ON e.user_id = c.user_id
+       AND e.event_type = 'purchase' AND e.ts > c.first_click
+       AND e.ts <= c.first_view + INTERVAL 24 HOUR
+      GROUP BY c.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewers,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel_3step(spark, sf_dir):
+    """Ordered 3-step funnel (view → click → purchase, strictly
+    increasing timestamps, all within 24 h of the first view) — the
+    k-step generalization of events_funnel_click_purchase and the
+    canonical product-analytics query engines special-case
+    (windowFunnel in ClickHouse): each step is a MIN-aggregation
+    constrained by the previous step's anchor, so determinism needs no
+    per-event ordering beyond the min.
+
+    100 TB plan: three shuffles at user grain with map-side partial
+    mins; each stage's join keys on user_id so all three reuse one
+    partitioning (no re-exchange between steps under AQE); final counts
+    are 1-row aggregates joined without shuffles."""
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    c = (
+        v.join(clicks, "user_id")
+        .filter(
+            (F.col("c_ts") > F.col("first_view"))
+            & (F.col("c_ts") <= F.col("first_view") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("c_ts").alias("first_click"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    p = (
+        c.join(purch, "user_id")
+        .filter(
+            (F.col("p_ts") > F.col("first_click"))
+            & (F.col("p_ts") <= F.col("first_view") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    nv = v.agg(F.count("*").alias("n_viewers"))
+    nc = c.agg(F.count("*").alias("n_clicked"))
+    np_ = p.agg(F.count("*").alias("n_purchased"))
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+_RATE_LIMIT_N = 5
+
+
+@register(
+    "events_rate_limit",
+    sql=f"""
+    WITH r AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN rn <= {_RATE_LIMIT_N} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn > {_RATE_LIMIT_N} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM r GROUP BY user_id
+    """,
+    tags=("events", "ingest", "quota"),
+)
+def events_rate_limit(spark, sf_dir):
+    """Per-user ingest rate limiting: keep the first {_RATE_LIMIT_N}
+    events per (user, hour), report kept/dropped per user — the quota /
+    throttle primitive every multi-tenant ingest runs in front of the
+    expensive stages (dedup, scoring), deterministic via the
+    (ts, event_id) total order.
+
+    100 TB plan: ONE shuffle on user_id — the row_number window
+    partitions by (user, hour) which user-partitioning co-locates, and
+    the per-user rollup reuses the same exchange (AQE observes the
+    sub-partitioning). Per-partition state is a counter per open hour
+    bucket, nothing global."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    r = ev.select("user_id", "event_id", F.row_number().over(w).alias("rn"))
+    return r.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("rn") <= _RATE_LIMIT_N, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > _RATE_LIMIT_N, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+@register(
+    "events_cumulative_distinct_users",
+    sql=f"""
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT first_day, COUNT(*) AS new_users FROM fs GROUP BY first_day)
+    SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    tags=("events", "window-agg", "distinct"),
+)
+def events_cumulative_distinct_users(spark, sf_dir):
+    """Cumulative distinct users per day — the growth-curve query.
+    COUNT(DISTINCT) OVER a growing window is not re-aggregable, so the
+    scalable form is the first-seen decomposition: distinct collapses
+    to MIN(first day) per user, the cumulative distinct count becomes a
+    plain running SUM of daily first-seen counts.
+
+    100 TB plan: one user-grain shuffle (map-side partial mins), one
+    tiny day-grain rollup; the running sum's single-partition window
+    touches #days rows only — bounded by the calendar, not the data."""
+    ev = T(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = fs.groupBy("first_day").agg(F.count("*").alias("new_users"))
+    w = W.orderBy("first_day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )

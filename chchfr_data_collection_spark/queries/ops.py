@@ -406,3 +406,159 @@ def partition_pruned_read(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
     )
+
+
+_DIFF_BUCKETS = 64
+
+
+@register(
+    "table_diff_checksum",
+    sql=f"""
+    WITH rh AS (
+      SELECT o_orderkey % {_DIFF_BUCKETS} AS bucket,
+             o_orderkey,
+             CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+             ), 1, 12) AS BIGINT) AS h
+      FROM orders),
+    a AS (
+      SELECT bucket, COUNT(*) AS n_a, SUM(h) AS ck_a FROM rh GROUP BY bucket),
+    b AS (
+      SELECT bucket, COUNT(*) AS n_b, SUM(h) AS ck_b FROM rh
+      WHERE o_orderkey % 997 <> 13 GROUP BY bucket)
+    SELECT a.bucket, a.n_a, b.n_b,
+           (a.n_a = b.n_b AND a.ck_a = b.ck_b) AS buckets_match
+    FROM a JOIN b ON a.bucket = b.bucket
+    """,
+    tags=("ops", "validation", "reconciliation"),
+)
+def table_diff_checksum(spark, sf_dir):
+    """Merkle-style table reconciliation: bucket both sides of a
+    replicated table by key, reduce each bucket to an order-independent
+    checksum (integer SUM of per-row md5 hashes over the compared
+    columns, money in cents so the hash input is float-format-free),
+    and report which buckets disagree — the anti-entropy primitive
+    behind replica repair / migration sign-off, where comparing 64
+    checksums replaces re-scanning both tables row-by-row on every
+    sync. The "replica" here injects drift (drops o_orderkey%997==13)
+    so a known subset of buckets must mismatch; only those buckets
+    would then be re-synced at row grain.
+
+    100 TB plan: each side is one scan + one bucket-grain groupBy with
+    map-side partials (integer sums are order/partitioning-independent
+    — that's what makes the checksum well-defined); the final join is
+    {_DIFF_BUCKETS} rows. Checksum width 48 bits (12 hex chars) keeps
+    SUM within int64 at fixture scale; production uses 128-bit
+    decimal(38) sums, same plan."""
+    o = T(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("bigint")
+                    .cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rh = o.select(
+        (F.col("o_orderkey") % _DIFF_BUCKETS).alias("bucket"),
+        F.col("o_orderkey"),
+        h.alias("h"),
+    )
+    a = rh.groupBy("bucket").agg(
+        F.count("*").alias("n_a"), F.sum("h").alias("ck_a")
+    )
+    b = (
+        rh.filter(F.col("o_orderkey") % 997 != 13)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_b"), F.sum("h").alias("ck_b"))
+    )
+    return a.join(b, "bucket").select(
+        "bucket",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") == F.col("n_b")) & (F.col("ck_a") == F.col("ck_b"))).alias(
+            "buckets_match"
+        ),
+    )
+
+
+@register(
+    "events_outliers_mad",
+    sql="""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+    med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS med FROM q GROUP BY event_type),
+    mad AS (
+      SELECT q.event_type, ANY_VALUE(m.med) AS med,
+             quantile_cont(ABS(q.v - m.med), 0.5) AS mad
+      FROM q JOIN med m ON m.event_type = q.event_type
+      GROUP BY q.event_type)
+    SELECT q.event_type, ANY_VALUE(t.med) AS med_cents,
+           ANY_VALUE(t.mad) AS mad_cents,
+           CAST(SUM(CASE WHEN ABS(q.v - t.med) > 3 * 1.4826 * t.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q JOIN mad t ON t.event_type = q.event_type
+    GROUP BY q.event_type
+    """,
+    tags=("events", "anomaly", "stats", "robust"),
+)
+def events_outliers_mad(spark, sf_dir):
+    """Robust (median/MAD) outlier gate — the heavy-tail-safe sibling
+    of the 3σ gate: mean and variance are themselves dragged by the
+    outliers they're supposed to find, median and median-absolute-
+    deviation are not (50% breakdown point). Flag |x−med| > 3·1.4826·MAD
+    (1.4826 = the normal-consistency constant).
+
+    Exactness: values quantize to cents; both engines compute the
+    interpolated median of INTEGER inputs, whose midpoints are exact
+    halves in double, and the flag threshold multiplies identical
+    operands — bit-identical with no transcendental in sight.
+
+    100 TB plan: exact medians need a per-type sort — at scale swap
+    percentile_approx (the GK sketch, mergeable partials) into the SAME
+    two-pass shape; the second pass is a broadcast join of #types
+    constants against the scan, like the 3σ gate."""
+    ev = T(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    med = q.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    mad = (
+        q.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(v - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        q.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med_cents"),
+            F.first("mad").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""Semantic tests for the round-5 events/ops additions: 3-step funnel,
+rate limiting, cumulative distinct, table-diff checksums, MAD gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chchfr_data_collection_spark.queries import catalog
+from chchfr_data_collection_spark.queries.common import T
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return catalog()
+
+
+def test_funnel_steps_are_monotone(spark, sf_med, cat):
+    r = cat["events_funnel_3step"].fn(spark, sf_med).collect()[0]
+    assert r["n_viewers"] >= r["n_clicked"] >= r["n_purchased"] >= 0
+    assert r["n_viewers"] > 0
+
+
+def test_rate_limit_partitions_every_event(spark, sf_med, cat):
+    from chchfr_data_collection_spark.queries.events_q import _RATE_LIMIT_N
+
+    rows = cat["events_rate_limit"].fn(spark, sf_med).collect()
+    total = T(spark, sf_med, "events").count()
+    assert sum(r["n_kept"] + r["n_dropped"] for r in rows) == total
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_events"] for r in rows)
+    # a user can never keep more than N per distinct active hour
+    ev = T(spark, sf_med, "events")
+    hours = {
+        r["user_id"]: r["h"]
+        for r in ev.groupBy("user_id")
+        .agg(F.countDistinct(F.date_trunc("hour", "ts")).alias("h"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_kept"] <= _RATE_LIMIT_N * hours[r["user_id"]]
+
+
+def test_cumulative_distinct_reaches_total(spark, sf_med, cat):
+    rows = sorted(
+        cat["events_cumulative_distinct_users"].fn(spark, sf_med).collect(),
+        key=lambda r: r["day"],
+    )
+    n_users = (
+        T(spark, sf_med, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1]["cum_users"] == n_users
+    assert sum(r["new_users"] for r in rows) == n_users
+    cum = 0
+    for r in rows:
+        cum += r["new_users"]
+        assert r["cum_users"] == cum
+
+
+def test_table_diff_flags_exactly_drifted_buckets(spark, sf_med, cat):
+    from chchfr_data_collection_spark.queries.ops import _DIFF_BUCKETS
+
+    rows = {r["bucket"]: r for r in cat["table_diff_checksum"].fn(spark, sf_med).collect()}
+    dropped = {
+        r[0] % _DIFF_BUCKETS
+        for r in T(spark, sf_med, "orders")
+        .filter(F.col("o_orderkey") % 997 == 13)
+        .select("o_orderkey")
+        .collect()
+    }
+    assert len(dropped) > 0
+    for b, r in rows.items():
+        assert r["buckets_match"] == (b not in dropped)
+
+
+def test_mad_gate_matches_numpy(spark, sf_small, cat):
+    import numpy as np
+
+    rows = {
+        r["event_type"]: r
+        for r in cat["events_outliers_mad"].fn(spark, sf_small).collect()
+    }
+    vals = {}
+    for r in T(spark, sf_small, "events").select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(round(r["value"] * 100))
+    for et, vs in vals.items():
+        v = np.array(vs, dtype=np.int64)
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        n_out = int((np.abs(v - med) > 3 * 1.4826 * mad).sum())
+        r = rows[et]
+        assert r["med_cents"] == med and r["mad_cents"] == mad
+        assert r["n_outliers"] == n_out
