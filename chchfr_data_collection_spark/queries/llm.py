@@ -3495,3 +3495,149 @@ def dedup_span_pairs(spark, sf_dir):
         )
         .filter(F.col("n_shared") >= _SPAN_PAIR_MIN)
     )
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+# space, then deduplicate ONLY within clusters — the cross-cluster pair
+# space (the quadratic bulk) is never materialized. Centroids follow the
+# repo's IVF convention (first _SEMDEDUP_K vectors, so the oracle can
+# reproduce the exact partitioning; production trains them with
+# embedding_centroids iterated — see embedding_kmeans_iter). The
+# per-cluster member cap bounds the pair fan-out exactly like
+# dedup_minhash_banded's bucket cap: at 100 TB k scales with n so
+# clusters stay O(cap), and the cap is replicated in the oracle so
+# results remain engine-exact at any scale.
+_SEMDEDUP_K = 8
+_SEMDEDUP_THRESHOLD = 0.45
+_SEMDEDUP_CLUSTER_CAP = 1024
+
+_SEMDEDUP_DUCK = f"""
+WITH {_NORM2_DUCK},
+cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         WHERE vec_id < {_SEMDEDUP_K}),
+adot AS (
+  SELECT v.vec_id, c.cent_id,
+    CAST(SUM({_Q.format(e='v.embedding[i]')} * {_Q.format(e='c.embedding[i]')}) AS BIGINT) AS d
+  FROM embeddings v, cent c CROSS JOIN range(1, 65) t(i)
+  GROUP BY v.vec_id, c.cent_id),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, a.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        CAST(a.d AS DOUBLE) / (SQRT(CAST(nv.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+        a.cent_id) AS rn
+    FROM adot a JOIN norms nv ON nv.vec_id = a.vec_id
+    JOIN norms nc ON nc.vec_id = a.cent_id) t
+  WHERE rn = 1),
+capped AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY vec_id) AS mrank
+    FROM assign) t
+  WHERE mrank <= {_SEMDEDUP_CLUSTER_CAP}),
+pairs AS (
+  SELECT ma.vec_id AS va, mb.vec_id AS vb, ma.cent_id,
+    CAST(SUM({_Q.format(e='a.embedding[i]')} * {_Q.format(e='b.embedding[i]')}) AS BIGINT) AS d
+  FROM capped ma JOIN capped mb
+    ON ma.cent_id = mb.cent_id AND ma.vec_id < mb.vec_id
+  JOIN embeddings a ON a.vec_id = ma.vec_id
+  JOIN embeddings b ON b.vec_id = mb.vec_id
+  CROSS JOIN range(1, 65) t(i)
+  GROUP BY ma.vec_id, mb.vec_id, ma.cent_id),
+scored AS (
+  SELECT va, vb, cent_id,
+    CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+  FROM pairs JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb)
+SELECT vec_id, cent_id, dup_of, cos_sim FROM (
+  SELECT vb AS vec_id, cent_id, va AS dup_of, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY vb ORDER BY cos_sim DESC, va) AS rn
+  FROM scored WHERE cos_sim >= {_SEMDEDUP_THRESHOLD}) t
+WHERE rn = 1
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    sql=_SEMDEDUP_DUCK,
+    tags=("llm", "dedup", "embedding", "semdedup"),
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup: embedding-cluster-scoped near-duplicate removal.
+
+    Returns the DROPPED vectors with evidence: each row is a vector
+    dominated by a smaller-id member of its own cluster at cosine >=
+    threshold, together with its chosen representative (highest
+    similarity, then smallest id — deterministic).
+
+    Spark shape: the 8-row centroid table broadcasts; assignment is a
+    broadcast cross join + one window argmax on vec_id; the pair stage
+    is an EQUI-join on cent_id (hash-partitioned — the whole point of
+    SemDeDup is that this replaces the corpus-wide all-pairs join), with
+    the member cap bounding per-cluster fan-out. Quantized int64 dots
+    make every cosine bit-identical to the DuckDB oracle."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        V.quantize("embedding").alias("qv"),
+        V.dot_exact("embedding", "embedding").alias("n2"),
+    )
+    cent = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cv"),
+        F.col("n2").alias("cn2"),
+    )
+    dotvc = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cosvc = dotvc.cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    mw = W.partitionBy("cent_id").orderBy("vec_id")
+    members = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "qv", "n2", "cent_id", cosvc.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .withColumn("mrank", F.row_number().over(mw))
+        .filter(F.col("mrank") <= _SEMDEDUP_CLUSTER_CAP)
+        .select("vec_id", "qv", "n2", "cent_id")
+    )
+    members = _swap_cached(dedup_semantic_clusters, "_cached_members", members)
+    a = members.select(
+        F.col("vec_id").alias("va"),
+        F.col("qv").alias("qa"),
+        F.col("n2").alias("na2"),
+        "cent_id",
+    )
+    b = members.select(
+        F.col("vec_id").alias("vb"),
+        F.col("qv").alias("qb"),
+        F.col("n2").alias("nb2"),
+        F.col("cent_id").alias("cent_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    pw = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("dup_of"))
+    return (
+        a.join(b, (F.col("cent_id") == F.col("cent_b")) & (F.col("va") < F.col("vb")))
+        .select(
+            F.col("vb").alias("vec_id"),
+            "cent_id",
+            F.col("va").alias("dup_of"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
