@@ -669,3 +669,156 @@ def doc_chunk_overlap(spark, sf_dir):
         F.size(chunk).cast("bigint").alias("n_words"),
         F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_hash"),
     )
+
+
+# ----------------------------------------------- fuzzy decontamination
+
+def _decontaminate_minhash_duck() -> str:
+    from .llm import _MH_A, _MH_B, _MH_BANDS, _MH_BUCKET_CAP, _MH_K, _MH_P, _MH_ROWS
+
+    mins = ",\n      ".join(
+        f"MIN(({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_P}) AS h{i}" for i in range(_MH_K)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, {sig} AS sig FROM sigs".format(
+            j=j,
+            sig=" || ',' || ".join(
+                f"CAST(h{j * _MH_ROWS + t} AS VARCHAR)" for t in range(_MH_ROWS)
+            ),
+        )
+        for j in range(_MH_BANDS)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct([ws[i] || '_' || ws[i+1] || '_' || ws[i+2]
+             for i in range(1, len(ws)-1)])) AS s
+      FROM w WHERE len(ws) >= 3),
+    shx AS (SELECT doc_id, s, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS x FROM sh),
+    sigs AS (
+      SELECT doc_id, COUNT(*) AS nw,
+      {mins}
+      FROM shx GROUP BY doc_id),
+    bsig AS ({bands}),
+    tsz AS (SELECT band, sig, COUNT(*) AS c FROM bsig WHERE doc_id >= 50
+            GROUP BY band, sig),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
+      FROM bsig t
+      JOIN bsig e ON t.band = e.band AND t.sig = e.sig
+       AND t.doc_id >= 50 AND e.doc_id < 50
+      JOIN tsz z ON z.band = t.band AND z.sig = t.sig
+      WHERE z.c <= {_MH_BUCKET_CAP}),
+    inter AS (
+      SELECT c.train_doc_id, c.eval_doc_id, COUNT(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.train_doc_id
+      JOIN sh b ON b.doc_id = c.eval_doc_id AND b.s = a.s
+      GROUP BY c.train_doc_id, c.eval_doc_id)
+    SELECT train_doc_id, eval_doc_id,
+      CAST(i AS DOUBLE) / (nt.nw + ne.nw - i) AS jaccard
+    FROM inter JOIN sigs nt ON nt.doc_id = train_doc_id
+    JOIN sigs ne ON ne.doc_id = eval_doc_id
+    WHERE CAST(i AS DOUBLE) / (nt.nw + ne.nw - i) >= 0.8
+    """
+
+
+@register(
+    "decontaminate_minhash",
+    sql=_decontaminate_minhash_duck(),
+    tags=("llm", "curation", "decontaminate", "minhash", "fuzzy"),
+)
+def decontaminate_minhash(spark, sf_dir):
+    """FUZZY benchmark decontamination: banded-MinHash collision scan
+    between the training corpus (doc_id >= 50) and the held-out eval
+    set (doc_id < 50, the fixture's benchmark convention shared with
+    decontaminate_overlap), verified with exact shingle Jaccard >= 0.8.
+
+    Rationale: exact 8-gram overlap (decontaminate_overlap) misses
+    lightly-paraphrased leakage; GPT-3/PaLM-style decontamination runs
+    a fuzzy pass for exactly this reason. Same AND-OR banding as
+    dedup_minhash_banded (b=8, r=4: P(candidate | J=0.8) ~ 0.985, and
+    deterministic here — fixed portable permutations, replicated in the
+    oracle, so both engines agree on every collision).
+
+    Scale shape: signatures are ONE pass over the corpus (the same
+    aggregate carries the 32 min-hashes and the verification shingle
+    array); the eval side is tiny at any scale, so its band table and
+    shingle arrays broadcast — the training corpus is never shuffled
+    for the candidate join. Train-side buckets wider than the cap are
+    skipped (boilerplate territory — the exact-hash and 8-gram passes
+    catch those), cap replicated in the oracle."""
+    from .llm import _MH_A, _MH_B, _MH_BANDS, _MH_BUCKET_CAP, _MH_P, _MH_ROWS, _swap_cached
+
+    k = _MH_BANDS * _MH_ROWS
+    ws = F.split("text", " ", -1)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+                F.element_at(ws, i + 3),
+            ),
+        )
+    )
+    tok = (
+        T(spark, sf_dir, "documents", parallel=True)
+        .filter(F.size(ws) >= 3)
+        .select("doc_id", F.explode(shingles).alias("w"))
+    )
+    x = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    sigs = tok.withColumn("x", x).groupBy("doc_id").agg(
+        F.count("*").alias("nw"),
+        F.collect_list("w").alias("shs"),
+        *[
+            F.min((F.lit(_MH_A[i]) * F.col("x") + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(
+                f"h{i}"
+            )
+            for i in range(k)
+        ],
+    )
+    sigs = _swap_cached(decontaminate_minhash, "_cached_sigs", sigs)
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"h{j * _MH_ROWS + t}").cast("string") for t in range(_MH_ROWS)]
+            ).alias("sig"),
+        )
+        for j in range(_MH_BANDS)
+    ]
+    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bs")).select(
+        "doc_id", "bs.band", "bs.sig"
+    )
+    tb = buckets.filter(F.col("doc_id") >= 50)
+    # train-side bucket-width cap: window over the SAME (band, sig)
+    # partitioning the join shuffles on — no extra exchange
+    cw = W.partitionBy("band", "sig")
+    tb = (
+        tb.withColumn("c", F.count("*").over(cw))
+        .filter(F.col("c") <= _MH_BUCKET_CAP)
+        .select(F.col("doc_id").alias("train_doc_id"), "band", "sig")
+    )
+    eb = buckets.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("eval_doc_id"), "band", "sig"
+    )
+    cand = (
+        tb.join(F.broadcast(eb), ["band", "sig"])
+        .select("train_doc_id", "eval_doc_id")
+        .distinct()
+    )
+    ta = sigs.select(F.col("doc_id").alias("train_doc_id"), F.col("shs").alias("ta"), F.col("nw").alias("nt"))
+    ea = sigs.select(F.col("doc_id").alias("eval_doc_id"), F.col("shs").alias("ea"), F.col("nw").alias("ne"))
+    inter = F.size(F.array_intersect("ta", "ea"))
+    jac = inter.cast("double") / (F.col("nt") + F.col("ne") - inter)
+    return (
+        cand.join(ta, "train_doc_id")
+        .join(F.broadcast(ea.filter(F.col("eval_doc_id") < 50)), "eval_doc_id")
+        .select("train_doc_id", "eval_doc_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("train_doc_id", "eval_doc_id", "jaccard")
+    )

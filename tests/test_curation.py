@@ -360,3 +360,41 @@ def test_chunk_overlap_covers_every_word(spark):
         last = chunks[-1]
         assert last.start_word + last.n_words - 1 == n
         assert len(chunks) == 1 or chunks[-2].start_word + _CHUNK_SIZE >= last.start_word
+
+
+def test_decontaminate_minhash_catches_all_high_jaccard_leaks(spark, sf_small, cat):
+    """At J >= 0.8 the b=8/r=4 banding's collision set (deterministic —
+    fixed portable permutations) must cover every exact cross-boundary
+    pair in this fixture; fuzzy output is a superset check vs the exact
+    8-gram scan's pair space restricted to J >= 0.8."""
+    got = {
+        (r["train_doc_id"], r["eval_doc_id"])
+        for r in cat["decontaminate_minhash"].fn(spark, sf_small).collect()
+    }
+    docs = __import__("pyarrow.parquet", fromlist=["pq"]).read_table(
+        f"{sf_small}/documents.parquet"
+    )
+    texts = dict(zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()))
+    def sh(t):
+        w = t.split(" ")
+        return {"_".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+    shs = {i: sh(t) for i, t in texts.items()}
+    want = set()
+    for e, se in shs.items():
+        if e >= 50 or not se:
+            continue
+        for t, st in shs.items():
+            if t < 50 or not st:
+                continue
+            inter = len(se & st)
+            if inter and inter / (len(se) + len(st) - inter) >= 0.8:
+                want.add((t, e))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_decontaminate_minhash_no_cartesian(spark, sf_small, cat):
+    from chchfr_data_collection_spark.plans.audit import count_nodes
+
+    df = cat["decontaminate_minhash"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
