@@ -822,3 +822,93 @@ def decontaminate_minhash(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.8)
         .select("train_doc_id", "eval_doc_id", "jaccard")
     )
+
+
+# --------------------------------------------- global-quantile quality gate
+
+def _quality_gate_duck() -> str:
+    quality = """(0.3 * LEAST(d.n_chars / 200.0, 1.0) + 0.4 * wl.stop_ratio
+        + 0.3 * (CAST(length(regexp_replace(d.text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / length(d.text)))"""
+    return f"""
+    WITH wl AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN w IN {TX.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS stop_ratio
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      GROUP BY doc_id),
+    scores AS (
+      SELECT d.doc_id, d.lang,
+        CAST(ROUND({quality} * 1000000.0) AS BIGINT) AS quality_ppm
+      FROM documents d JOIN wl ON d.doc_id = wl.doc_id),
+    k AS (SELECT CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS k FROM scores),
+    ranked AS (
+      SELECT quality_ppm, ROW_NUMBER() OVER (ORDER BY quality_ppm, 1) AS rn
+      FROM scores),
+    thr AS (SELECT r.quality_ppm AS p10_ppm FROM ranked r, k WHERE r.rn = k.k)
+    SELECT s.doc_id, s.lang, s.quality_ppm, t.p10_ppm
+    FROM scores s, thr t
+    WHERE s.quality_ppm >= t.p10_ppm
+    """
+
+
+@register(
+    "quality_percentile_gate",
+    sql=_quality_gate_duck(),
+    tags=("llm", "curation", "quality", "quantile"),
+)
+def quality_percentile_gate(spark, sf_dir):
+    """Corpus-RELATIVE quality gate: keep documents at or above the
+    corpus's 10th-percentile quality score — the 'drop the worst decile'
+    curation step (fixed thresholds like text_quality_score's 0.5 drift
+    as the crawl mix shifts; a percentile gate self-calibrates).
+
+    Exact global quantile WITHOUT a global sort: scores are quantized to
+    integer ppm, aggregated into a per-score histogram (bounded at 1e6
+    cells regardless of corpus size), the threshold is read off the
+    histogram's running sum (a window over the TINY histogram relation,
+    never the corpus), and the 1-row threshold broadcasts back to the
+    gating filter. At 100 TB: two corpus passes (score+histogram, then
+    gate), both map-shaped; everything between them is O(distinct
+    scores). The oracle reproduces the same value via the rank-k order
+    statistic — value-identical because the k-th smallest is tie-order
+    independent."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    wl = (
+        d.select("doc_id", F.explode(TX.words("text")).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("w").isin(*TX.STOPWORDS), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("stop_ratio")
+        )
+    )
+    quality = (
+        F.lit(0.3) * F.least(F.col("n_chars") / 200.0, F.lit(1.0))
+        + F.lit(0.4) * F.col("stop_ratio")
+        + F.lit(0.3) * TX.alpha_ratio("text")
+    )
+    scores = d.join(wl, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.round(quality * F.lit(1000000.0)).cast("bigint").alias("quality_ppm"),
+    )
+    hist = scores.groupBy("quality_ppm").agg(F.count("*").alias("c"))
+    cw = W.orderBy("quality_ppm").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tw = W.orderBy("quality_ppm").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    thr = (
+        hist.withColumn("cum", F.sum("c").over(cw))
+        .withColumn("n", F.sum("c").over(tw))
+        .filter(F.col("cum") >= F.ceil(F.col("n") / F.lit(10.0)))
+        .agg(F.min("quality_ppm").alias("p10_ppm"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_ppm") >= F.col("p10_ppm"))
+        .select("doc_id", "lang", "quality_ppm", "p10_ppm")
+    )

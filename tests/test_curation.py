@@ -398,3 +398,24 @@ def test_decontaminate_minhash_no_cartesian(spark, sf_small, cat):
 
     df = cat["decontaminate_minhash"].fn(spark, sf_small)
     assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_quality_gate_drops_strictly_below_rank_k(spark, sf_small, cat):
+    """The gate keeps exactly the rows at/above the k-th smallest score
+    (k = ceil(N/10)): dropped rows are those strictly below the
+    threshold, so dropped <= k-1; the threshold column is constant."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = cat["quality_percentile_gate"].fn(spark, sf_small).collect()
+    n = pq.read_metadata(f"{sf_small}/documents.parquet").num_rows
+    k = math.ceil(n / 10)
+    thr = {r["p10_ppm"] for r in rows}
+    assert len(thr) == 1
+    p10 = thr.pop()
+    assert all(r["quality_ppm"] >= p10 for r in rows)
+    dropped = n - len(rows)
+    # dropped = rows strictly below the k-th smallest -> at most k-1;
+    # ties at the threshold only ever shrink the drop count
+    assert 0 < dropped <= k - 1
