@@ -912,3 +912,60 @@ def quality_percentile_gate(spark, sf_dir):
         .filter(F.col("quality_ppm") >= F.col("p10_ppm"))
         .select("doc_id", "lang", "quality_ppm", "p10_ppm")
     )
+
+
+# ------------------------------------------- streaming trending terms
+
+@register(
+    "streaming_topk_trending_replay",
+    sql="""
+    WITH wc AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      GROUP BY w)
+    SELECT word, c, rnk FROM (
+      SELECT word, c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk
+      FROM wc) r
+    WHERE rnk <= 25
+    """,
+    tags=("streaming", "llm", "text", "topk"),
+)
+def streaming_topk_trending_replay(spark, sf_dir):
+    """Live top-25 trending terms, maintained STREAMING-side and
+    replayed end-to-end: the document feed runs through foreachBatch,
+    each micro-batch map-side-combines to per-word count partials that
+    append to a stats store; the report is the merged store's top-k.
+    Counts are mergeable partials, so the replayed result equals the
+    batch word count bit-for-bit regardless of batch boundaries —
+    pinned by the oracle and the equivalence test.
+
+    100 TB plan: the per-batch reduce is vocabulary-sized (not
+    corpus-sized) and map-side-combined; the merge re-aggregates the
+    bounded store; top-k is a TakeOrdered over the vocabulary relation.
+    Nothing in the loop grows with history except the partials file,
+    compacted by the same re-aggregation."""
+    import tempfile
+    import uuid
+
+    from ..streaming.documents import (
+        foreach_batch_word_count_partials,
+        read_documents_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"trending_{uuid.uuid4().hex[:8]}_")
+    target, ck = f"{base}/partials", f"{base}/ck"
+    q = foreach_batch_word_count_partials(
+        read_documents_stream(spark, sf_dir), target, ck
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(target)
+        .groupBy("word")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    rw = W.orderBy(F.desc("c"), F.asc("word"))
+    return (
+        merged.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 25)
+        .select("word", "c", "rnk")
+    )

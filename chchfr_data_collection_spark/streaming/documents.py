@@ -81,3 +81,31 @@ def dedup_by_content_within_watermark(docs: DataFrame, delay: str = "10 days") -
         .withWatermark("ingest_ts", delay)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def foreach_batch_word_count_partials(stream_df: DataFrame, target: str, checkpoint: str):
+    """Incremental term-frequency maintenance on the document stream:
+    each micro-batch map-side-combines to per-word count partials and
+    APPENDS them to the stats store. Counts are mergeable partials, so
+    the summed store equals the batch word count exactly no matter how
+    the stream was chunked — the live "trending terms" feed a crawl
+    pipeline keeps next to ingest.
+
+    Store growth is O(#batches × batch-vocabulary); compaction is
+    re-aggregation (same algebra), exactly like the moment-partials
+    stats store in streaming/events.py."""
+
+    def _acc(batch: DataFrame, batch_id: int) -> None:
+        part = (
+            batch.select(F.explode(F.split("text", " ", -1)).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("c"))
+        )
+        part.write.mode("append").parquet(target)
+
+    return (
+        stream_df.writeStream.foreachBatch(_acc)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

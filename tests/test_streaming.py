@@ -322,3 +322,25 @@ def test_streaming_pq_encode_equals_batch(spark, sf_small):
     for v, j, _ in s:
         per_vec.setdefault(v, set()).add(j)
     assert all(js == set(range(PQ_M)) for js in per_vec.values())
+
+
+def test_streaming_trending_equals_batch(spark, sf_small):
+    """The replayed top-25 must equal the batch word count's top-25
+    bit-for-bit — count partials are batch-boundary independent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from chchfr_data_collection_spark.queries import catalog
+
+    got = catalog()["streaming_topk_trending_replay"].fn(spark, sf_small).collect()
+    rw = W.orderBy(F.desc("c"), F.asc("word"))
+    want = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select(F.explode(F.split("text", " ", -1)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 25)
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
