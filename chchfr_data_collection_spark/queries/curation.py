@@ -969,3 +969,60 @@ def streaming_topk_trending_replay(spark, sf_dir):
         .filter(F.col("rnk") <= 25)
         .select("word", "c", "rnk")
     )
+
+
+# ---------------------------------------------- blocklist redaction
+
+_BLOCKLIST = ("dup", "crash", "spam")
+_BL_DUCK = "('" + "', '".join(_BLOCKLIST) + "')"
+
+
+@register(
+    "text_blocklist_redaction",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x IN {_BL_DUCK}))
+          AS n_bad,
+        array_to_string(
+          list_transform(string_split(text, ' '),
+                         x -> CASE WHEN x IN {_BL_DUCK}
+                                   THEN '<removed>' ELSE x END), ' ')
+          AS cleaned
+      FROM documents)
+    SELECT doc_id, CAST(n_bad AS BIGINT) AS n_bad, n_bad = 0 AS keep,
+           md5(cleaned) AS clean_hash
+    FROM t
+    """,
+    tags=("llm", "curation", "quality", "blocklist"),
+)
+def text_blocklist_redaction(spark, sf_dir):
+    """C4-style blocklist pass, in both of its production modes at once:
+    FLAG (keep = no blocklisted token, the drop-the-document policy) and
+    REDACT (the cleaned text with blocklisted tokens replaced, for
+    pipelines that keep the document — same shape as PII scrubbing,
+    where the patterns are emails/phones instead of tokens).
+
+    Token-level replacement (transform over the split array), not a
+    regex, so word boundaries are exact and the pass stays a pure map:
+    no shuffle, no join — the blocklist is a literal in the plan (a
+    production list of ~1e4 terms would broadcast a set instead; the
+    shape is unchanged). Cleaned text is pinned by md5 so the oracle
+    verifies the full reconstruction without hauling text through the
+    compare."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    ws = F.split("text", " ", -1)
+    n_bad = F.size(F.filter(ws, lambda w: w.isin(*_BLOCKLIST)))
+    cleaned = F.array_join(
+        F.transform(
+            ws,
+            lambda w: F.when(w.isin(*_BLOCKLIST), F.lit("<removed>")).otherwise(w),
+        ),
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        n_bad.cast("bigint").alias("n_bad"),
+        (n_bad == 0).alias("keep"),
+        F.md5(cleaned.cast("binary")).alias("clean_hash"),
+    )

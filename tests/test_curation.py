@@ -419,3 +419,30 @@ def test_quality_gate_drops_strictly_below_rank_k(spark, sf_small, cat):
     # dropped = rows strictly below the k-th smallest -> at most k-1;
     # ties at the threshold only ever shrink the drop count
     assert 0 < dropped <= k - 1
+
+
+def test_blocklist_redaction_is_map_only_and_bites(spark, sf_small, cat):
+    """Pure map pass (no shuffle, no join) and the fixture actually
+    contains blocklisted tokens; redacted docs recompute exactly."""
+    import hashlib
+
+    from chchfr_data_collection_spark.plans.audit import assert_max_shuffles, count_nodes
+    from chchfr_data_collection_spark.queries.curation import _BLOCKLIST
+
+    df = cat["text_blocklist_redaction"].fn(spark, sf_small)
+    assert_max_shuffles(df, 1)  # the scan repartition only
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert count_nodes(df, node) == 0
+    rows = {r["doc_id"]: r for r in df.collect()}
+    flagged = [r for r in rows.values() if not r["keep"]]
+    assert flagged, "blocklist should bite on this fixture"
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_small}/documents.parquet")
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        ws = text.split(" ")
+        n_bad = sum(w in _BLOCKLIST for w in ws)
+        cleaned = " ".join("<removed>" if w in _BLOCKLIST else w for w in ws)
+        r = rows[doc_id]
+        assert r["n_bad"] == n_bad and r["keep"] == (n_bad == 0)
+        assert r["clean_hash"] == hashlib.md5(cleaned.encode()).hexdigest()
