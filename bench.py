@@ -83,6 +83,11 @@ HEADLINE = [
     "graph_pagerank_trade",
     "dedup_image_ahash_pairs",
     "text_boilerplate_removal",
+    "dedup_semantic_clusters",
+    "decontaminate_minhash",
+    "quality_percentile_gate",
+    "bpe_train_merges",
+    "text_blocklist_redaction",
 ]
 
 

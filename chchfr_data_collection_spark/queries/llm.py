@@ -3513,8 +3513,7 @@ _SEMDEDUP_K = 8
 _SEMDEDUP_THRESHOLD = 0.45
 _SEMDEDUP_CLUSTER_CAP = 1024
 
-_SEMDEDUP_DUCK = f"""
-WITH {_NORM2_DUCK},
+_SEMDEDUP_ASSIGN_DUCK = f"""
 cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
          WHERE vec_id < {_SEMDEDUP_K}),
 adot AS (
@@ -3536,7 +3535,11 @@ capped AS (
     SELECT vec_id, cent_id,
       ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY vec_id) AS mrank
     FROM assign) t
-  WHERE mrank <= {_SEMDEDUP_CLUSTER_CAP}),
+  WHERE mrank <= {_SEMDEDUP_CLUSTER_CAP})"""
+
+_SEMDEDUP_DUCK = f"""
+WITH {_NORM2_DUCK},
+{_SEMDEDUP_ASSIGN_DUCK},
 pairs AS (
   SELECT ma.vec_id AS va, mb.vec_id AS vb, ma.cent_id,
     CAST(SUM({_Q.format(e='a.embedding[i]')} * {_Q.format(e='b.embedding[i]')}) AS BIGINT) AS d
@@ -3558,25 +3561,11 @@ WHERE rn = 1
 """
 
 
-@register(
-    "dedup_semantic_clusters",
-    sql=_SEMDEDUP_DUCK,
-    tags=("llm", "dedup", "embedding", "semdedup"),
-)
-def dedup_semantic_clusters(spark, sf_dir):
-    """SemDeDup: embedding-cluster-scoped near-duplicate removal.
-
-    Returns the DROPPED vectors with evidence: each row is a vector
-    dominated by a smaller-id member of its own cluster at cosine >=
-    threshold, together with its chosen representative (highest
-    similarity, then smallest id — deterministic).
-
-    Spark shape: the 8-row centroid table broadcasts; assignment is a
-    broadcast cross join + one window argmax on vec_id; the pair stage
-    is an EQUI-join on cent_id (hash-partitioned — the whole point of
-    SemDeDup is that this replaces the corpus-wide all-pairs join), with
-    the member cap bounding per-cluster fan-out. Quantized int64 dots
-    make every cosine bit-identical to the DuckDB oracle."""
+def _semdedup_members(spark, sf_dir):
+    """Capped per-cluster member relation (vec_id, qv, n2, cent_id):
+    nearest-of-k assignment (broadcast centroids + window argmax), then
+    the per-cluster member cap. Cached once per invocation — feeds both
+    sides of the pair join and the recall audit."""
     emb = T(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id",
         V.quantize("embedding").alias("qv"),
@@ -3606,7 +3595,29 @@ def dedup_semantic_clusters(spark, sf_dir):
         .filter(F.col("mrank") <= _SEMDEDUP_CLUSTER_CAP)
         .select("vec_id", "qv", "n2", "cent_id")
     )
-    members = _swap_cached(dedup_semantic_clusters, "_cached_members", members)
+    return _swap_cached(_semdedup_members, "_cached_members", members)
+
+
+@register(
+    "dedup_semantic_clusters",
+    sql=_SEMDEDUP_DUCK,
+    tags=("llm", "dedup", "embedding", "semdedup"),
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup: embedding-cluster-scoped near-duplicate removal.
+
+    Returns the DROPPED vectors with evidence: each row is a vector
+    dominated by a smaller-id member of its own cluster at cosine >=
+    threshold, together with its chosen representative (highest
+    similarity, then smallest id — deterministic).
+
+    Spark shape: the 8-row centroid table broadcasts; assignment is a
+    broadcast cross join + one window argmax on vec_id; the pair stage
+    is an EQUI-join on cent_id (hash-partitioned — the whole point of
+    SemDeDup is that this replaces the corpus-wide all-pairs join), with
+    the member cap bounding per-cluster fan-out. Quantized int64 dots
+    make every cosine bit-identical to the DuckDB oracle."""
+    members = _semdedup_members(spark, sf_dir)
     a = members.select(
         F.col("vec_id").alias("va"),
         F.col("qv").alias("qa"),
@@ -3815,3 +3826,91 @@ def bpe_train_merges(spark, sf_dir):
     for mdf in merges[1:]:
         out = out.unionByName(mdf)
     return out
+
+
+_SEMDEDUP_AUDIT_DUCK = f"""
+WITH {_NORM2_DUCK},
+{_SEMDEDUP_ASSIGN_DUCK},
+xp AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, {_DOT_QUANT} AS d
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  CROSS JOIN range(1, 65) t(i)
+  WHERE a.vec_id < {_TWIN_SAMPLE_N} AND b.vec_id < {_TWIN_SAMPLE_N}
+  GROUP BY a.vec_id, b.vec_id),
+exact AS (
+  SELECT va, vb FROM xp
+  JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+  WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+        >= {_SEMDEDUP_THRESHOLD})
+SELECT COUNT(*) AS n_exact_pairs,
+  CAST(SUM(CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_coclustered,
+  CAST(SUM(CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END) AS DOUBLE)
+    / COUNT(*) AS semantic_recall
+FROM exact
+JOIN capped ca ON ca.vec_id = va
+JOIN capped cb ON cb.vec_id = vb
+"""
+
+
+@register(
+    "semdedup_recall_audit",
+    sql=_SEMDEDUP_AUDIT_DUCK,
+    tags=("llm", "dedup", "embedding", "semdedup", "audit"),
+)
+def semdedup_recall_audit(spark, sf_dir):
+    """SemDeDup go/no-go gate, same contract as ann_recall_audit /
+    dedup_recall_audit: of the EXACT above-threshold near-dup pairs in
+    the bounded twin slice (vec_id < _TWIN_SAMPLE_N), what fraction
+    lands in the same cluster — i.e. is visible to the cluster-scoped
+    pair join at all? Cluster-scoped dedup trades the quadratic pair
+    space for this measured recall; production re-tunes k / re-trains
+    centroids when the audit row drops.
+
+    One row: (n_exact_pairs, n_coclustered, semantic_recall). The exact
+    side is the same bounded O(n²) twin as similarity_threshold_pairs
+    (slice pushed into the scan); the cluster side reuses the capped
+    member relation. Excluded from the bench HEADLINE like every
+    oracle-twin."""
+    emb = _twin_sample(
+        T(spark, sf_dir, "embeddings", parallel=True), _TWIN_SAMPLE_N
+    )
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        V.quantize("embedding").alias("qa"),
+        V.dot_exact("embedding", "embedding").alias("na2"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        V.quantize("embedding").alias("qb"),
+        V.dot_exact("embedding", "embedding").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    exact = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
+        .select("va", "vb")
+    )
+    assign = _semdedup_members(spark, sf_dir).select("vec_id", "cent_id")
+    ca = assign.select(F.col("vec_id").alias("va"), F.col("cent_id").alias("ca"))
+    cb = assign.select(F.col("vec_id").alias("vb"), F.col("cent_id").alias("cb"))
+    hit = (F.col("ca") == F.col("cb")).cast("int")
+    return (
+        exact.join(ca, "va")
+        .join(cb, "vb")
+        .agg(
+            F.count("*").alias("n_exact_pairs"),
+            F.sum(hit).cast("bigint").alias("n_coclustered"),
+            (F.sum(hit).cast("double") / F.count("*")).alias("semantic_recall"),
+        )
+    )
