@@ -3717,6 +3717,26 @@ def _bpe_train_duck() -> str:
     return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(outs)
 
 
+def _bpe_encode_duck() -> str:
+    """Same generated training CTEs, but the final SELECT encodes the
+    corpus with the learned vocabulary: per-doc symbol counts before
+    and after the merges."""
+    prefix = _bpe_train_duck()
+    prefix = prefix[: prefix.index("\nSELECT 1 AS round")]
+    return f"""{prefix},
+    tok AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS ntok
+            FROM s{_BPE_ROUNDS} GROUP BY word),
+    corpus AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+    SELECT c.doc_id,
+           CAST(SUM(length(c.word)) AS BIGINT) AS n_base_syms,
+           CAST(SUM(t.ntok) AS BIGINT) AS n_bpe_syms,
+           CAST(SUM(t.ntok) AS DOUBLE) / SUM(length(c.word)) AS compression
+    FROM corpus c JOIN tok t ON t.word = c.word
+    GROUP BY c.doc_id
+    """
+
+
 @register(
     "bpe_train_merges",
     sql=_bpe_train_duck(),
@@ -3742,6 +3762,17 @@ def bpe_train_merges(spark, sf_dir):
     set-based: match positions, consecutive runs via gaps-and-islands,
     keep odd ranks within each run — identical windows in the oracle,
     so the learned merges match bit-for-bit."""
+    merges, _ = _bpe_train(spark, sf_dir)
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionByName(mdf)
+    return out
+
+
+def _bpe_train(spark, sf_dir):
+    """The trainer loop shared by bpe_train_merges (returns the merge
+    table) and bpe_encode_compression (returns the final per-word
+    symbol relation). See bpe_train_merges for the full design notes."""
     d = T(spark, sf_dir, "documents", parallel=True)
     w0 = (
         d.select(F.explode(F.split("text", " ", -1)).alias("word"))
@@ -3822,10 +3853,44 @@ def bpe_train_merges(spark, sf_dir):
             )
             .localCheckpoint(eager=False)
         )
-    out = merges[0]
-    for mdf in merges[1:]:
-        out = out.unionByName(mdf)
-    return out
+    return merges, s
+
+
+@register(
+    "bpe_encode_compression",
+    sql=_bpe_encode_duck(),
+    tags=("llm", "text", "bpe", "iterative"),
+)
+def bpe_encode_compression(spark, sf_dir):
+    """Tokenizer APPLY for the learned BPE vocabulary: encode every
+    document with the merge table bpe_train_merges produces and report
+    per-doc symbol counts before/after plus the compression ratio —
+    the train→encode round trip a tokenizer pipeline ships.
+
+    Scale shape: the encoder is a (word -> token-count) relation
+    derived from the trained per-word symbol sequences — vocabulary-
+    sized, so it BROADCASTS to the corpus join; the corpus is touched
+    by exactly one explode + one aggregation. The heavy lifting
+    (training) happened on the vocab relation; applying it is a
+    dictionary join, which is why BPE encoding parallelizes trivially
+    at 100 TB."""
+    _, s = _bpe_train(spark, sf_dir)
+    tok = s.groupBy("word").agg(F.count("*").cast("bigint").alias("ntok"))
+    corpus = (
+        T(spark, sf_dir, "documents", parallel=True)
+        .select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+    )
+    return (
+        corpus.join(F.broadcast(tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.length("word")).cast("bigint").alias("n_base_syms"),
+            F.sum("ntok").cast("bigint").alias("n_bpe_syms"),
+            (F.sum("ntok").cast("double") / F.sum(F.length("word"))).alias(
+                "compression"
+            ),
+        )
+    )
 
 
 _SEMDEDUP_AUDIT_DUCK = f"""
