@@ -521,3 +521,63 @@ def events_cumulative_distinct_users(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@register(
+    "events_exact_quantiles",
+    sql="""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+    h AS (SELECT event_type, v, COUNT(*) AS c FROM q GROUP BY event_type, v),
+    cum AS (
+      SELECT event_type, v, c,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50_cents,
+      MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS p95_cents,
+      MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+    tags=("events", "quantile", "stats"),
+)
+def events_exact_quantiles(spark, sf_dir):
+    """EXACT per-type p50/p95/p99 of the event value — no global sort,
+    no approx_percentile. Values are cents-quantized integers, so the
+    per-type value histogram is bounded (≤ value-range cells, ~10^4
+    here) regardless of event count; the quantile is read off the
+    histogram's running sum. The same trick as quality_percentile_gate,
+    per group: at 100 TB this is one shuffle to (type, cents) partials
+    — map-side combine does nearly all the work — then window+argmin on
+    the tiny histogram relation. approx_percentile trades accuracy for
+    memory it doesn't need to here; the p99 of a latency/value column is
+    exactly the row a monitoring pipeline pages on, so exact matters."""
+    ev = T(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    h = q.groupBy("event_type", "v").agg(F.count("*").alias("c"))
+    cw = (
+        W.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    nw = W.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "v",
+        F.sum("c").over(cw).alias("cum"),
+        F.sum("c").over(nw).alias("n"),
+    )
+    def at(pct):
+        k = F.expr(f"(n * {pct} + 99) div 100")
+        return F.min(F.when(F.col("cum") >= k, F.col("v")))
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        at(50).alias("p50_cents"),
+        at(95).alias("p95_cents"),
+        at(99).alias("p99_cents"),
+    )

@@ -90,3 +90,26 @@ def test_mad_gate_matches_numpy(spark, sf_small, cat):
         r = rows[et]
         assert r["med_cents"] == med and r["mad_cents"] == mad
         assert r["n_outliers"] == n_out
+
+
+def test_exact_quantiles_match_numpy(spark, sf_small, cat):
+    """p50/p95/p99 must equal the ceil-rank order statistic computed
+    directly over the cents-quantized values."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_small}/events.parquet", columns=["event_type", "value"])
+    vals: dict = {}
+    for et, v in zip(t.column("event_type").to_pylist(), t.column("value").to_pylist()):
+        vals.setdefault(et, []).append(round(v * 100))
+    rows = {r["event_type"]: r for r in cat["events_exact_quantiles"].fn(spark, sf_small).collect()}
+    assert set(rows) == set(vals)
+    for et, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        r = rows[et]
+        assert r["n"] == n
+        for pct, col in ((50, "p50_cents"), (95, "p95_cents"), (99, "p99_cents")):
+            k = (n * pct + 99) // 100
+            assert r[col] == vs[k - 1], (et, pct)
