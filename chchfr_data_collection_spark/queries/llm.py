@@ -1644,6 +1644,12 @@ def embedding_kmeans_iter(spark, sf_dir, n_iter: int = 2):
     step shape (broadcast centroids, aggregate partials); n_iter more
     rounds = n_iter more passes over the data, no state on the driver
     beyond the k*64 centroid relation."""
+    return _kmeans_centroids(spark, sf_dir, n_iter)
+
+
+def _kmeans_centroids(spark, sf_dir, n_iter: int = 2):
+    """The Lloyd loop shared by embedding_kmeans_iter (emits the
+    centroid table) and similarity_ivf_trained (serves ANN from it)."""
     emb = T(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", V.quantize("embedding").alias("qv")
     )
@@ -3978,4 +3984,124 @@ def semdedup_recall_audit(spark, sf_dir):
             F.sum(hit).cast("bigint").alias("n_coclustered"),
             (F.sum(hit).cast("double") / F.count("*")).alias("semantic_recall"),
         )
+    )
+
+
+# ------------------------------------------- IVF with TRAINED centroids
+
+def _ivf_trained_duck() -> str:
+    km = _kmeans_iter_duck(2)
+    prefix = km[: km.rindex("\n    SELECT cent_id")]
+    return f"""{prefix},
+    tnorms AS (
+      SELECT vec_id, SUM(qval * qval) AS norm2 FROM qpos GROUP BY vec_id),
+    dT AS (
+      SELECT qp.vec_id, c.cent_id,
+             SUM((qp.qval - c.c_val) * (qp.qval - c.c_val)) AS dist
+      FROM qpos qp JOIN cent2 c ON c.pos = qp.pos
+      GROUP BY qp.vec_id, c.cent_id),
+    aT AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+        FROM dT) t WHERE rn = 1),
+    tpairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(qq.qval * qc.qval) AS d
+      FROM aT q JOIN aT c ON c.cent_id = q.cent_id AND c.vec_id <> q.vec_id
+      JOIN qpos qq ON qq.vec_id = q.vec_id
+      JOIN qpos qc ON qc.vec_id = c.vec_id AND qc.pos = qq.pos
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.vec_id)
+    SELECT qid, cid, cos_sim, rnk FROM (
+      SELECT p.qid, p.cid,
+        CAST(p.d AS DOUBLE) / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) AS cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+          CAST(p.d AS DOUBLE) / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+          p.cid) AS rnk
+      FROM tpairs p JOIN tnorms nq ON nq.vec_id = p.qid
+      JOIN tnorms nc ON nc.vec_id = p.cid) t
+    WHERE rnk <= 3
+    """
+
+
+@register(
+    "similarity_ivf_trained",
+    sql=_ivf_trained_duck(),
+    tags=("llm", "similarity", "ann", "ivf", "kmeans"),
+)
+def similarity_ivf_trained(spark, sf_dir):
+    """The PRODUCTION IVF path end-to-end: train centroids with 2 real
+    Lloyd iterations (embedding_kmeans_iter's loop), assign the corpus
+    to the TRAINED centroids by exact squared-L2 (the k-means metric),
+    then probe top-3 by exact quantized cosine within each query's
+    cell — similarity_ivf_ann with the seed-vector stand-ins replaced
+    by the trained ones.
+
+    This is the composition a 100 TB index actually runs: training
+    (broadcast-centroid passes), bulk assignment (broadcast cross join
+    + window argmin — one shuffle), and a cent_id equi-join probe whose
+    candidate lists reflect the data's real density rather than 8
+    arbitrary seed cells. The whole loop stays integer-exact (quantized
+    distances, re-quantized means), so the DuckDB oracle replays
+    training AND serving bit-for-bit."""
+    cent_pos = _kmeans_centroids(spark, sf_dir, 2)
+    cent_arr = cent_pos.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c_val"))),
+            lambda s: s["c_val"],
+        ).alias("cv")
+    )
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id",
+        V.quantize("embedding").alias("qv"),
+        V.dot_exact("embedding", "embedding").alias("n2"),
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "qv", "n2", "cent_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "n2", "cent_id")
+    )
+    assign = _swap_cached(similarity_ivf_trained, "_cached_assign", assign)
+    probe = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qv").alias("qq"),
+        F.col("n2").alias("qn2"),
+        "cent_id",
+    )
+    cand = assign.select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("qc"),
+        F.col("n2").alias("cn2"),
+        "cent_id",
+    )
+    dotqc = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        cand.join(F.broadcast(probe), "cent_id")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dotqc.cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(pw))
+        .filter(F.col("rnk") <= 3)
     )

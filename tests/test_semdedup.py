@@ -90,3 +90,20 @@ def test_semdedup_drops_are_cluster_local(spark, sf_small, cat):
     for r in rows:
         assert r["dup_of"] < r["vec_id"]
         assert r["cos_sim"] >= _SEMDEDUP_THRESHOLD
+
+
+def test_ivf_trained_shape_and_cell_locality(spark, sf_small, cat):
+    """Trained-IVF: 3 results per query vector with dense ranks, no
+    self-matches, and the plan has no cartesian product (cell locality
+    itself is pinned bit-exactly by the DuckDB oracle, which replays
+    training AND assignment)."""
+    df = cat["similarity_ivf_trained"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
+    rows = df.collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r["cid"] != r["qid"] and r["qid"] < 5 and 1 <= r["rnk"] <= 3
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rs in by_q.items():
+        assert sorted(r["rnk"] for r in rs) == [1, 2, 3]
