@@ -581,3 +581,77 @@ def events_exact_quantiles(spark, sf_dir):
         at(95).alias("p95_cents"),
         at(99).alias("p99_cents"),
     )
+
+
+@register(
+    "streaming_quantiles_replay",
+    sql="""
+    WITH q AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+    h AS (SELECT event_type, v, COUNT(*) AS c FROM q GROUP BY event_type, v),
+    cum AS (
+      SELECT event_type, v, c,
+        SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+      MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50_cents,
+      MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS p95_cents,
+      MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+    tags=("streaming", "events", "quantile", "stats"),
+)
+def streaming_quantiles_replay(spark, sf_dir):
+    """events_exact_quantiles maintained STREAMING-side: the event feed
+    replays through foreachBatch, each micro-batch appends bounded
+    (type, cents, count) histogram cells, and the exact p50/p95/p99 are
+    read off the merged store — equal to the batch quantiles
+    bit-for-bit because histogram cells are mergeable partials (the
+    oracle is literally the batch SQL). This is how a 100 TB pipeline
+    keeps an EXACT live p99 without re-scanning history: per-batch
+    reduce is value-range-bounded, the store compacts by
+    re-aggregation, nothing grows with event count."""
+    import tempfile
+    import uuid
+
+    from ..streaming.events import (
+        foreach_batch_value_hist_partials,
+        read_events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"qhist_{uuid.uuid4().hex[:8]}_")
+    target, ck = f"{base}/partials", f"{base}/ck"
+    q = foreach_batch_value_hist_partials(
+        read_events_stream(spark, sf_dir), target, ck
+    )
+    q.awaitTermination()
+    h = (
+        spark.read.parquet(target)
+        .groupBy("event_type", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    cw = (
+        W.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    nw = W.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "v",
+        F.sum("c").over(cw).alias("cum"),
+        F.sum("c").over(nw).alias("n"),
+    )
+
+    def at(pct):
+        k = F.expr(f"(n * {pct} + 99) div 100")
+        return F.min(F.when(F.col("cum") >= k, F.col("v")))
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        at(50).alias("p50_cents"),
+        at(95).alias("p95_cents"),
+        at(99).alias("p99_cents"),
+    )

@@ -283,3 +283,35 @@ def foreach_batch_moment_partials(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_value_hist_partials(
+    stream_df: DataFrame, target: str, checkpoint: str
+):
+    """Incremental value-HISTOGRAM maintenance on the event stream: each
+    micro-batch reduces to (event_type, cents-value, count) cells and
+    APPENDS them to the stats store. Histogram cells are mergeable
+    partials — summing the store reproduces the batch histogram exactly
+    regardless of chunking — and the per-type histogram is bounded by
+    the value range, not the event count, so the store compacts to a
+    constant-size relation by re-aggregation. This is the exact-p99
+    maintenance loop: quantiles read off the merged histogram equal the
+    batch quantiles bit-for-bit (see events_exact_quantiles)."""
+
+    def _acc(batch: DataFrame, batch_id: int) -> None:
+        part = (
+            batch.select(
+                "event_type",
+                F.round(F.col("value") * 100).cast("bigint").alias("v"),
+            )
+            .groupBy("event_type", "v")
+            .agg(F.count("*").alias("c"))
+        )
+        part.write.mode("append").parquet(target)
+
+    return (
+        stream_df.writeStream.foreachBatch(_acc)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

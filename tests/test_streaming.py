@@ -344,3 +344,14 @@ def test_streaming_trending_equals_batch(spark, sf_small):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_streaming_quantiles_equals_batch(spark, sf_small):
+    """Replayed exact quantiles must equal the batch query bit-for-bit
+    — histogram cells are batch-boundary-independent partials."""
+    from chchfr_data_collection_spark.queries import catalog
+
+    cat = catalog()
+    got = sorted(map(tuple, cat["streaming_quantiles_replay"].fn(spark, sf_small).collect()))
+    want = sorted(map(tuple, cat["events_exact_quantiles"].fn(spark, sf_small).collect()))
+    assert got == want
