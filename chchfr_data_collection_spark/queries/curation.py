@@ -1026,3 +1026,115 @@ def text_blocklist_redaction(spark, sf_dir):
         (n_bad == 0).alias("keep"),
         F.md5(cleaned.cast("binary")).alias("clean_hash"),
     )
+
+
+# ------------------------------------------- quality-curriculum buckets
+
+def _curriculum_duck() -> str:
+    quality = """(0.3 * LEAST(d.n_chars / 200.0, 1.0) + 0.4 * wl.stop_ratio
+        + 0.3 * (CAST(length(regexp_replace(d.text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / length(d.text)))"""
+    return f"""
+    WITH wl AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN w IN {TX.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS stop_ratio
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      GROUP BY doc_id),
+    scores AS (
+      SELECT d.doc_id,
+        CAST(ROUND({quality} * 1000000.0) AS BIGINT) AS quality_ppm
+      FROM documents d JOIN wl ON d.doc_id = wl.doc_id),
+    k AS (SELECT COUNT(*) AS n FROM scores),
+    ranked AS (
+      SELECT quality_ppm, ROW_NUMBER() OVER (ORDER BY quality_ppm, 1) AS rn
+      FROM scores),
+    thr AS (
+      SELECT
+        MAX(CASE WHEN rn = (n * 25 + 99) // 100 THEN quality_ppm END) AS t25,
+        MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN quality_ppm END) AS t50,
+        MAX(CASE WHEN rn = (n * 75 + 99) // 100 THEN quality_ppm END) AS t75
+      FROM ranked, k)
+    SELECT s.doc_id, s.quality_ppm,
+      CAST(1 + CASE WHEN s.quality_ppm >= t.t25 THEN 1 ELSE 0 END
+             + CASE WHEN s.quality_ppm >= t.t50 THEN 1 ELSE 0 END
+             + CASE WHEN s.quality_ppm >= t.t75 THEN 1 ELSE 0 END AS BIGINT)
+        AS bucket
+    FROM scores s, thr t
+    """
+
+
+@register(
+    "curriculum_quality_buckets",
+    sql=_curriculum_duck(),
+    tags=("llm", "curation", "quality", "quantile", "curriculum"),
+)
+def curriculum_quality_buckets(spark, sf_dir):
+    """Quality-curriculum assignment: every document labeled with its
+    corpus-quality QUARTILE (1 = worst .. 4 = best) — the bucketing a
+    curriculum-ordered training run feeds its sampler (low-quality
+    early / high-quality late, or quality-mixture schedules).
+
+    Same exact-global-quantile machinery as quality_percentile_gate —
+    integer-ppm score histogram (bounded cells, no global sort), three
+    rank-k thresholds read off the running sum, 1-row broadcast back —
+    but emitting an ASSIGNMENT for every doc instead of a filter. Ties
+    bucket upward (>= threshold) identically in both engines."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    wl = (
+        d.select("doc_id", F.explode(TX.words("text")).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("w").isin(*TX.STOPWORDS), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("stop_ratio")
+        )
+    )
+    quality = (
+        F.lit(0.3) * F.least(F.col("n_chars") / 200.0, F.lit(1.0))
+        + F.lit(0.4) * F.col("stop_ratio")
+        + F.lit(0.3) * TX.alpha_ratio("text")
+    )
+    scores = d.join(wl, "doc_id").select(
+        "doc_id",
+        F.round(quality * F.lit(1000000.0)).cast("bigint").alias("quality_ppm"),
+    )
+    hist = scores.groupBy("quality_ppm").agg(F.count("*").alias("c"))
+    cw = W.orderBy("quality_ppm").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tw = W.orderBy("quality_ppm").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "quality_ppm",
+        F.sum("c").over(cw).alias("cum"),
+        F.sum("c").over(tw).alias("n"),
+    )
+
+    # threshold = value at rank k: smallest score whose running count
+    # reaches k (same argmin-readout as quality_percentile_gate)
+    thr = (
+        cum.agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n * 25 + 99) div 100"), F.col("quality_ppm"))
+            ).alias("t25"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n * 50 + 99) div 100"), F.col("quality_ppm"))
+            ).alias("t50"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n * 75 + 99) div 100"), F.col("quality_ppm"))
+            ).alias("t75"),
+        )
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("quality_ppm") >= F.col("t25")).cast("int")
+        + (F.col("quality_ppm") >= F.col("t50")).cast("int")
+        + (F.col("quality_ppm") >= F.col("t75")).cast("int")
+    )
+    return (
+        scores.crossJoin(F.broadcast(thr))
+        .select("doc_id", "quality_ppm", bucket.cast("bigint").alias("bucket"))
+    )

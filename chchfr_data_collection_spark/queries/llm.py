@@ -4105,3 +4105,44 @@ def similarity_ivf_trained(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(pw))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "langid_accuracy_audit",
+    sql=rf"""
+    WITH h AS (
+      SELECT doc_id, lang,
+      {_LANG_SQL_HITS}
+      FROM documents),
+    p AS (
+      SELECT lang,
+        CASE WHEN en >= fr AND en >= de AND en >= es AND en >= zh THEN 'en'
+             WHEN fr >= de AND fr >= es AND fr >= zh THEN 'fr'
+             WHEN de >= es AND de >= zh THEN 'de'
+             WHEN es >= zh THEN 'es'
+             ELSE 'zh' END AS pred_lang
+      FROM h)
+    SELECT lang, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct,
+      CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS accuracy
+    FROM p GROUP BY lang
+    """,
+    tags=("llm", "text", "langid", "audit"),
+)
+def langid_accuracy_audit(spark, sf_dir):
+    """Language-ID eval gate, the audit-row pattern (ann_recall_audit,
+    dedup_recall_audit, …) applied to the classifier: per true
+    language, document count, correct predictions, and accuracy against
+    the fixture's labels. The row a pipeline watches when it swaps the
+    langid model or the crawl mix shifts — per-class, because aggregate
+    accuracy hides a collapsed minority class. Same n-gram-marker
+    classifier as text_langid; pure aggregation on top, no new pass."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    hit = (TX.langid("text") == F.col("lang")).cast("int")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        (F.sum(hit).cast("double") / F.count("*")).alias("accuracy"),
+    )

@@ -446,3 +446,22 @@ def test_blocklist_redaction_is_map_only_and_bites(spark, sf_small, cat):
         r = rows[doc_id]
         assert r["n_bad"] == n_bad and r["keep"] == (n_bad == 0)
         assert r["clean_hash"] == hashlib.md5(cleaned.encode()).hexdigest()
+
+
+def test_curriculum_buckets_are_balanced_quartiles(spark, sf_small, cat):
+    """Bucket sizes are quartile-balanced up to threshold ties, bucket
+    ordering agrees with score ordering, and the worst decile that
+    quality_percentile_gate drops sits entirely in bucket 1."""
+    rows = cat["curriculum_quality_buckets"].fn(spark, sf_small).collect()
+    n = len(rows)
+    by_b: dict = {}
+    for r in rows:
+        by_b.setdefault(r["bucket"], []).append(r["quality_ppm"])
+    assert set(by_b) == {1, 2, 3, 4}
+    for b in (1, 2, 3):
+        assert max(by_b[b]) <= min(by_b[b + 1])
+    for b, vs in by_b.items():
+        assert len(vs) >= n // 8  # ties can skew, not collapse
+    kept = {r["doc_id"] for r in cat["quality_percentile_gate"].fn(spark, sf_small).collect()}
+    dropped_buckets = {r["bucket"] for r in rows if r["doc_id"] not in kept}
+    assert dropped_buckets <= {1}
