@@ -562,3 +562,88 @@ def events_outliers_mad(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "csv_ingest_permissive",
+    sql="""
+    WITH src AS (SELECT event_id, value FROM events WHERE event_id < 1000),
+    marked AS (
+      SELECT event_id, value, event_id % 97 = 0 AS corrupt FROM src)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+      CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      CAST(SUM(CASE WHEN corrupt THEN 0
+                    ELSE CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        AS sum_clean_cents
+    FROM marked
+    """,
+    tags=("sources", "csv", "quarantine", "ingest"),
+)
+def csv_ingest_permissive(spark, sf_dir):
+    """CSV landing-zone ingest through Spark's REAL csv reader with
+    PERMISSIVE malformed-row quarantine — the third-party-feed shape
+    (the reference ingests clean HTTP JSON; a production landing zone
+    also receives delimited drops with broken rows).
+
+    End-to-end through real I/O: a deterministic CSV extract of the
+    event feed is written with text rows — every event_id % 97 == 0 row
+    deliberately carries a non-numeric value field — then read back
+    with an explicit schema, mode=PERMISSIVE and
+    columnNameOfCorruptRecord, so broken rows land in the corrupt
+    column instead of killing the job (FAILFAST) or silently vanishing
+    (DROPMALFORMED). Returns the ingest receipt: total/clean/corrupt
+    counts and the cents-exact checksum of the clean payload, which the
+    oracle reproduces arithmetically from the same marking rule.
+
+    Scale: the write and read are both partition-parallel file I/O; the
+    receipt is one aggregation. The quarantine policy composes with
+    ingest_with_quarantine's three-way routing for rows that parse but
+    fail validation."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as ST
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    line = F.when(
+        F.col("event_id") % 97 == 0,
+        F.concat_ws(",", F.col("event_id").cast("string"), F.lit("notanumber")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            # %.2f, NOT format_number: the latter inserts thousands
+            # separators at >= 1000, which would split the CSV field
+            F.format_string("%.2f", F.col("value")),
+        )
+    )
+    base = tempfile.mkdtemp(prefix=f"csvland_{uuid.uuid4().hex[:8]}_")
+    ev.select(line.alias("value")).write.mode("overwrite").text(base)
+
+    schema = ST.StructType(
+        [
+            ST.StructField("event_id", ST.LongType()),
+            ST.StructField("value", ST.DoubleType()),
+            ST.StructField("_corrupt", ST.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(base)
+    )
+    clean = F.col("_corrupt").isNull()
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(clean.cast("int")).cast("bigint").alias("n_clean"),
+        F.sum((~clean).cast("int")).cast("bigint").alias("n_corrupt"),
+        F.sum(
+            F.when(clean, F.round(F.col("value") * 100).cast("bigint")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("sum_clean_cents"),
+    )

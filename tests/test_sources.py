@@ -224,3 +224,24 @@ def test_landing_datasource_empty_zone(spark, tmp_path):
     got = read_landing_conformed(spark, BP_SPEC, str(land))
     assert got.count() == 0
     assert "location_id" in got.columns
+
+
+def test_csv_permissive_quarantine_counts(spark, sf_small):
+    """The PERMISSIVE read must quarantine exactly the deliberately
+    broken rows (event_id % 97 == 0) and keep every other row clean."""
+    from chchfr_data_collection_spark.queries import catalog
+
+    import pyarrow.parquet as pq
+
+    r = catalog()["csv_ingest_permissive"].fn(spark, sf_small).collect()[0]
+    ids = [
+        i
+        for i in pq.read_table(f"{sf_small}/events.parquet", columns=["event_id"])
+        .column("event_id")
+        .to_pylist()
+        if i < 1000
+    ]
+    n_corrupt = sum(1 for i in ids if i % 97 == 0)
+    assert r["n_rows"] == len(ids)
+    assert r["n_corrupt"] == n_corrupt > 0
+    assert r["n_clean"] == len(ids) - n_corrupt
