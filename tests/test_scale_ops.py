@@ -277,3 +277,45 @@ def test_mixture_sampling_is_calibrated_per_lang(spark, sf_med, cat):
         b_g = _MPS_BUDGET * _MIX_TARGET_PPM[lang] // 1000000
         # hash-uniform draw: sampled mass within a loose 3x band of target
         assert b_g / 3 <= chars <= 3 * b_g, (lang, chars, b_g)
+
+
+def test_triangles_match_networkx_free_recompute(spark, sf_small, cat):
+    """Independent Python recompute: rebuild the strong-trade graph from
+    the fixture with duckdb, count triangles per node by set
+    intersection, compare exactly."""
+    import duckdb
+
+    rows = {
+        r["node"]: r["n_triangles"]
+        for r in cat["graph_triangles_trade"].fn(spark, sf_small).collect()
+    }
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'")
+    und = con.sql("""
+    WITH base AS (
+      SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name GROUP BY 1,2),
+    u AS (SELECT LEAST(src,dst) a, GREATEST(src,dst) b, SUM(w) sw FROM base GROUP BY 1,2)
+    SELECT a, b, sw FROM u
+    """).fetchall()
+    sws = sorted((sw, a, b) for a, b, sw in und)
+    t_val = sws[(len(sws) + 1) // 2 - 1][0]
+    adj: dict = {}
+    for a, b, sw in und:
+        if sw > t_val:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    nodes = [r[0] for r in con.sql("SELECT n_name FROM nation").fetchall()]
+    want = {}
+    for v in nodes:
+        nb = adj.get(v, set())
+        cnt = sum(len(nb & adj.get(u, set())) for u in nb) // 2
+        want[v] = cnt
+    assert rows == want
+    assert sum(want.values()) > 0
