@@ -11,11 +11,13 @@ Decode support is tiered by what the container offers:
 - `decode="real"`: pure-stdlib decoders for PNG (8-bit gray/RGB/RGBA,
   non-interlaced; zlib + all five scanline filters), uncompressed
   24/32-bit BMP, baseline sequential JPEG (Huffman + dequant + iDCT
-  + YCbCr->RGB; 4:4:4, restart markers supported), and AVI/MJPEG video
-  (RIFF container walk + per-frame JPEG decode), dispatched on magic
-  bytes. Formats that genuinely need external codecs (progressive /
-  subsampled JPEG, inter-frame video codecs) still raise
-  NotImplementedError at the exact point PIL/ffmpeg would be called.
+  + YCbCr->RGB; 4:4:4 AND 4:2:0 (general 1-2 sampling factors, MCU
+  interleave, nearest chroma upsampling), restart markers supported),
+  and AVI/MJPEG video (RIFF container walk + per-frame JPEG decode),
+  dispatched on magic bytes. Formats that genuinely need external
+  codecs (progressive JPEG, sampling factors >2, inter-frame video
+  codecs) still raise NotImplementedError at the exact point
+  PIL/ffmpeg would be called.
 """
 
 from __future__ import annotations
@@ -83,8 +85,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     (RGBA), non-interlaced, with full support for the five scanline
     filters (None/Sub/Up/Average/Paeth). BMP: uncompressed (BI_RGB)
     24/32-bit, bottom-up or top-down, returned as RGB/RGBA. JPEG:
-    baseline sequential DCT (SOF0), 8-bit, grayscale or 4:4:4 YCbCr,
-    restart markers handled; progressive and subsampled streams raise
+    baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr at
+    sampling factors 1-2 (4:4:4 and 4:2:0 included), restart markers
+    handled; progressive streams and factors >2 raise
     NotImplementedError.
     """
     if payload[:8] == _PNG_MAGIC:
@@ -617,16 +620,22 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def encode_jpeg(
-    width: int, height: int, channels: int, pix: bytes, quant=None
+    width: int, height: int, channels: int, pix: bytes, quant=None,
+    subsampling: str = "444",
 ) -> bytes:
-    """Baseline JFIF encoder: 8-bit grayscale (1 channel) or 4:4:4 color
-    (3 channels, RGB in -> YCbCr). `quant` optionally overrides the luma
-    quant table (64 ints, row-major) — `[1]*64` gives a near-lossless
-    stream for round-trip tests. Inverse of `_decode_jpeg`."""
+    """Baseline JFIF encoder: 8-bit grayscale (1 channel) or color
+    (3 channels, RGB in -> YCbCr), 4:4:4 or 4:2:0 (`subsampling="420"`:
+    2x2-averaged chroma, MCU-interleaved 4Y+Cb+Cr scan — what most
+    real-world JPEGs use). `quant` optionally overrides the luma quant
+    table (64 ints, row-major) — `[1]*64` gives a near-lossless stream
+    for round-trip tests. Inverse of `_decode_jpeg`."""
     import struct
 
     if channels not in (1, 3):
         raise NotImplementedError("JPEG encoder: 1 or 3 channels only")
+    if subsampling not in ("444", "420"):
+        raise NotImplementedError("JPEG encoder: 444 or 420 subsampling only")
+    sub420 = subsampling == "420" and channels == 3
     ql = list(quant) if quant is not None else _QUANT_LUMA
     qc = list(quant) if quant is not None else _QUANT_CHROMA
 
@@ -652,46 +661,82 @@ def encode_jpeg(
 
     bw = _BitWriter()
     pred = [0] * channels
-    bx_max = (width + 7) // 8
-    by_max = (height + 7) // 8
-    for by in range(by_max):
-        for bx in range(bx_max):
-            for comp in range(channels):
-                plane, q = planes[comp], quants[comp]
-                block = [0.0] * 64
-                for y in range(8):
-                    sy = min(by * 8 + y, height - 1)  # edge replication
-                    for x in range(8):
-                        sx = min(bx * 8 + x, width - 1)
-                        block[y * 8 + x] = plane[sy * width + sx]
-                coef = _fdct_block(block)
-                zz = [
-                    int(round(coef[_ZIGZAG[k]] / q[_ZIGZAG[k]])) for k in range(64)
-                ]
-                diff = zz[0] - pred[comp]
-                pred[comp] = zz[0]
-                size, bits = _magnitude(diff)
-                code, length = dc_codes[comp][size]
-                bw.put(code, length)
-                if size:
-                    bw.put(bits, size)
-                run = 0
-                for k in range(1, 64):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        zcode, zlen = ac_codes[comp][0xF0]  # ZRL
-                        bw.put(zcode, zlen)
-                        run -= 16
-                    size, bits = _magnitude(zz[k])
-                    acode, alen = ac_codes[comp][(run << 4) | size]
-                    bw.put(acode, alen)
-                    bw.put(bits, size)
-                    run = 0
-                if run:
-                    ecode, elen = ac_codes[comp][0x00]  # EOB
-                    bw.put(ecode, elen)
+
+    def emit_block(comp: int, block) -> None:
+        q = quants[comp]
+        coef = _fdct_block(block)
+        zz = [int(round(coef[_ZIGZAG[k]] / q[_ZIGZAG[k]])) for k in range(64)]
+        diff = zz[0] - pred[comp]
+        pred[comp] = zz[0]
+        size, bits = _magnitude(diff)
+        code, length = dc_codes[comp][size]
+        bw.put(code, length)
+        if size:
+            bw.put(bits, size)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                zcode, zlen = ac_codes[comp][0xF0]  # ZRL
+                bw.put(zcode, zlen)
+                run -= 16
+            size, bits = _magnitude(zz[k])
+            acode, alen = ac_codes[comp][(run << 4) | size]
+            bw.put(acode, alen)
+            bw.put(bits, size)
+            run = 0
+        if run:
+            ecode, elen = ac_codes[comp][0x00]  # EOB
+            bw.put(ecode, elen)
+
+    def sample_block(plane, pw: int, ph: int, bx: int, by: int):
+        block = [0.0] * 64
+        for y in range(8):
+            sy = min(by * 8 + y, ph - 1)  # edge replication
+            for x in range(8):
+                sx = min(bx * 8 + x, pw - 1)
+                block[y * 8 + x] = plane[sy * pw + sx]
+        return block
+
+    if not sub420:
+        bx_max = (width + 7) // 8
+        by_max = (height + 7) // 8
+        for by in range(by_max):
+            for bx in range(bx_max):
+                for comp in range(channels):
+                    emit_block(
+                        comp, sample_block(planes[comp], width, height, bx, by)
+                    )
+    else:
+        # 2x2-average chroma (edge-replicated), 16x16 MCUs: 4Y + Cb + Cr
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        sub = [[0.0] * (cw * ch) for _ in range(2)]
+        for ci, src in ((0, planes[1]), (1, planes[2])):
+            dst = sub[ci]
+            for cy in range(ch):
+                y0, y1 = 2 * cy, min(2 * cy + 1, height - 1)
+                for cx in range(cw):
+                    x0, x1 = 2 * cx, min(2 * cx + 1, width - 1)
+                    dst[cy * cw + cx] = (
+                        src[y0 * width + x0]
+                        + src[y0 * width + x1]
+                        + src[y1 * width + x0]
+                        + src[y1 * width + x1]
+                    ) / 4.0
+        for my in range((height + 15) // 16):
+            for mx in range((width + 15) // 16):
+                for vy in range(2):
+                    for vx in range(2):
+                        emit_block(
+                            0,
+                            sample_block(
+                                planes[0], width, height, mx * 2 + vx, my * 2 + vy
+                            ),
+                        )
+                emit_block(1, sample_block(sub[0], cw, ch, mx, my))
+                emit_block(2, sample_block(sub[1], cw, ch, mx, my))
     data = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -704,7 +749,8 @@ def encode_jpeg(
         out += seg(0xFFDB, b"\x01" + bytes(qc[_ZIGZAG[k]] for k in range(64)))
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for comp in range(channels):
-        sof += bytes((comp + 1, 0x11, 0 if comp == 0 else 1))  # h=v=1
+        hv = 0x22 if (sub420 and comp == 0) else 0x11
+        sof += bytes((comp + 1, hv, 0 if comp == 0 else 1))
     out += seg(0xFFC0, sof)
     for cls, tid, spec in (
         (0, 0, _DC_LUMA_SPEC),
@@ -855,11 +901,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             _prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                h, v = hv >> 4, hv & 0xF
+                if h not in (1, 2) or v not in (1, 2):
                     raise NotImplementedError(
-                        "JPEG: chroma subsampling unsupported (4:4:4 only)"
+                        f"JPEG: sampling factors {h}x{v} unsupported (1-2 only)"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "tq": tq, "h": h, "v": v})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG: only baseline sequential (SOF0) supported, got SOF{marker - 0xC0}"
@@ -877,67 +924,87 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 scan_sel.append(comp)
             br = _BitReader(payload, pos)
             ncomp = len(scan_sel)
-            bx_max = (width + 7) // 8
-            by_max = (height + 7) // 8
+            hmax = max(c["h"] for c in scan_sel)
+            vmax = max(c["v"] for c in scan_sel)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            strides = [mcux * 8 * c["h"] for c in scan_sel]
             planes = [
-                [0] * (bx_max * 8 * by_max * 8) for _ in range(ncomp)
+                [0] * (strides[ci] * mcuy * 8 * c["v"])
+                for ci, c in enumerate(scan_sel)
             ]
             pred = [0] * ncomp
             mcu = 0
-            for by in range(by_max):
-                for bx in range(bx_max):
+            for my in range(mcuy):
+                for mx in range(mcux):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         m = br.align_to_marker()
                         if not (0xFFD0 <= m <= 0xFFD7):
                             raise ValueError(f"JPEG: expected RSTn, got {m:#x}")
                         pred = [0] * ncomp
                     for ci, comp in enumerate(scan_sel):
-                        size = _read_symbol(br, comp["dc"])
-                        diff = _extend(br.bits(size), size) if size else 0
-                        pred[ci] += diff
-                        zz = [0] * 64
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(br, comp["ac"])
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            size = rs & 0xF
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            zz[k] = _extend(br.bits(size), size)
-                            k += 1
-                        q = quants[comp["tq"]]
-                        coef = [0] * 64
-                        for k in range(64):
-                            coef[_ZIGZAG[k]] = zz[k] * q[_ZIGZAG[k]]
-                        blk = _idct_block(coef)
-                        plane = planes[ci]
-                        stride = bx_max * 8
-                        for y in range(8):
-                            base = (by * 8 + y) * stride + bx * 8
-                            for x in range(8):
-                                v = int(round(blk[y * 8 + x] + 128.0))
-                                plane[base + x] = 0 if v < 0 else (255 if v > 255 else v)
+                        for vy in range(comp["v"]):
+                            for vx in range(comp["h"]):
+                                size = _read_symbol(br, comp["dc"])
+                                diff = (
+                                    _extend(br.bits(size), size) if size else 0
+                                )
+                                pred[ci] += diff
+                                zz = [0] * 64
+                                zz[0] = pred[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _read_symbol(br, comp["ac"])
+                                    if rs == 0x00:  # EOB
+                                        break
+                                    if rs == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    k += rs >> 4
+                                    size = rs & 0xF
+                                    if k > 63:
+                                        raise ValueError("JPEG: AC index overflow")
+                                    zz[k] = _extend(br.bits(size), size)
+                                    k += 1
+                                q = quants[comp["tq"]]
+                                coef = [0] * 64
+                                for k in range(64):
+                                    coef[_ZIGZAG[k]] = zz[k] * q[_ZIGZAG[k]]
+                                blk = _idct_block(coef)
+                                plane = planes[ci]
+                                stride = strides[ci]
+                                bx = mx * comp["h"] + vx
+                                by = my * comp["v"] + vy
+                                for y in range(8):
+                                    base = (by * 8 + y) * stride + bx * 8
+                                    for x in range(8):
+                                        v = int(round(blk[y * 8 + x] + 128.0))
+                                        plane[base + x] = (
+                                            0 if v < 0 else (255 if v > 255 else v)
+                                        )
                     mcu += 1
-            # crop padding, interleave, color-convert
-            stride = bx_max * 8
+            # crop padding, upsample subsampled planes, interleave,
+            # color-convert (nearest-neighbor chroma upsampling)
             if ncomp == 1:
+                stride = strides[0]
                 out = bytearray(width * height)
                 for y in range(height):
                     row = planes[0][y * stride : y * stride + width]
                     out[y * width : (y + 1) * width] = bytes(row)
                 return width, height, 1, bytes(out)
             out = bytearray(width * height * 3)
-            yp, cbp, crp = planes
+            hs = [c["h"] for c in scan_sel]
+            vs = [c["v"] for c in scan_sel]
             for y in range(height):
                 for x in range(width):
-                    i = y * stride + x
-                    Y, cb, cr = yp[i], cbp[i] - 128, crp[i] - 128
+                    sv = [
+                        planes[ci][
+                            (y * vs[ci] // vmax) * strides[ci]
+                            + (x * hs[ci] // hmax)
+                        ]
+                        for ci in range(3)
+                    ]
+                    Y, cb, cr = sv[0], sv[1] - 128, sv[2] - 128
                     r = int(round(Y + 1.402 * cr))
                     g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
                     b = int(round(Y + 1.772 * cb))

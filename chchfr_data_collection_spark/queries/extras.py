@@ -1209,3 +1209,72 @@ def multimodal_resize_real(spark, sf_dir):
             )
 
     return docs.mapInPandas(kernel, schema=out_schema)
+
+
+@register(
+    "multimodal_decode_jpeg420",
+    sql="""
+    WITH px AS (
+      SELECT doc_id, bi, ((doc_id * 31 + bi * 37) % 128) * 2 AS v
+      FROM documents CROSS JOIN LATERAL unnest(range(0, 4)) AS t(bi)
+    )
+    SELECT doc_id,
+           CAST(MIN(v) AS DOUBLE) / 255.0 AS px_min,
+           CAST(MAX(v) AS DOUBLE) / 255.0 AS px_max,
+           CAST(SUM(v) * 64 AS DOUBLE) / 65280.0 AS mean_gray
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "jpeg", "subsampled"),
+)
+def multimodal_decode_jpeg420(spark, sf_dir):
+    """REAL 4:2:0-subsampled JPEG decode — the MCU-interleaved
+    (4Y+Cb+Cr) scan most real-world JPEGs use, end-to-end through the
+    pure-stdlib codec: per document the same four-constant-block image
+    as multimodal_decode_jpeg, but CARRIED AS COLOR (r=g=b) and encoded
+    with 2x2-averaged chroma at sampling factors 2x2/1x1, then decoded
+    back (general sampling-factor MCU walk + nearest chroma
+    upsampling) inside the Arrow mapInPandas kernel.
+
+    Bit-exactness argument: luma blocks are constant with EVEN values
+    (DC quantizes exactly, as in the 4:4:4 row) and the chroma planes
+    of an r=g=b image are identically zero — so 2x2 averaging,
+    quantization, and upsampling are all exact, and the decoded RGB
+    equals the source. The per-channel stats therefore collapse to the
+    same arithmetic the oracle computes with no codec. Round-trips of
+    images with real chroma are bounded by test_jpeg_420_roundtrip.
+    Same 100 TB shape as every codec row: payloads never leave Arrow
+    batches; swap nvJPEG into the same kernel slot."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..multimodal import _real_features, encode_jpeg
+
+    docs = T(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    out_schema = "doc_id bigint, px_min double, px_max double, mean_gray double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "px_min", "px_max", "mean_gray"]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = bytearray(256 * 3)
+                for bi in range(4):
+                    v = ((d * 31 + bi * 37) % 128) * 2
+                    by, bx = divmod(bi, 2)
+                    for y in range(8):
+                        base = ((by * 8 + y) * 16 + bx * 8) * 3
+                        for x in range(8):
+                            img[base + 3 * x] = v
+                            img[base + 3 * x + 1] = v
+                            img[base + 3 * x + 2] = v
+                f = _real_features(
+                    encode_jpeg(16, 16, 3, bytes(img), subsampling="420")
+                )
+                rows.append((d, f[3], f[4], f[5]))
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"doc_id": "int64", **{c: "float64" for c in cols[1:]}}
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)

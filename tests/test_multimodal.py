@@ -120,8 +120,9 @@ def test_real_decode_unsupported_format_raises():
 
 def test_jpeg_decode_roundtrip_and_boundaries():
     """Baseline JPEG: gray and color round-trips through the real
-    Huffman/DCT path; progressive (SOF2) and subsampled streams raise
-    NotImplementedError at the codec boundary."""
+    Huffman/DCT path; progressive (SOF2) and sampling factors beyond 2
+    raise NotImplementedError at the codec boundary (4:2:0 is REAL as
+    of round 5 — see test_jpeg_420_roundtrip)."""
     import struct
 
     from chchfr_data_collection_spark.multimodal import decode_image, encode_jpeg
@@ -144,11 +145,35 @@ def test_jpeg_decode_roundtrip_and_boundaries():
     with pytest.raises(NotImplementedError):
         decode_image(progressive)
 
-    subsampled = b"\xff\xd8" + seg(
-        0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x22, 0))
+    oversampled = b"\xff\xd8" + seg(
+        0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x33, 0))
     ) + b"\xff\xd9"
     with pytest.raises(NotImplementedError):
-        decode_image(subsampled)
+        decode_image(oversampled)
+
+
+def test_jpeg_420_roundtrip():
+    """4:2:0 chroma subsampling through the real MCU-interleaved path:
+    2x2-constant-color images survive q=1 subsampled round-trips within
+    rounding; gray-through-color images are chroma-exact; odd sizes
+    exercise the MCU edge padding."""
+    from chchfr_data_collection_spark.multimodal import decode_image, encode_jpeg
+
+    for W0, H0 in ((16, 16), (18, 10), (8, 8)):
+        rgb = bytearray(W0 * H0 * 3)
+        for y in range(H0):
+            for x in range(W0):
+                # constant over each 2x2 so the chroma average is exact
+                r = ((x // 2) * 34 + (y // 2) * 8) % 256
+                g = ((x // 2) * 12 + (y // 2) * 40) % 256
+                b = ((x // 2) * 54 + (y // 2) * 2) % 256
+                o = (y * W0 + x) * 3
+                rgb[o], rgb[o + 1], rgb[o + 2] = r, g, b
+        w, h, c, out = decode_image(
+            encode_jpeg(W0, H0, 3, bytes(rgb), quant=[1] * 64, subsampling="420")
+        )
+        assert (w, h, c) == (W0, H0, 3)
+        assert max(abs(a - b) for a, b in zip(out, bytes(rgb))) <= 4
 
 
 def test_avi_mjpeg_decode_roundtrip_and_boundaries():
