@@ -14,8 +14,10 @@ Decode support is tiered by what the container offers:
   + YCbCr->RGB; 4:4:4 AND 4:2:0 (general 1-2 sampling factors, MCU
   interleave, nearest chroma upsampling), restart markers supported),
   and AVI/MJPEG video (RIFF container walk + per-frame JPEG decode),
-  dispatched on magic bytes. Formats that genuinely need external
-  codecs (progressive JPEG, sampling factors >2, inter-frame video
+  dispatched on magic bytes. Progressive JPEG (SOF2, spectral
+  selection) decodes through a dedicated multi-scan path. Formats that
+  genuinely need external codecs (successive-approximation refinement
+  scans, sampling factors >2, arithmetic coding, inter-frame video
   codecs) still raise NotImplementedError at the exact point
   PIL/ffmpeg would be called.
 """
@@ -87,7 +89,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
     24/32-bit, bottom-up or top-down, returned as RGB/RGBA. JPEG:
     baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr at
     sampling factors 1-2 (4:4:4 and 4:2:0 included), restart markers
-    handled; progressive streams and factors >2 raise
+    handled; progressive (SOF2 spectral selection) via the multi-scan
+    path; successive approximation and factors >2 raise
     NotImplementedError.
     """
     if payload[:8] == _PNG_MAGIC:
@@ -907,9 +910,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                         f"JPEG: sampling factors {h}x{v} unsupported (1-2 only)"
                     )
                 comps.append({"id": cid, "tq": tq, "h": h, "v": v})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:  # SOF2 progressive -> dedicated multi-scan path
+            return _decode_jpeg_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG: only baseline sequential (SOF0) supported, got SOF{marker - 0xC0}"
+                f"JPEG: only baseline (SOF0) / progressive (SOF2) supported,"
+                f" got SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -1016,6 +1022,302 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xD9:  # EOI before SOS: malformed
             break
     raise ValueError("JPEG: no SOS segment found")
+
+
+def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Progressive JPEG (SOF2), SPECTRAL-SELECTION form: coefficients
+    accumulate across multiple scans (an interleaved DC scan, then
+    per-component AC band scans with EOB-run coding), then one
+    dequantize + iDCT + color-convert at the end. Successive
+    approximation (Ah/Al != 0) and subsampled progressive streams raise
+    NotImplementedError — the boundary moves from 'progressive' to
+    'refinement passes'."""
+    import struct
+
+    pos = 2
+    quants: dict = {}
+    dc_tables: dict = {}
+    ac_tables: dict = {}
+    comps: list = []
+    width = height = None
+    restart_interval = 0
+    coefs: list = []  # per comp: list of 64-int blocks, natural order
+    bx_max = by_max = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("JPEG: 16-bit quant tables")
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_ZIGZAG[k]] = body[off + 1 + k]
+                quants[tq] = tbl
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nvals])
+                (dc_tables if cls == 0 else ac_tables)[tid] = _huff_decode_table(
+                    bits, vals
+                )
+                off += 17 + nvals
+        elif marker == 0xC2:
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "JPEG: subsampled progressive unsupported (4:4:4 only)"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            bx_max = (width + 7) // 8
+            by_max = (height + 7) // 8
+            coefs = [
+                [[0] * 64 for _ in range(bx_max * by_max)] for _ in range(ncomp)
+            ]
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            nscan = body[0]
+            scan = []
+            for c in range(nscan):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                ci = next(i for i, x in enumerate(comps) if x["id"] == cid)
+                scan.append((ci, tt >> 4, tt & 0xF))
+            ss, se, ahal = body[1 + 2 * nscan : 4 + 2 * nscan]
+            if ahal != 0:
+                raise NotImplementedError(
+                    "JPEG: progressive successive approximation unsupported"
+                )
+            br = _BitReader(payload, pos)
+            if ss == 0:  # DC scan (interleaved over the scan's components)
+                pred = [0] * len(scan)
+                mcu = 0
+                for bidx in range(bx_max * by_max):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        m = br.align_to_marker()
+                        if not (0xFFD0 <= m <= 0xFFD7):
+                            raise ValueError(f"JPEG: expected RSTn, got {m:#x}")
+                        pred = [0] * len(scan)
+                    for si, (ci, tdc, _tac) in enumerate(scan):
+                        size = _read_symbol(br, dc_tables[tdc])
+                        diff = _extend(br.bits(size), size) if size else 0
+                        pred[si] += diff
+                        coefs[ci][bidx][0] = pred[si]
+                    mcu += 1
+            else:  # AC band scan: exactly one component, EOB-run coded
+                if len(scan) != 1:
+                    raise ValueError("JPEG: progressive AC scan must be 1-component")
+                ci, _tdc, tac = scan[0]
+                table = ac_tables[tac]
+                eobrun = 0
+                for bidx in range(bx_max * by_max):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _read_symbol(br, table)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG: AC index past band end")
+                        coefs[ci][bidx][_ZIGZAG[k]] = _extend(br.bits(s), s)
+                        k += 1
+            # resync to the next marker after this scan's entropy data
+            p = br.pos
+            while p + 1 < len(payload) and not (
+                payload[p] == 0xFF and payload[p + 1] != 0x00
+            ):
+                p += 1
+            pos = p
+    if width is None:
+        raise ValueError("JPEG: no SOF2 segment found")
+    ncomp = len(comps)
+    stride = bx_max * 8
+    planes = [[0] * (stride * by_max * 8) for _ in range(ncomp)]
+    for ci, comp in enumerate(comps):
+        q = quants[comp["tq"]]
+        for bidx in range(bx_max * by_max):
+            by, bx = divmod(bidx, bx_max)
+            coef = [coefs[ci][bidx][i] * q[i] for i in range(64)]
+            blk = _idct_block(coef)
+            plane = planes[ci]
+            for y in range(8):
+                base = (by * 8 + y) * stride + bx * 8
+                for x in range(8):
+                    v = int(round(blk[y * 8 + x] + 128.0))
+                    plane[base + x] = 0 if v < 0 else (255 if v > 255 else v)
+    if ncomp == 1:
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width : (y + 1) * width] = bytes(
+                planes[0][y * stride : y * stride + width]
+            )
+        return width, height, 1, bytes(out)
+    out = bytearray(width * height * 3)
+    yp, cbp, crp = planes
+    for y in range(height):
+        for x in range(width):
+            i = y * stride + x
+            Y, cb, cr = yp[i], cbp[i] - 128, crp[i] - 128
+            r = int(round(Y + 1.402 * cr))
+            g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
+            b = int(round(Y + 1.772 * cb))
+            o = (y * width + x) * 3
+            out[o] = 0 if r < 0 else (255 if r > 255 else r)
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return width, height, 3, bytes(out)
+
+
+def encode_jpeg_progressive(
+    width: int, height: int, channels: int, pix: bytes, quant=None
+) -> bytes:
+    """Progressive JFIF encoder, spectral-selection form: one
+    interleaved DC scan, then one full-band (1..63) AC scan per
+    component with per-block EOBs — the minimal legal SOF2 layout, and
+    the scan structure `_decode_jpeg_progressive` accepts. 4:4:4 /
+    grayscale only; shares the quantizers, Huffman specs, DCT, and bit
+    writer with `encode_jpeg`."""
+    import struct
+
+    if channels not in (1, 3):
+        raise NotImplementedError("JPEG encoder: 1 or 3 channels only")
+    ql = list(quant) if quant is not None else _QUANT_LUMA
+    qc = list(quant) if quant is not None else _QUANT_CHROMA
+    quants = [ql] + [qc] * (channels - 1)
+
+    n = width * height
+    if channels == 1:
+        planes = [[pix[i] - 128 for i in range(n)]]
+    else:
+        ys, cbs, crs = [0.0] * n, [0.0] * n, [0.0] * n
+        for i in range(n):
+            r, g, b = pix[3 * i], pix[3 * i + 1], pix[3 * i + 2]
+            ys[i] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            cbs[i] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            crs[i] = 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [ys, cbs, crs]
+
+    bx_max = (width + 7) // 8
+    by_max = (height + 7) // 8
+    zz_blocks = []  # per comp: per block: zigzag-ordered quantized coefs
+    for comp in range(channels):
+        plane, q = planes[comp], quants[comp]
+        blocks = []
+        for by in range(by_max):
+            for bx in range(bx_max):
+                block = [0.0] * 64
+                for y in range(8):
+                    sy = min(by * 8 + y, height - 1)
+                    for x in range(8):
+                        sx = min(bx * 8 + x, width - 1)
+                        block[y * 8 + x] = plane[sy * width + sx]
+                coef = _fdct_block(block)
+                blocks.append(
+                    [
+                        int(round(coef[_ZIGZAG[k]] / q[_ZIGZAG[k]]))
+                        for k in range(64)
+                    ]
+                )
+        zz_blocks.append(blocks)
+
+    dc_specs = [_DC_LUMA_SPEC] + [_DC_CHROMA_SPEC] * (channels - 1)
+    ac_specs = [_AC_LUMA_SPEC] + [_AC_CHROMA_SPEC] * (channels - 1)
+    dc_codes = [_huff_codes(s) for s in dc_specs]
+    ac_codes = [_huff_codes(s) for s in ac_specs]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql[_ZIGZAG[k]] for k in range(64)))
+    if channels == 3:
+        out += seg(0xFFDB, b"\x01" + bytes(qc[_ZIGZAG[k]] for k in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for comp in range(channels):
+        sof += bytes((comp + 1, 0x11, 0 if comp == 0 else 1))
+    out += seg(0xFFC2, sof)  # SOF2: progressive
+    for cls, tid, spec in (
+        (0, 0, _DC_LUMA_SPEC),
+        (1, 0, _AC_LUMA_SPEC),
+    ) + (((0, 1, _DC_CHROMA_SPEC), (1, 1, _AC_CHROMA_SPEC)) if channels == 3 else ()):
+        bits, vals = spec
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    # scan 1: interleaved DC, Ss=Se=0
+    bw = _BitWriter()
+    pred = [0] * channels
+    for bidx in range(bx_max * by_max):
+        for comp in range(channels):
+            dc = zz_blocks[comp][bidx][0]
+            diff = dc - pred[comp]
+            pred[comp] = dc
+            size, bits = _magnitude(diff)
+            code, length = dc_codes[comp][size]
+            bw.put(code, length)
+            if size:
+                bw.put(bits, size)
+    sos = bytes([channels])
+    for comp in range(channels):
+        t = 0 if comp == 0 else 1
+        sos += bytes((comp + 1, t << 4))
+    sos += bytes((0, 0, 0))  # Ss=0 Se=0 AhAl=0
+    out += seg(0xFFDA, sos)
+    out += bw.flush()
+
+    # per-component AC scans: Ss=1 Se=63, per-block EOB (eobrun of 1)
+    for comp in range(channels):
+        bw = _BitWriter()
+        for bidx in range(bx_max * by_max):
+            zz = zz_blocks[comp][bidx]
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zcode, zlen = ac_codes[comp][0xF0]
+                    bw.put(zcode, zlen)
+                    run -= 16
+                size, bits = _magnitude(zz[k])
+                acode, alen = ac_codes[comp][(run << 4) | size]
+                bw.put(acode, alen)
+                bw.put(bits, size)
+                run = 0
+            if run:
+                ecode, elen = ac_codes[comp][0x00]  # EOB (eobrun = 1)
+                bw.put(ecode, elen)
+        t = 0 if comp == 0 else 1
+        out += seg(0xFFDA, bytes([1, comp + 1, t]) + bytes((1, 63, 0)))
+        out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -1278,3 +1278,62 @@ def multimodal_decode_jpeg420(spark, sf_dir):
             )
 
     return docs.mapInPandas(kernel, schema=out_schema)
+
+
+@register(
+    "multimodal_decode_jpeg_progressive",
+    sql="""
+    WITH px AS (
+      SELECT doc_id, bi, ((doc_id * 31 + bi * 37) % 128) * 2 AS v
+      FROM documents CROSS JOIN LATERAL unnest(range(0, 4)) AS t(bi)
+    )
+    SELECT doc_id,
+           CAST(MIN(v) AS DOUBLE) / 255.0 AS px_min,
+           CAST(MAX(v) AS DOUBLE) / 255.0 AS px_max,
+           CAST(SUM(v) * 64 AS DOUBLE) / 65280.0 AS mean_gray
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "pandas-udf", "decode", "jpeg", "progressive"),
+)
+def multimodal_decode_jpeg_progressive(spark, sf_dir):
+    """REAL progressive-JPEG decode (SOF2, spectral selection): the same
+    four-constant-block image as multimodal_decode_jpeg, Huffman-encoded
+    as a MULTI-SCAN progressive stream (interleaved DC scan, then
+    per-component AC band scans with EOB-run coding) and decoded by the
+    pure-stdlib multi-scan path — coefficients accumulate across scans,
+    one iDCT at the end. Constant even-valued blocks quantize exactly,
+    so the stats the oracle computes arithmetically match bit-for-bit;
+    the progressive decode of any source equals its baseline decode by
+    test (same coefficients, different scan order). Successive
+    approximation remains the documented boundary. Same Arrow
+    mapInPandas shape as every codec row."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..multimodal import _real_features, encode_jpeg_progressive
+
+    docs = T(spark, sf_dir, "documents", parallel=True).select("doc_id")
+    out_schema = "doc_id bigint, px_min double, px_max double, mean_gray double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "px_min", "px_max", "mean_gray"]
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = bytearray(256)
+                for bi in range(4):
+                    v = ((d * 31 + bi * 37) % 128) * 2
+                    by, bx = divmod(bi, 2)
+                    for y in range(8):
+                        base = (by * 8 + y) * 16 + bx * 8
+                        for x in range(8):
+                            img[base + x] = v
+                f = _real_features(encode_jpeg_progressive(16, 16, 1, bytes(img)))
+                rows.append((d, f[3], f[4], f[5]))
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {"doc_id": "int64", **{c: "float64" for c in cols[1:]}}
+            )
+
+    return docs.mapInPandas(kernel, schema=out_schema)

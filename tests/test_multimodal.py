@@ -120,9 +120,10 @@ def test_real_decode_unsupported_format_raises():
 
 def test_jpeg_decode_roundtrip_and_boundaries():
     """Baseline JPEG: gray and color round-trips through the real
-    Huffman/DCT path; progressive (SOF2) and sampling factors beyond 2
-    raise NotImplementedError at the codec boundary (4:2:0 is REAL as
-    of round 5 — see test_jpeg_420_roundtrip)."""
+    Huffman/DCT path; sampling factors beyond 2 and arithmetic-coded
+    frames raise NotImplementedError at the codec boundary (4:2:0 and
+    progressive spectral selection are REAL as of round 5 — see
+    test_jpeg_420_roundtrip / test_jpeg_progressive_*)."""
     import struct
 
     from chchfr_data_collection_spark.multimodal import decode_image, encode_jpeg
@@ -141,9 +142,9 @@ def test_jpeg_decode_roundtrip_and_boundaries():
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     sof_body = struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0))
-    progressive = b"\xff\xd8" + seg(0xFFC2, sof_body) + b"\xff\xd9"
+    arith = b"\xff\xd8" + seg(0xFFC9, sof_body) + b"\xff\xd9"  # SOF9
     with pytest.raises(NotImplementedError):
-        decode_image(progressive)
+        decode_image(arith)
 
     oversampled = b"\xff\xd8" + seg(
         0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x33, 0))
@@ -393,3 +394,59 @@ def test_resize_nn_invariants():
             si = ((y // 2) * 4 + x // 2) * 3
             di = (y * 8 + x) * 3
             assert up[di : di + 3] == small[si : si + 3]
+
+
+def test_jpeg_progressive_roundtrip_and_equivalence():
+    """Progressive (SOF2, spectral selection): gray/color/odd-size
+    round-trips through the multi-scan decoder, and the decoded output
+    equals the BASELINE decode of the same source bit-for-bit (same
+    quantized coefficients, different scan order)."""
+    from chchfr_data_collection_spark.multimodal import (
+        decode_image,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    for W0, H0, ch in ((16, 8, 1), (8, 8, 3), (13, 9, 1), (10, 18, 3)):
+        src = bytes((7 * i + 3) % 256 for i in range(W0 * H0 * ch))
+        p = decode_image(encode_jpeg_progressive(W0, H0, ch, src, quant=[1] * 64))
+        b = decode_image(encode_jpeg(W0, H0, ch, src, quant=[1] * 64))
+        assert p[:3] == (W0, H0, ch)
+        assert p[3] == b[3]
+        assert max(abs(a - c) for a, c in zip(p[3], src)) <= 4
+
+
+def test_jpeg_progressive_eobrun_and_boundaries():
+    """Hand-assembled SOF2 stream with a custom AC table whose only
+    symbol is EOB2 — the decoder's eob-run block skipping must fill
+    both blocks from one symbol. Successive-approximation scans raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from chchfr_data_collection_spark.multimodal import decode_image
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # quant table 0: all ones (natural order irrelevant for zeros)
+    dqt = seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    sof = seg(0xFFC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes((1, 0x11, 0)))
+    # standard-ish DC table: symbol 0 at code '00' (bits[2]=1 suffices)
+    dc_dht = seg(0xFFC4, bytes([0x00, 0, 1] + [0] * 14) + bytes([0]))
+    # custom AC table: single 1-bit code -> symbol 0x10 (EOB2)
+    ac_dht = seg(0xFFC4, bytes([0x10, 1] + [0] * 15) + bytes([0x10]))
+    # scan 1: DC, two blocks, diff 0 twice -> bits '00'+'00', pad 1s
+    sos_dc = seg(0xFFDA, bytes([1, 1, 0x00]) + bytes((0, 0, 0))) + bytes([0x0F])
+    # scan 2: AC band 1..63, EOB2 symbol ('0') + 1 extra bit ('0'), pad 1s
+    sos_ac = seg(0xFFDA, bytes([1, 1, 0x00]) + bytes((1, 63, 0))) + bytes([0x3F])
+    stream = b"\xff\xd8" + dqt + sof + dc_dht + ac_dht + sos_dc + sos_ac + b"\xff\xd9"
+    w, h, c, out = decode_image(stream)
+    assert (w, h, c) == (16, 8, 1)
+    assert set(out) == {128}  # DC 0 + all-zero AC -> level-shift mid-gray
+
+    # successive approximation (Al=1) must raise at the boundary
+    sos_sa = seg(0xFFDA, bytes([1, 1, 0x00]) + bytes((1, 63, 1)))
+    bad = b"\xff\xd8" + dqt + sof + dc_dht + ac_dht + sos_dc + sos_sa + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError):
+        decode_image(bad)
