@@ -655,3 +655,72 @@ def streaming_quantiles_replay(spark, sf_dir):
         at(95).alias("p95_cents"),
         at(99).alias("p99_cents"),
     )
+
+
+@register(
+    "events_gap_fill",
+    sql=f"""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS ht,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, MIN(ht) AS lo, MAX(ht) AS hi FROM h GROUP BY 1),
+    grid AS (
+      SELECT s.event_type, g.ht
+      FROM span s CROSS JOIN LATERAL
+        unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS g(ht)),
+    joined AS (
+      SELECT g.event_type, g.ht, h.n, h.sum_value
+      FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.ht = g.ht)
+    SELECT event_type, strftime(ht, '{_DFMT}') AS hour_ts,
+      COALESCE(n, 0) AS n,
+      COALESCE(sum_value, 0.0) AS sum_value,
+      last_value(sum_value IGNORE NULLS) OVER (
+        PARTITION BY event_type ORDER BY ht ROWS UNBOUNDED PRECEDING)
+        AS ffill_sum
+    FROM joined
+    """,
+    tags=("events", "timeseries", "gap-fill", "window"),
+)
+def events_gap_fill(spark, sf_dir):
+    """Time-series gap filling + forward fill: the dense hourly grid per
+    event type (min..max observed hour), empty hours emitted as
+    n=0/sum=0 with the LAST OBSERVED hourly sum carried forward — the
+    resample('1H').ffill() a metrics pipeline runs before rate math,
+    anomaly windows, or charting (a gap silently skewing a moving
+    average is the classic monitoring bug).
+
+    Distributed shape: the grid explodes from a 1-row-per-type span
+    relation (never from the events), the left join is hash on
+    (type, hour) at hourly grain — both sides tiny relative to the raw
+    feed — and the forward fill is last(ignorenulls) over the same
+    (type, hour) partitioning the join produced. Exact: hourly sums go
+    through DECIMAL, the grid arithmetic is timestamp sequence in both
+    engines."""
+    ev = T(spark, sf_dir, "events")
+    h = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("ht"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+    span = h.groupBy("event_type").agg(F.min("ht").alias("lo"), F.max("ht").alias("hi"))
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("ht"),
+    )
+    g = grid.join(h, ["event_type", "ht"], "left")
+    fw = (
+        W.partitionBy("event_type")
+        .orderBy("ht")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return g.select(
+        "event_type",
+        F.date_format("ht", _FMT).alias("hour_ts"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.last("sum_value", ignorenulls=True).over(fw).alias("ffill_sum"),
+    )

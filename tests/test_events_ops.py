@@ -113,3 +113,32 @@ def test_exact_quantiles_match_numpy(spark, sf_small, cat):
         for pct, col in ((50, "p50_cents"), (95, "p95_cents"), (99, "p99_cents")):
             k = (n * pct + 99) // 100
             assert r[col] == vs[k - 1], (et, pct)
+
+
+def test_gap_fill_grid_dense_and_ffill_correct(spark, sf_small, cat):
+    """The per-type hour grid is dense (no missing hours between min and
+    max), gap rows carry n=0 with the previous observed sum forward, and
+    observed rows ffill to themselves."""
+    from datetime import datetime, timedelta
+
+    rows = cat["events_gap_fill"].fn(spark, sf_small).collect()
+    by_t: dict = {}
+    for r in rows:
+        by_t.setdefault(r["event_type"], []).append(r)
+    assert len(by_t) == 5
+    total_gaps = 0
+    for et, rs in by_t.items():
+        rs.sort(key=lambda r: r["hour_ts"])
+        ts = [datetime.strptime(r["hour_ts"], "%Y-%m-%d %H:%M:%S") for r in rs]
+        for a, b in zip(ts, ts[1:]):
+            assert b - a == timedelta(hours=1), et
+        last = None
+        for r in rs:
+            if r["n"] == 0:
+                total_gaps += 1
+                assert r["sum_value"] == 0.0
+                assert r["ffill_sum"] == last
+            else:
+                assert r["ffill_sum"] == r["sum_value"]
+                last = r["sum_value"]
+    assert total_gaps > 0  # sf0.001 really has gaps
