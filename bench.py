@@ -88,6 +88,13 @@ HEADLINE = [
     "quality_percentile_gate",
     "bpe_train_merges",
     "text_blocklist_redaction",
+    "similarity_ivf_trained",
+    "events_exact_quantiles",
+    "events_gap_fill",
+    "graph_triangles_trade",
+    "customer_rfm_segmentation",
+    "multimodal_decode_jpeg_progressive",
+    "csv_ingest_permissive",
 ]
 
 
