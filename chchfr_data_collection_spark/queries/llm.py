@@ -4146,3 +4146,53 @@ def langid_accuracy_audit(spark, sf_dir):
         F.sum(hit).cast("bigint").alias("n_correct"),
         (F.sum(hit).cast("double") / F.count("*")).alias("accuracy"),
     )
+
+
+@register(
+    "ivf_trained_recall_audit",
+    sql=f"""
+    WITH exact AS (
+      SELECT qid, cid FROM ({_TOPK_DUCK}) WHERE rnk <= 3
+    ),
+    seed AS (SELECT qid, cid FROM ({_IVF_DUCK})),
+    trained AS (SELECT qid, cid FROM ({_ivf_trained_duck()})),
+    j AS (
+      SELECT e.qid, e.cid, s.qid AS hs, t.qid AS ht
+      FROM exact e
+      LEFT JOIN seed s ON s.qid = e.qid AND s.cid = e.cid
+      LEFT JOIN trained t ON t.qid = e.qid AND t.cid = e.cid)
+    SELECT COUNT(*) AS n_exact,
+           COUNT(hs) AS n_hit_seed,
+           COUNT(ht) AS n_hit_trained,
+           CAST(COUNT(hs) AS DOUBLE) / COUNT(*) AS recall_seed,
+           CAST(COUNT(ht) AS DOUBLE) / COUNT(*) AS recall_trained
+    FROM j
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "kmeans", "audit"),
+)
+def ivf_trained_recall_audit(spark, sf_dir):
+    """Does TRAINING the centroids pay for itself? One row comparing
+    recall@3 of the seed-centroid IVF (similarity_ivf_ann) and the
+    k-means-trained IVF (similarity_ivf_trained) against the exact
+    brute-force top-3 — the measured answer to 'train or not', riding
+    the shipped operators unchanged, in the house audit-row idiom
+    (ann/dedup/ivf/pq/semdedup audits). At 100 TB this is the row an
+    index-build pipeline watches across re-trains."""
+    exact = (
+        similarity_topk_cosine(spark, sf_dir)
+        .filter(F.col("rnk") <= 3)
+        .select("qid", "cid")
+    )
+    seed = similarity_ivf_ann(spark, sf_dir).select("qid", "cid")
+    trained = similarity_ivf_trained(spark, sf_dir).select("qid", "cid")
+    marked = (
+        exact.join(seed.withColumn("hs", F.lit(1)), ["qid", "cid"], "left")
+        .join(trained.withColumn("ht", F.lit(1)), ["qid", "cid"], "left")
+    )
+    return marked.agg(
+        F.count("*").alias("n_exact"),
+        F.count("hs").alias("n_hit_seed"),
+        F.count("ht").alias("n_hit_trained"),
+        (F.count("hs").cast("double") / F.count("*")).alias("recall_seed"),
+        (F.count("ht").cast("double") / F.count("*")).alias("recall_trained"),
+    )
