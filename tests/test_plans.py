@@ -206,3 +206,21 @@ def test_multimodal_real_kernels_scan_shape(spark, sf_small, cat):
         assert count_nodes(df, "BroadcastHashJoin") == 0
         # parallelize_scan's repartition is the only allowed exchange
         assert_max_shuffles(df, 1)
+
+
+def test_quality_gate_no_global_sort_no_smj(spark, sf_small, cat):
+    """The exact-quantile gate must not global-sort the corpus: the
+    threshold rides a tiny histogram and broadcasts back — no
+    sort-merge join, no cartesian (the 1-row threshold joins as a
+    broadcast nested loop)."""
+    df = cat["quality_percentile_gate"].fn(spark, sf_small)
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_rfm_thresholds_broadcast(spark, sf_small, cat):
+    """All three RFM threshold relations broadcast back onto the
+    customer aggregates — no sort-merge join, no cartesian."""
+    df = cat["customer_rfm_segmentation"].fn(spark, sf_small)
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
