@@ -1138,3 +1138,197 @@ def curriculum_quality_buckets(spark, sf_dir):
         scores.crossJoin(F.broadcast(thr))
         .select("doc_id", "quality_ppm", bucket.cast("bigint").alias("bucket"))
     )
+
+
+# ------------------------------------------- composed pipeline v2 (routing)
+
+def _pipeline_v2_duck() -> str:
+    quality = """(0.3 * LEAST(d.n_chars / 200.0, 1.0) + 0.4 * wl.stop_ratio
+        + 0.3 * (CAST(length(regexp_replace(d.text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / length(d.text)))"""
+    return f"""
+    WITH wl AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN w IN {TX.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE)
+          / COUNT(*) AS stop_ratio
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+      GROUP BY doc_id),
+    base AS (
+      SELECT d.doc_id, d.text,
+        len(list_filter(string_split(d.text, ' '), x -> x IN {_BL_DUCK}))
+          AS n_bad,
+        CAST(ROUND({quality} * 1000000.0) AS BIGINT) AS quality_ppm
+      FROM documents d JOIN wl ON d.doc_id = wl.doc_id),
+    -- stage 0: the held-out benchmark never trains
+    train AS (SELECT * FROM base WHERE doc_id >= 50),
+    -- stage 1: blocklist
+    s1 AS (SELECT * FROM train WHERE n_bad = 0),
+    -- stage 2: corpus-relative quality gate (P10 over stage-1 survivors)
+    k AS (SELECT CAST(CEIL(COUNT(*) / 10.0) AS BIGINT) AS k FROM s1),
+    ranked AS (
+      SELECT quality_ppm, ROW_NUMBER() OVER (ORDER BY quality_ppm, 1) AS rn
+      FROM s1),
+    thr AS (SELECT r.quality_ppm AS p10 FROM ranked r, k WHERE r.rn = k.k),
+    s2 AS (SELECT s1.* FROM s1, thr WHERE s1.quality_ppm >= thr.p10),
+    -- stage 3: exact dedup, keep smallest doc_id per content hash
+    s3 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rz
+        FROM s2) t WHERE rz = 1),
+    -- stage 4: decontamination vs the held-out docs (exact 3-shingle
+    -- Jaccard >= 0.8; eval side tiny at any scale)
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        [ws[i] || '_' || ws[i+1] || '_' || ws[i+2]
+         for i in range(1, len(ws)-1)])) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w
+      WHERE len(ws) >= 3),
+    n AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    contaminated AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < 50 AND a.doc_id >= 50
+      JOIN n na ON na.doc_id = a.doc_id JOIN n nb ON nb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, na.ns, nb.ns
+      HAVING CAST(COUNT(*) AS DOUBLE) / (na.ns + nb.ns - COUNT(*)) >= 0.8)
+    SELECT b.doc_id,
+      CASE WHEN b.doc_id < 50 THEN 'eval_heldout'
+           WHEN b.n_bad > 0 THEN 'blocklisted'
+           WHEN s2.doc_id IS NULL THEN 'low_quality'
+           WHEN s3.doc_id IS NULL THEN 'exact_dup'
+           WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+           ELSE 'kept' END AS disposition
+    FROM base b
+    LEFT JOIN s2 ON s2.doc_id = b.doc_id
+    LEFT JOIN s3 ON s3.doc_id = b.doc_id
+    LEFT JOIN contaminated c ON c.doc_id = b.doc_id
+    """
+
+
+@register(
+    "curation_pipeline_v2",
+    sql=_pipeline_v2_duck(),
+    tags=("llm", "curation", "pipeline", "routing"),
+)
+def curation_pipeline_v2(spark, sf_dir):
+    """The round-5 curation pass composed end-to-end, emitting the FULL
+    ROUTING TABLE — every document with the first stage that claimed
+    it: eval_heldout (benchmark split), blocklisted (C4 blocklist),
+    low_quality (below the corpus-relative P10, computed over
+    blocklist survivors — each stage's statistics see only what
+    reached it), exact_dup (content-hash, keep smallest id),
+    contaminated (3-shingle Jaccard >= 0.8 against the held-out set),
+    or kept. A routing table rather than a filtered corpus is what a
+    production pipeline actually lands: the drops are auditable and
+    every stage's yield is one GROUP BY away.
+
+    One declarative plan; the stage predicates compose as left joins
+    against progressively-filtered relations, so Catalyst pushes the
+    cheap gates (blocklist, split) below the shuffling stages and the
+    eval side of decontamination broadcasts. Stage semantics are
+    EXACTLY the standalone operators' (text_blocklist_redaction,
+    quality_percentile_gate, dedup_exact_keep_first,
+    decontaminate_overlap/minhash at the verified threshold), pinned
+    bit-exact by the oracle."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    wl = (
+        d.select("doc_id", F.explode(TX.words("text")).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("w").isin(*TX.STOPWORDS), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("stop_ratio")
+        )
+    )
+    quality = (
+        F.lit(0.3) * F.least(F.col("n_chars") / 200.0, F.lit(1.0))
+        + F.lit(0.4) * F.col("stop_ratio")
+        + F.lit(0.3) * TX.alpha_ratio("text")
+    )
+    ws = F.split("text", " ", -1)
+    base = d.join(wl, "doc_id").select(
+        "doc_id",
+        "text",
+        F.size(F.filter(ws, lambda w: w.isin(*_BLOCKLIST))).alias("n_bad"),
+        F.round(quality * F.lit(1000000.0)).cast("bigint").alias("quality_ppm"),
+    )
+    base = _swap_cached_cur(base)
+    train = base.filter(F.col("doc_id") >= 50)
+    s1 = train.filter(F.col("n_bad") == 0)
+    hist = s1.groupBy("quality_ppm").agg(F.count("*").alias("c"))
+    cw = W.orderBy("quality_ppm").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tw = W.orderBy("quality_ppm").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    thr = (
+        hist.withColumn("cum", F.sum("c").over(cw))
+        .withColumn("n", F.sum("c").over(tw))
+        .filter(F.col("cum") >= F.ceil(F.col("n") / F.lit(10.0)))
+        .agg(F.min("quality_ppm").alias("p10"))
+    )
+    s2 = (
+        s1.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_ppm") >= F.col("p10"))
+        .select("doc_id", "text")
+    )
+    rz = F.row_number().over(
+        W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    )
+    s3 = s2.withColumn("rz", rz).filter(F.col("rz") == 1).select("doc_id")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+                F.element_at(ws, i + 3),
+            ),
+        )
+    )
+    sh = (
+        d.filter(F.size(ws) >= 3)
+        .select("doc_id", F.explode(shingles).alias("s"))
+    )
+    ns = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    ev = sh.filter(F.col("doc_id") < 50).select(F.col("doc_id").alias("ed"), "s")
+    tr = sh.filter(F.col("doc_id") >= 50)
+    inter = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "ed")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    contaminated = (
+        inter.join(ns.select(F.col("doc_id"), F.col("ns").alias("na")), "doc_id")
+        .join(
+            F.broadcast(ns.select(F.col("doc_id").alias("ed"), F.col("ns").alias("nb"))),
+            "ed",
+        )
+        .filter(jac >= 0.8)
+        .select("doc_id")
+        .distinct()
+    )
+    disp = (
+        F.when(F.col("doc_id") < 50, F.lit("eval_heldout"))
+        .when(F.col("n_bad") > 0, F.lit("blocklisted"))
+        .when(F.col("m2").isNull(), F.lit("low_quality"))
+        .when(F.col("m3").isNull(), F.lit("exact_dup"))
+        .when(F.col("mc").isNotNull(), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        base.join(s2.select("doc_id").withColumn("m2", F.lit(1)), "doc_id", "left")
+        .join(s3.withColumn("m3", F.lit(1)), "doc_id", "left")
+        .join(contaminated.withColumn("mc", F.lit(1)), "doc_id", "left")
+        .select("doc_id", disp.alias("disposition"))
+    )
+
+
+def _swap_cached_cur(df):
+    from .llm import _swap_cached
+
+    return _swap_cached(_swap_cached_cur, "_cached_base", df)

@@ -465,3 +465,25 @@ def test_curriculum_buckets_are_balanced_quartiles(spark, sf_small, cat):
     kept = {r["doc_id"] for r in cat["quality_percentile_gate"].fn(spark, sf_small).collect()}
     dropped_buckets = {r["bucket"] for r in rows if r["doc_id"] not in kept}
     assert dropped_buckets <= {1}
+
+
+def test_pipeline_v2_routing_consistent_with_standalone_ops(spark, sf_small, cat):
+    """The routing table is a partition of the corpus and each stage
+    agrees with its standalone operator: blocklisted == the blocklist
+    pass's flagged train docs; eval_heldout == doc_id < 50; kept docs
+    pass every standalone gate."""
+    rows = {r["doc_id"]: r["disposition"] for r in cat["curation_pipeline_v2"].fn(spark, sf_small).collect()}
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_small}/documents.parquet").num_rows
+    assert len(rows) == n_docs
+    bl = {r["doc_id"]: r["n_bad"] for r in cat["text_blocklist_redaction"].fn(spark, sf_small).collect()}
+    for d, disp in rows.items():
+        if d < 50:
+            assert disp == "eval_heldout"
+        elif bl[d] > 0:
+            assert disp == "blocklisted"
+        else:
+            assert disp in ("low_quality", "exact_dup", "contaminated", "kept")
+    assert sum(1 for v in rows.values() if v == "kept") > 0
+    assert len(set(rows.values())) >= 4  # several stages actually bite
