@@ -95,6 +95,7 @@ HEADLINE = [
     "customer_rfm_segmentation",
     "multimodal_decode_jpeg_progressive",
     "csv_ingest_permissive",
+    "curation_pipeline_v2",
 ]
 
 
