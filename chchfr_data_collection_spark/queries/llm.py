@@ -4024,26 +4024,11 @@ def _ivf_trained_duck() -> str:
     """
 
 
-@register(
-    "similarity_ivf_trained",
-    sql=_ivf_trained_duck(),
-    tags=("llm", "similarity", "ann", "ivf", "kmeans"),
-)
-def similarity_ivf_trained(spark, sf_dir):
-    """The PRODUCTION IVF path end-to-end: train centroids with 2 real
-    Lloyd iterations (embedding_kmeans_iter's loop), assign the corpus
-    to the TRAINED centroids by exact squared-L2 (the k-means metric),
-    then probe top-3 by exact quantized cosine within each query's
-    cell — similarity_ivf_ann with the seed-vector stand-ins replaced
-    by the trained ones.
-
-    This is the composition a 100 TB index actually runs: training
-    (broadcast-centroid passes), bulk assignment (broadcast cross join
-    + window argmin — one shuffle), and a cent_id equi-join probe whose
-    candidate lists reflect the data's real density rather than 8
-    arbitrary seed cells. The whole loop stays integer-exact (quantized
-    distances, re-quantized means), so the DuckDB oracle replays
-    training AND serving bit-for-bit."""
+def _ivf_trained_assign(spark, sf_dir):
+    """Bulk nearest-TRAINED-centroid assignment (vec_id, qv, n2,
+    cent_id): 2 Lloyd iterations then broadcast argmin by exact
+    squared-L2 — shared by similarity_ivf_trained and the trained
+    audits; cached once per invocation."""
     cent_pos = _kmeans_centroids(spark, sf_dir, 2)
     cent_arr = cent_pos.groupBy("cent_id").agg(
         F.transform(
@@ -4069,7 +4054,30 @@ def similarity_ivf_trained(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", "qv", "n2", "cent_id")
     )
-    assign = _swap_cached(similarity_ivf_trained, "_cached_assign", assign)
+    return _swap_cached(_ivf_trained_assign, "_cached_assign", assign)
+
+
+@register(
+    "similarity_ivf_trained",
+    sql=_ivf_trained_duck(),
+    tags=("llm", "similarity", "ann", "ivf", "kmeans"),
+)
+def similarity_ivf_trained(spark, sf_dir):
+    """The PRODUCTION IVF path end-to-end: train centroids with 2 real
+    Lloyd iterations (embedding_kmeans_iter's loop), assign the corpus
+    to the TRAINED centroids by exact squared-L2 (the k-means metric),
+    then probe top-3 by exact quantized cosine within each query's
+    cell — similarity_ivf_ann with the seed-vector stand-ins replaced
+    by the trained ones.
+
+    This is the composition a 100 TB index actually runs: training
+    (broadcast-centroid passes), bulk assignment (broadcast cross join
+    + window argmin — one shuffle), and a cent_id equi-join probe whose
+    candidate lists reflect the data's real density rather than 8
+    arbitrary seed cells. The whole loop stays integer-exact (quantized
+    distances, re-quantized means), so the DuckDB oracle replays
+    training AND serving bit-for-bit."""
+    assign = _ivf_trained_assign(spark, sf_dir)
     probe = assign.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"),
         F.col("qv").alias("qq"),
@@ -4195,4 +4203,113 @@ def ivf_trained_recall_audit(spark, sf_dir):
         F.count("ht").alias("n_hit_trained"),
         (F.count("hs").cast("double") / F.count("*")).alias("recall_seed"),
         (F.count("ht").cast("double") / F.count("*")).alias("recall_trained"),
+    )
+
+
+def _trained_assign_duck() -> str:
+    km = _kmeans_iter_duck(2)
+    prefix = km[: km.rindex("\n    SELECT cent_id")]
+    return f"""{prefix},
+    dT AS (
+      SELECT qp.vec_id, c.cent_id,
+             SUM((qp.qval - c.c_val) * (qp.qval - c.c_val)) AS dist
+      FROM qpos qp JOIN cent2 c ON c.pos = qp.pos
+      GROUP BY qp.vec_id, c.cent_id)
+    SELECT vec_id, cent_id FROM (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS rn
+      FROM dT) t WHERE rn = 1
+    """
+
+
+@register(
+    "semdedup_trained_audit",
+    sql=f"""
+    WITH {_NORM2_DUCK},
+    {_SEMDEDUP_ASSIGN_DUCK},
+    xp AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {_DOT_QUANT} AS d
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      CROSS JOIN range(1, 65) t(i)
+      WHERE a.vec_id < {_TWIN_SAMPLE_N} AND b.vec_id < {_TWIN_SAMPLE_N}
+      GROUP BY a.vec_id, b.vec_id),
+    exact AS (
+      SELECT va, vb FROM xp
+      JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+      WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+            >= {_SEMDEDUP_THRESHOLD}),
+    trained AS (SELECT vec_id, cent_id FROM ({_trained_assign_duck()}) ta)
+    SELECT COUNT(*) AS n_exact_pairs,
+      CAST(SUM(CASE WHEN sa.cent_id = sb.cent_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_cocluster_seed,
+      CAST(SUM(CASE WHEN ta.cent_id = tb.cent_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_cocluster_trained,
+      CAST(SUM(CASE WHEN sa.cent_id = sb.cent_id THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS recall_seed,
+      CAST(SUM(CASE WHEN ta.cent_id = tb.cent_id THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS recall_trained
+    FROM exact
+    JOIN capped sa ON sa.vec_id = va JOIN capped sb ON sb.vec_id = vb
+    JOIN trained ta ON ta.vec_id = va JOIN trained tb ON tb.vec_id = vb
+    """,
+    tags=("llm", "dedup", "embedding", "semdedup", "kmeans", "audit"),
+)
+def semdedup_trained_audit(spark, sf_dir):
+    """Does TRAINING the clustering pay for SemDeDup? One row comparing
+    the co-cluster recall of the exact above-threshold near-dup pairs
+    under the seed-centroid partitioning (what dedup_semantic_clusters
+    ships) and under the 2-iteration k-means partitioning — the
+    companion row to ivf_trained_recall_audit on the dedup side.
+    SemDeDup's premise is that near-dups co-cluster; this measures how
+    much a better clustering buys on this corpus, with both
+    assignments replayed bit-exactly by the oracle."""
+    emb = _twin_sample(
+        T(spark, sf_dir, "embeddings", parallel=True), _TWIN_SAMPLE_N
+    )
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        V.quantize("embedding").alias("qa"),
+        V.dot_exact("embedding", "embedding").alias("na2"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        V.quantize("embedding").alias("qb"),
+        V.dot_exact("embedding", "embedding").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    exact = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
+        .select("va", "vb")
+    )
+    seed = _semdedup_members(spark, sf_dir).select("vec_id", "cent_id")
+    trained = _ivf_trained_assign(spark, sf_dir).select("vec_id", "cent_id")
+    sa = seed.select(F.col("vec_id").alias("va"), F.col("cent_id").alias("sa"))
+    sb = seed.select(F.col("vec_id").alias("vb"), F.col("cent_id").alias("sb"))
+    ta = trained.select(F.col("vec_id").alias("va"), F.col("cent_id").alias("ta"))
+    tb = trained.select(F.col("vec_id").alias("vb"), F.col("cent_id").alias("tb"))
+    hs = (F.col("sa") == F.col("sb")).cast("int")
+    ht = (F.col("ta") == F.col("tb")).cast("int")
+    return (
+        exact.join(sa, "va")
+        .join(sb, "vb")
+        .join(ta, "va")
+        .join(tb, "vb")
+        .agg(
+            F.count("*").alias("n_exact_pairs"),
+            F.sum(hs).cast("bigint").alias("n_cocluster_seed"),
+            F.sum(ht).cast("bigint").alias("n_cocluster_trained"),
+            (F.sum(hs).cast("double") / F.count("*")).alias("recall_seed"),
+            (F.sum(ht).cast("double") / F.count("*")).alias("recall_trained"),
+        )
     )
