@@ -1332,3 +1332,88 @@ def _swap_cached_cur(df):
     from .llm import _swap_cached
 
     return _swap_cached(_swap_cached_cur, "_cached_base", df)
+
+
+@register(
+    "pack_sequences_emit",
+    sql=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(text, '{TX.TOKEN_RE}')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+      FROM t WHERE n_tokens > 0),
+    spans AS (
+      SELECT doc_id, lang, n_tokens, tok_before,
+             CAST(tok_before // 2048 AS BIGINT) AS first_seq,
+             CAST((tok_before + n_tokens - 1) // 2048 AS BIGINT) AS last_seq
+      FROM c)
+    SELECT s.lang, CAST(g.seq_id AS BIGINT) AS seq_id, s.doc_id,
+      CAST(GREATEST(g.seq_id * 2048, s.tok_before) - s.tok_before AS BIGINT)
+        AS doc_start_tok,
+      CAST(LEAST((g.seq_id + 1) * 2048, s.tok_before + s.n_tokens)
+           - GREATEST(g.seq_id * 2048, s.tok_before) AS BIGINT) AS n_tok,
+      CAST(GREATEST(g.seq_id * 2048, s.tok_before) - g.seq_id * 2048 AS BIGINT)
+        AS seq_offset
+    FROM spans s CROSS JOIN LATERAL
+      unnest(generate_series(s.first_seq, s.last_seq)) AS g(seq_id)
+    """,
+    tags=("llm", "curation", "packing", "sequences"),
+)
+def pack_sequences_emit(spark, sf_dir):
+    """The packed-sequence SEGMENT MAP — the artifact a tokenizer
+    shard-writer actually lands: one row per (sequence, document
+    segment), saying which token range of which doc fills which offset
+    of which fixed 2048-token training sequence. Docs spanning
+    boundaries appear once per overlapped sequence with split ranges;
+    SUM(n_tok) per sequence is 2048 for every full sequence by
+    construction (pinned by test). pack_sequence_boundaries reports
+    each doc's span; this materializes the placement.
+
+    Shape: the same per-stratum running-token window, then a per-doc
+    explode of ceil(n_tokens/2048)-ish sequence ids — output grows only
+    with boundary crossings (≈ corpus_tokens / 2048 extra rows), all
+    integer min/max arithmetic, no extra shuffle beyond the window's."""
+    d = T(spark, sf_dir, "documents", parallel=True)
+    toks = TX.token_count("text").cast("bigint")
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    t = d.select("doc_id", "lang", toks.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    spans = t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_before"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "tok_before",
+        F.floor(F.col("tok_before") / 2048).cast("bigint").alias("first_seq"),
+        F.floor((F.col("tok_before") + F.col("n_tokens") - 1) / 2048)
+        .cast("bigint")
+        .alias("last_seq"),
+    )
+    e = spans.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "tok_before",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    seg_lo = F.greatest(F.col("seq_id") * 2048, F.col("tok_before"))
+    seg_hi = F.least(
+        (F.col("seq_id") + 1) * 2048, F.col("tok_before") + F.col("n_tokens")
+    )
+    return e.select(
+        "lang",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "doc_id",
+        (seg_lo - F.col("tok_before")).cast("bigint").alias("doc_start_tok"),
+        (seg_hi - seg_lo).cast("bigint").alias("n_tok"),
+        (seg_lo - F.col("seq_id") * 2048).cast("bigint").alias("seq_offset"),
+    )

@@ -487,3 +487,35 @@ def test_pipeline_v2_routing_consistent_with_standalone_ops(spark, sf_small, cat
             assert disp in ("low_quality", "exact_dup", "contaminated", "kept")
     assert sum(1 for v in rows.values() if v == "kept") > 0
     assert len(set(rows.values())) >= 4  # several stages actually bite
+
+
+def test_pack_sequences_emit_tiles_exactly(spark, sf_small, cat):
+    """Per (lang, seq): segments tile the sequence contiguously from
+    offset 0, every full sequence sums to exactly 2048 tokens, only the
+    last sequence per lang may be short, and per doc the segments
+    partition [0, n_tokens)."""
+    rows = cat["pack_sequences_emit"].fn(spark, sf_small).collect()
+    assert rows
+    by_seq: dict = {}
+    by_doc: dict = {}
+    for r in rows:
+        assert r["n_tok"] > 0
+        by_seq.setdefault((r["lang"], r["seq_id"]), []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for (lang, seq), segs in by_seq.items():
+        segs.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for s in segs:
+            assert s["seq_offset"] == pos, (lang, seq)
+            pos += s["n_tok"]
+        max_seq = max(s2 for (l2, s2) in by_seq if l2 == lang)
+        if seq < max_seq:
+            assert pos == 2048, (lang, seq, pos)
+        else:
+            assert 0 < pos <= 2048
+    for d, segs in by_doc.items():
+        segs.sort(key=lambda r: r["doc_start_tok"])
+        pos = 0
+        for s in segs:
+            assert s["doc_start_tok"] == pos, d
+            pos += s["n_tok"]
