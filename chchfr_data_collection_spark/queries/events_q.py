@@ -724,3 +724,57 @@ def events_gap_fill(spark, sf_dir):
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         F.last("sum_value", ignorenulls=True).over(fw).alias("ffill_sum"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type FROM ordered
+      WHERE prev_type IS NOT NULL),
+    c AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs GROUP BY prev_type, next_type),
+    tot AS (SELECT prev_type, SUM(n) AS row_n FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / t.row_n AS p
+    FROM c JOIN tot t ON t.prev_type = c.prev_type
+    """,
+    tags=("events", "markov", "sessions", "window"),
+)
+def events_markov_transitions(spark, sf_dir):
+    """Per-user event-type TRANSITION MATRIX — the first-order Markov
+    chain over each user's time-ordered event stream (counts + row-
+    normalized probabilities), the model behind next-action prediction,
+    funnel-leak ranking, and bot detection (a user whose transition
+    rows diverge from the corpus matrix is the anomaly signal).
+
+    Shape: one window (lag over user_id, ordered by ts with event_id
+    as the deterministic tie-break) = one shuffle on user_id, then a
+    #types²-bounded aggregation — the reduce side is 25 rows here and
+    constant at any corpus size. Probabilities are exact-integer count
+    ratios, IEEE-identical across engines."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    c = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tw = W.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tw)).alias("p"),
+    )

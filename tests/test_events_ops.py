@@ -156,3 +156,21 @@ def test_rfm_scores_are_quartiles(spark, sf_small, cat):
             assert 1 <= r[dim] <= 4
             by[r[dim]] = by.get(r[dim], 0) + 1
         assert set(by) <= {1, 2, 3, 4} and len(by) >= 2
+
+
+def test_markov_rows_are_distributions(spark, sf_small, cat):
+    """Each prev_type's probabilities sum to 1 (exactly, up to float
+    summation of exact ratios) and counts reconcile with total
+    transitions = total events - distinct users with events."""
+    import pyarrow.parquet as pq
+
+    rows = cat["events_markov_transitions"].fn(spark, sf_small).collect()
+    by_prev: dict = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-9, prev
+    t = pq.read_table(f"{sf_small}/events.parquet", columns=["user_id"])
+    users = set(t.column("user_id").to_pylist())
+    n_events = t.num_rows
+    assert sum(r["n"] for r in rows) == n_events - len(users)
