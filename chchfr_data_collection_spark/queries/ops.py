@@ -761,3 +761,81 @@ def customer_rfm_segmentation(spark, sf_dir):
         score("f", "f").alias("f_score"),
         score("m", "mdol").alias("m_score"),
     )
+
+
+@register(
+    "customer_pareto_concentration",
+    sql="""
+    WITH cust AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents,
+        CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2))) / 100.0) AS BIGINT)
+          AS mdol
+      FROM orders GROUP BY o_custkey),
+    h AS (SELECT mdol, CAST(COUNT(*) AS BIGINT) AS nc,
+                 CAST(SUM(cents) AS BIGINT) AS cents
+          FROM cust GROUP BY mdol),
+    cum AS (
+      SELECT mdol, nc, cents,
+        SUM(cents) OVER (ORDER BY mdol DESC ROWS UNBOUNDED PRECEDING) AS cum_cents,
+        SUM(cents) OVER () AS total_cents,
+        SUM(nc) OVER () AS total_cust
+      FROM h)
+    SELECT CAST(MAX(total_cust) AS BIGINT) AS n_customers,
+      CAST(SUM(CASE WHEN (cum_cents - cents) * 5 < total_cents * 4
+                    THEN nc ELSE 0 END) AS BIGINT) AS n_top,
+      CAST(SUM(CASE WHEN (cum_cents - cents) * 5 < total_cents * 4
+                    THEN nc ELSE 0 END) AS DOUBLE) / MAX(total_cust)
+        AS top_fraction,
+      CAST(SUM(CASE WHEN (cum_cents - cents) * 5 < total_cents * 4
+                    THEN cents ELSE 0 END) AS DOUBLE) / MAX(total_cents)
+        AS revenue_share
+    FROM cum
+    """,
+    tags=("analytics", "pareto", "quantile"),
+)
+def customer_pareto_concentration(spark, sf_dir):
+    """Pareto / revenue-concentration analysis: what fraction of
+    customers (taken from the top, in whole dollar-revenue buckets)
+    carries >= 80 %% of total revenue — the 80/20 dashboard row behind
+    key-account planning and long-tail pruning decisions.
+
+    Exactness + scale in one shape: per-customer revenue is a
+    cents-exact decimal sum (one shuffle); concentration is read off
+    the DOLLAR-bucket histogram (value-range-bounded like the RFM /
+    quantile family — never a global sort of customers), walking
+    buckets from the top with pure-integer 80 %% arithmetic
+    (cum*5 < total*4), so both engines agree bit-for-bit."""
+    o = T(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("bigint").alias("cents"),
+        F.floor(F.sum(dec("o_totalprice")) / 100.0).cast("bigint").alias("mdol"),
+    )
+    h = cust.groupBy("mdol").agg(
+        F.count("*").cast("bigint").alias("nc"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    cw = W.orderBy(F.desc("mdol")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    tw = W.orderBy(F.desc("mdol")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = h.select(
+        "nc",
+        "cents",
+        F.sum("cents").over(cw).alias("cum_cents"),
+        F.sum("cents").over(tw).alias("total_cents"),
+        F.sum("nc").over(tw).alias("total_cust"),
+    )
+    qual = (F.col("cum_cents") - F.col("cents")) * 5 < F.col("total_cents") * 4
+    return cum.agg(
+        F.max("total_cust").cast("bigint").alias("n_customers"),
+        F.sum(F.when(qual, F.col("nc")).otherwise(0)).cast("bigint").alias("n_top"),
+        (
+            F.sum(F.when(qual, F.col("nc")).otherwise(0)).cast("double")
+            / F.max("total_cust")
+        ).alias("top_fraction"),
+        (
+            F.sum(F.when(qual, F.col("cents")).otherwise(0)).cast("double")
+            / F.max("total_cents")
+        ).alias("revenue_share"),
+    )

@@ -174,3 +174,35 @@ def test_markov_rows_are_distributions(spark, sf_small, cat):
     users = set(t.column("user_id").to_pylist())
     n_events = t.num_rows
     assert sum(r["n"] for r in rows) == n_events - len(users)
+
+
+def test_pareto_concentration_sane(spark, sf_small, cat):
+    """Top customers by whole-dollar bucket cover >= 80% of revenue with
+    a fraction strictly between 0 and 1; recompute independently."""
+    import duckdb
+
+    r = cat["customer_pareto_concentration"].fn(spark, sf_small).collect()[0]
+    assert 0 < r["n_top"] <= r["n_customers"]
+    assert 0 < r["top_fraction"] <= 1.0
+    assert r["revenue_share"] >= 0.8
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_small}/orders.parquet'")
+    cust = con.sql("""
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) c,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2))) / 100.0) AS BIGINT) m
+      FROM orders GROUP BY o_custkey""").fetchall()
+    total = sum(c for c, m in cust)
+    from collections import defaultdict
+
+    h = defaultdict(lambda: [0, 0])
+    for c, m in cust:
+        h[m][0] += 1
+        h[m][1] += c
+    cum, n_top, share = 0, 0, 0
+    for m in sorted(h, reverse=True):
+        if cum * 5 < total * 4:
+            n_top += h[m][0]
+            share += h[m][1]
+        cum += h[m][1]
+    assert r["n_top"] == n_top
+    assert abs(r["revenue_share"] - share / total) < 1e-12
