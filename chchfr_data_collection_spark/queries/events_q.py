@@ -778,3 +778,57 @@ def events_markov_transitions(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.sum("n").over(tw)).alias("p"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    sql="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d),
+    wau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+      FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d)
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+    tags=("events", "analytics", "distinct", "window"),
+)
+def events_dau_wau_stickiness(spark, sf_dir):
+    """DAU / WAU / stickiness (DAU÷WAU) per day — the product-analytics
+    engagement row. Exact rolling-7-day distinct users WITHOUT a
+    distinct-over-window (Spark doesn't support it and approximations
+    drift): dedup once to the (day, user) activity relation — the only
+    corpus-sized shuffle — then the WAU side is a bounded range join of
+    the DAY GRID against activity (≤ 7× activity-relation fan-out,
+    day-grain), re-deduped per anchor day. At 100 TB the activity
+    relation is users×days — tiny next to raw events — and everything
+    after the first dedup runs at that grain."""
+    ev = T(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    wau = (
+        days.alias("g")
+        .join(
+            du.alias("a"),
+            F.col("a.d").between(F.date_sub(F.col("g.d"), 6), F.col("g.d")),
+        )
+        .groupBy(F.col("g.d").alias("d"))
+        .agg(F.countDistinct("a.user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )

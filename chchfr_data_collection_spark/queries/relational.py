@@ -1196,3 +1196,44 @@ def agg_mode_deterministic(spark, sf_dir):
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@register(
+    "supplier_lead_time_stats",
+    sql="""
+    SELECT l.l_suppkey,
+      CAST(COUNT(*) AS BIGINT) AS n_lines,
+      CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT)
+        AS total_lead_days,
+      CAST(SUM(date_diff('day', o.o_orderdate, l.l_shipdate)) AS DOUBLE)
+        / COUNT(*) AS avg_lead_days,
+      CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+      CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS slow_rate
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_suppkey
+    """,
+    tags=("relational", "analytics", "dates"),
+)
+def supplier_lead_time_stats(spark, sf_dir):
+    """Per-supplier fulfilment performance: order->ship lead time
+    (days between o_orderdate and l_shipdate) totals/averages plus the
+    slow-shipment rate (> 90 days) — the supplier scorecard behind
+    q21's 'waiting suppliers' (that query finds blocking incidents;
+    this ranks chronic offenders). One fact join (orders side carries
+    only the date — AQE broadcasts the pruned projection when it
+    fits), one shuffle to supplier grain; integer day arithmetic and
+    exact-int/count divisions keep it cross-engine bit-identical."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    lead = F.datediff("l_shipdate", "o_orderdate")
+    slow = (lead > 90).cast("int")
+    return j.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(lead).cast("bigint").alias("total_lead_days"),
+        (F.sum(lead).cast("double") / F.count("*")).alias("avg_lead_days"),
+        F.sum(slow).cast("bigint").alias("n_slow"),
+        (F.sum(slow).cast("double") / F.count("*")).alias("slow_rate"),
+    )

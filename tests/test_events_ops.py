@@ -206,3 +206,17 @@ def test_pareto_concentration_sane(spark, sf_small, cat):
         cum += h[m][1]
     assert r["n_top"] == n_top
     assert abs(r["revenue_share"] - share / total) < 1e-12
+
+
+def test_dau_wau_stickiness_bounds(spark, sf_small, cat):
+    """WAU >= DAU for every day, stickiness in (0, 1], and the first
+    day's WAU equals its DAU (no prior days in the window)."""
+    rows = sorted(
+        cat["events_dau_wau_stickiness"].fn(spark, sf_small).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    for r in rows:
+        assert r["wau"] >= r["dau"] > 0
+        assert 0 < r["stickiness"] <= 1.0
+    assert rows[0]["wau"] == rows[0]["dau"]
