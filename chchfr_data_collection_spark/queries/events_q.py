@@ -832,3 +832,55 @@ def events_dau_wau_stickiness(spark, sf_dir):
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@register(
+    "streaming_markov_replay",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type FROM ordered
+      WHERE prev_type IS NOT NULL),
+    c AS (SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs GROUP BY prev_type, next_type),
+    tot AS (SELECT prev_type, SUM(n) AS row_n FROM c GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / t.row_n AS p
+    FROM c JOIN tot t ON t.prev_type = c.prev_type
+    """,
+    tags=("streaming", "events", "markov", "stateful", "pandas-udf"),
+)
+def streaming_markov_replay(spark, sf_dir):
+    """events_markov_transitions maintained STREAMING-side through real
+    per-user state: the feed replays through applyInPandasWithState
+    (streaming/stateful.user_transition_pairs), which carries each
+    user's LAST EVENT across micro-batches — the piece that makes
+    transition counts exact under chunking (per-batch lag would drop
+    every boundary-straddling transition; counts are NOT mergeable
+    partials, which is precisely when custom state earns its keep over
+    the foreachBatch-partials pattern). The emitted pair stream
+    aggregates to the same matrix as the batch window, bit-for-bit —
+    the oracle IS the batch SQL, and the multi-batch equivalence test
+    splits the feed to force boundary carries."""
+    import uuid
+
+    from ..streaming.events import read_events_stream, run_available_now
+    from ..streaming.stateful import user_transition_pairs
+
+    stream = user_transition_pairs(read_events_stream(spark, sf_dir))
+    name = "markov_" + uuid.uuid4().hex[:8]
+    pairs = run_available_now(stream, name, mode="append")
+    c = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tw = W.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tw)).alias("p"),
+    )

@@ -155,3 +155,51 @@ def running_user_extremes_tws(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+TRANSITIONS_OUTPUT = "prev_type string, next_type string"
+TRANSITIONS_STATE = "last_ts bigint, last_eid bigint, last_type string"
+
+
+def user_transition_pairs(events: DataFrame) -> DataFrame:
+    """Streaming per-user event-type TRANSITION PAIR emission — the
+    stateful continuation of the batch Markov matrix
+    (queries/events_q.events_markov_transitions).
+
+    Why this needs CUSTOM state: per-batch lag() would silently DROP
+    every transition that straddles a micro-batch boundary (the first
+    event of a batch has no within-batch predecessor), so transition
+    counts are NOT mergeable partials. The state store carries each
+    user's last event (ts, event_id, type); each batch sorts its rows
+    by (ts, event_id), prepends the carried event, emits the pair rows
+    (append mode), and stores the new tail — so the emitted pair
+    multiset is EXACTLY the batch computation's for any chunking of
+    the feed. State is O(1) per user forever."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        types = rows["event_type"].tolist()
+        seq = ([state.get[2]] if state.exists else []) + types
+        last = rows.iloc[-1]
+        state.update(
+            (
+                int(pd.Timestamp(last["ts"]).value // 1000),
+                int(last["event_id"]),
+                str(last["event_type"]),
+            )
+        )
+        yield pd.DataFrame(
+            {"prev_type": seq[:-1], "next_type": seq[1:]},
+            dtype="object",
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=TRANSITIONS_OUTPUT,
+        stateStructType=TRANSITIONS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -355,3 +355,80 @@ def test_streaming_quantiles_equals_batch(spark, sf_small):
     got = sorted(map(tuple, cat["streaming_quantiles_replay"].fn(spark, sf_small).collect()))
     want = sorted(map(tuple, cat["events_exact_quantiles"].fn(spark, sf_small).collect()))
     assert got == want
+
+
+def test_streaming_markov_multibatch_boundary_carry(spark, sf_small, tmp_path):
+    """Split the feed into 3 time-ordered files streamed one per
+    micro-batch: the stateful pair emitter must carry each user's last
+    event across batches, so the aggregated transition counts equal the
+    batch lag() computation EXACTLY (per-batch lag would lose every
+    boundary-straddling transition — assert the split really creates
+    some)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from chchfr_data_collection_spark.streaming.stateful import user_transition_pairs
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    n = ev.count()
+    ordered = ev.orderBy("ts", "event_id")
+    import glob
+    import shutil
+
+    land = tmp_path / "markovland"
+    land.mkdir()
+    parts = [
+        ordered.limit(n // 3),
+        ordered.offset(n // 3).limit(n // 3),
+        ordered.offset(2 * (n // 3)),
+    ]
+    for i, p in enumerate(parts):
+        tmp = tmp_path / f"part{i}"
+        p.coalesce(1).write.parquet(str(tmp))
+        (src,) = glob.glob(str(tmp / "part-*.parquet"))
+        shutil.copy(src, land / f"b{i}.parquet")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land))
+    )
+    name = "markov_t_" + uuid.uuid4().hex[:8]
+    q = (
+        user_transition_pairs(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in spark.sql(
+            f"SELECT prev_type, next_type, COUNT(*) AS n FROM {name} GROUP BY 1, 2"
+        ).collect()
+    }
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r.prev_type, r.next_type): r.n
+        for r in ev.select(
+            "user_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # the split really straddles users: batch 1 and 2 share users
+    import pyarrow.parquet as pq
+
+    u0 = set(pq.read_table(str(land / "b0.parquet"), columns=["user_id"]).column("user_id").to_pylist())
+    u1 = set(pq.read_table(str(land / "b1.parquet"), columns=["user_id"]).column("user_id").to_pylist())
+    assert u0 & u1, "split must force cross-batch state carries"
