@@ -1,4 +1,4 @@
-"""Writer fencing for non-transactional sinks: a lease-file protocol.
+"""Writer fencing for non-transactional sinks: a claim-file lease.
 
 The rename-swap MERGE sink (streaming/events.py:foreach_batch_upsert)
 and the dynamic-partition daily overwrite (operators/upsert.py:
@@ -10,24 +10,31 @@ target were last-writer-wins with no fencing: writer A could read the
 pre-B target, then publish over B's freshly-renamed result, silently
 dropping B's rows (the lost-update anomaly a real MERGE forbids).
 
-`WriterLease` closes that window with the standard create-if-absent
-lease file next to the target:
+`WriterLease` closes that window. Protocol history matters here: the
+first implementation used a single create-if-absent lease FILE via
+`FileSystem.createNewFile`, assuming atomicity — but Hadoop's
+`FileSystem.createNewFile` is explicitly "not atomic" on several
+filesystems: `ChecksumFileSystem`/`RawLocalFileSystem` implement it as
+exists-check-then-create, so two same-millisecond writers could BOTH
+"create" the lease and interleave their commit phases (observed in
+round 5 as a nested `date=X/date=X` partition from two dynamic
+overwrites renaming into each other). The fix is the CLAIM-DIRECTORY
+protocol (ZooKeeper sequential-ephemeral-node shape, no coordination
+service needed):
 
-- acquire = atomic zero-length file creation via the Hadoop FileSystem
-  API (`FileSystem.createNewFile` — atomic on HDFS; on S3A, conditional
-  create; on the local FS, atomic via O_CREAT|O_EXCL), so exactly one
-  writer holds the target at a time;
-- a TTL makes crashed holders recoverable: a lease older than `ttl_s`
-  is presumed orphaned and broken (delete + re-race) — the trade
-  every lease system makes (Chubby/ZooKeeper ephemeral nodes) without
-  a coordination service on the classpath;
-- `timeout_s` lets the loser wait-and-retry instead of failing, so two
-  daily jobs racing the same date serialize instead of erroring. The
-  default budget is sized for a CONTENDED box: the holder's write phase
-  can stretch many times its idle duration under external load, and a
-  waiting writer is far cheaper than a failed daily job, so the loser
-  waits minutes (with exponential backoff polling, capped so a freed
-  lease is still picked up promptly), not seconds.
+- every contender atomically lands a UNIQUE claim file
+  `{target}__lease/claim-<owner>` (unique name -> no create contention
+  at all);
+- after a settle delay (>= timestamp granularity, so every claim that
+  could sort before mine is visible), the holder is the claim with the
+  smallest (mtime, name) — a deterministic total order every contender
+  computes identically from a directory listing;
+- losers poll with capped exponential backoff until they become the
+  minimum or the wait budget expires;
+- a TTL makes crashed holders recoverable: claims older than `ttl_s`
+  are presumed orphaned and deleted by any waiter — the trade every
+  lease system makes (Chubby/ZooKeeper ephemerals);
+- release deletes the holder's own claim file only.
 
 This is fencing for cooperating writers (both sides use the lease), the
 same contract Delta's optimistic log gives cooperating Delta writers. A
@@ -46,15 +53,15 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class WriterLease:
-    """Mutual exclusion on a storage path via an atomic lease file.
+    """Mutual exclusion on a storage path via an ordered claim directory.
 
     Usage::
 
         with WriterLease(spark, target_path):
             ... read-merge-publish ...
 
-    The lease file lives at `{target}__lease` so it never collides with
-    the target directory itself (parquet readers don't glob siblings).
+    Claims live under `{target}__lease/` so they never collide with the
+    target directory itself (parquet readers don't glob siblings).
     """
 
     def __init__(
@@ -65,65 +72,112 @@ class WriterLease:
         timeout_s: float = 300.0,
         poll_s: float = 0.1,
         poll_max_s: float = 2.0,
+        settle_s: float = 0.05,
     ) -> None:
         self._spark = spark
-        self.lease_path = f"{target_path.rstrip('/')}__lease"
+        self.lease_dir = f"{target_path.rstrip('/')}__lease"
         self.ttl_s = ttl_s
         self.timeout_s = timeout_s
         self.poll_s = poll_s
         self.poll_max_s = poll_max_s
+        self.settle_s = settle_s
         self.owner = uuid.uuid4().hex
         jvm = spark._jvm
         self._HPath = jvm.org.apache.hadoop.fs.Path
-        self._lease = self._HPath(self.lease_path)
-        self._fs = self._lease.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._dir = self._HPath(self.lease_dir)
+        self._claim = self._HPath(f"{self.lease_dir}/claim-{self.owner}")
+        self._fs = self._dir.getFileSystem(spark._jsc.hadoopConfiguration())
         self._held = False
+        self._claimed = False
 
-    def _lease_age_s(self) -> float | None:
-        """Age of the current lease file, or None if absent."""
+    # -- claim bookkeeping ---------------------------------------------------
+
+    def _land_claim(self) -> None:
+        """Create this contender's unique claim file (no contention: the
+        name embeds the owner uuid, so creation always succeeds)."""
+        if self._claimed:
+            return
+        self._fs.mkdirs(self._dir)
+        self._fs.create(self._claim, True).close()
+        self._claimed = True
+
+    def _list_claims(self):
+        """[(mtime_ms, name)] of live claims; deletes stale ones (age >
+        ttl) along the way — any waiter may break an orphaned claim."""
         try:
-            st = self._fs.getFileStatus(self._lease)
+            statuses = self._fs.listStatus(self._dir)
         except Exception:
-            return None  # vanished between exists-check and stat: treat as free
-        return max(0.0, time.time() - st.getModificationTime() / 1000.0)
+            return []
+        now_ms = time.time() * 1000.0
+        live = []
+        for st in statuses:
+            name = st.getPath().getName()
+            if not name.startswith("claim-"):
+                continue
+            mt = st.getModificationTime()
+            if now_ms - mt > self.ttl_s * 1000.0:
+                if name != f"claim-{self.owner}":
+                    try:
+                        self._fs.delete(st.getPath(), False)
+                    except Exception:
+                        pass  # another waiter broke it first
+                continue
+            live.append((mt, name))
+        return live
+
+    def _is_holder(self) -> bool:
+        """True when this owner's claim is the (mtime, name) minimum."""
+        live = self._list_claims()
+        mine = f"claim-{self.owner}"
+        if not any(name == mine for _, name in live):
+            # our claim aged out or was broken: re-land and re-contend
+            self._claimed = False
+            return False
+        return min(live)[1] == mine
+
+    # -- public protocol -----------------------------------------------------
 
     def try_acquire(self) -> bool:
-        """One non-blocking acquisition attempt (breaks stale leases)."""
-        if self._fs.createNewFile(self._lease):
+        """One non-blocking acquisition attempt."""
+        self._land_claim()
+        time.sleep(self.settle_s)  # claims that can sort before ours land
+        if self._is_holder():
             self._held = True
             return True
-        age = self._lease_age_s()
-        if age is not None and age > self.ttl_s:
-            # presumed-orphaned lease: break it and re-race the create —
-            # the delete+create is NOT atomic, so we race other breakers
-            # through createNewFile again rather than claiming directly
-            self._fs.delete(self._lease, False)
-            if self._fs.createNewFile(self._lease):
-                self._held = True
-                return True
         return False
 
     def acquire(self) -> None:
         deadline = time.monotonic() + self.timeout_s
+        self._land_claim()
+        time.sleep(self.settle_s)
         poll = self.poll_s
         while True:
-            if self.try_acquire():
+            if not self._claimed:
+                self._land_claim()
+                time.sleep(self.settle_s)
+            if self._is_holder():
+                self._held = True
                 return
             now = time.monotonic()
             if now >= deadline:
+                self.release()
                 raise ConcurrentWriteError(
-                    f"another writer holds {self.lease_path} "
+                    f"another writer holds {self.lease_dir} "
                     f"(waited {self.timeout_s}s; lease TTL {self.ttl_s}s)"
                 )
             # exponential backoff, capped: cheap on a long wait, still
-            # sub-`poll_max_s` latency to grab a freed lease
+            # sub-`poll_max_s` latency to take over a released lease
             time.sleep(min(poll, deadline - now))
             poll = min(poll * 2, self.poll_max_s)
 
     def release(self) -> None:
-        if self._held:
-            self._fs.delete(self._lease, False)
-            self._held = False
+        if self._claimed:
+            try:
+                self._fs.delete(self._claim, False)
+            except Exception:
+                pass  # claim already broken as stale — nothing to release
+            self._claimed = False
+        self._held = False
 
     def __enter__(self) -> "WriterLease":
         self.acquire()
