@@ -1,4 +1,4 @@
-"""Writer fencing for non-transactional sinks: a claim-file lease.
+"""Writer fencing for non-transactional sinks: a bakery-ordered claim lease.
 
 The rename-swap MERGE sink (streaming/events.py:foreach_batch_upsert)
 and the dynamic-partition daily overwrite (operators/upsert.py:
@@ -10,31 +10,59 @@ target were last-writer-wins with no fencing: writer A could read the
 pre-B target, then publish over B's freshly-renamed result, silently
 dropping B's rows (the lost-update anomaly a real MERGE forbids).
 
-`WriterLease` closes that window. Protocol history matters here: the
-first implementation used a single create-if-absent lease FILE via
-`FileSystem.createNewFile`, assuming atomicity — but Hadoop's
-`FileSystem.createNewFile` is explicitly "not atomic" on several
-filesystems: `ChecksumFileSystem`/`RawLocalFileSystem` implement it as
-exists-check-then-create, so two same-millisecond writers could BOTH
-"create" the lease and interleave their commit phases (observed in
-round 5 as a nested `date=X/date=X` partition from two dynamic
-overwrites renaming into each other). The fix is the CLAIM-DIRECTORY
-protocol (ZooKeeper sequential-ephemeral-node shape, no coordination
-service needed):
+`WriterLease` closes that window. Protocol history matters here:
 
-- every contender atomically lands a UNIQUE claim file
-  `{target}__lease/claim-<owner>` (unique name -> no create contention
-  at all);
-- after a settle delay (>= timestamp granularity, so every claim that
-  could sort before mine is visible), the holder is the claim with the
-  smallest (mtime, name) — a deterministic total order every contender
-  computes identically from a directory listing;
-- losers poll with capped exponential backoff until they become the
-  minimum or the wait budget expires;
-- a TTL makes crashed holders recoverable: claims older than `ttl_s`
-  are presumed orphaned and deleted by any waiter — the trade every
-  lease system makes (Chubby/ZooKeeper ephemerals);
-- release deletes the holder's own claim file only.
+1. The first implementation used a single create-if-absent lease FILE
+   via `FileSystem.createNewFile`, assuming atomicity — but Hadoop's
+   `createNewFile` is explicitly "not atomic" on several filesystems
+   (ChecksumFileSystem / RawLocalFileSystem implement it as
+   exists-check-then-create), so two same-instant writers could BOTH
+   "create" the lease (observed in round 5 as a nested `date=X/date=X`
+   partition from two dynamic overwrites renaming into each other).
+2. The second implementation (round 5) used a claim DIRECTORY ordered
+   by (mtime, name). Two residual defects, both flagged by the round-5
+   review: (a) the order depended on store modification-time
+   granularity — on second-granularity stores (S3A `LastModified`) two
+   claims landing in the same tick tie on mtime and the uuid tie-break
+   can hand the lease to the later writer while the earlier one already
+   believes it holds; (b) a holder never refreshed its claim, so a
+   protected section that legitimately outlives `ttl_s` (routine at
+   100 TB partition sizes) had its claim broken by a waiter mid-commit
+   — the lost-update window reopened for slow holders.
+
+This (third) implementation fixes both at the root:
+
+- **Ordering is a client-side monotonic TOKEN, not a store timestamp**
+  (Lamport's bakery algorithm over a directory listing). Each
+  contender (i) lands a `choosing-<owner>` marker, (ii) lists existing
+  claims and takes token = max(token)+1, (iii) lands its unique claim
+  file `claim-<token:020d>-<owner>` (zero-padded, so lexicographic
+  name order == (token, owner) order), (iv) deletes its choosing
+  marker. The holder is the lexicographically-smallest live claim —
+  but only once NO other contender's choosing marker is visible: a
+  chooser that started before my check may still be about to land a
+  tied token, and the bakery wait makes the order stable before anyone
+  trusts it. Ties (both listed before either landed) break on the
+  owner uuid — a deterministic total order every contender computes
+  identically, with NO dependency on store timestamp granularity.
+- **A held lease heartbeats.** While held, a daemon thread refreshes
+  the claim's mtime every `ttl_s / 3` (`FileSystem.setTimes`), so the
+  waiters' staleness check (`age > ttl_s` ⇒ orphaned, break it) never
+  fires on a LIVE holder no matter how long the protected section
+  runs. TTL-breaking now only reclaims claims whose writer actually
+  stopped heartbeating — crashed or partitioned — the trade every
+  lease system makes (Chubby/ZooKeeper session ephemerals). Staleness
+  compares local clock to store mtime, so `ttl_s` must exceed
+  worst-case client↔store clock skew by a wide margin (default 600 s).
+- Losers poll with capped exponential backoff; release deletes the
+  holder's own claim file only; a failed `try_acquire` removes its
+  claim before returning so a non-context-manager caller that backs
+  off never wedges the queue behind an abandoned claim.
+
+Correctness needs list-after-write consistency from the store (true of
+local filesystems, HDFS, and S3 since 2020-12). `settle_s` is a small
+optional cushion after landing a claim, kept for stores with delayed
+list visibility — the protocol's correctness no longer rests on it.
 
 This is fencing for cooperating writers (both sides use the lease), the
 same contract Delta's optimistic log gives cooperating Delta writers. A
@@ -44,6 +72,7 @@ table format.
 
 from __future__ import annotations
 
+import threading
 import time
 import uuid
 
@@ -53,7 +82,7 @@ class ConcurrentWriteError(RuntimeError):
 
 
 class WriterLease:
-    """Mutual exclusion on a storage path via an ordered claim directory.
+    """Mutual exclusion on a storage path via a bakery-ordered claim dir.
 
     Usage::
 
@@ -73,6 +102,8 @@ class WriterLease:
         poll_s: float = 0.1,
         poll_max_s: float = 2.0,
         settle_s: float = 0.05,
+        choose_ttl_s: float = 30.0,
+        heartbeat: bool = True,
     ) -> None:
         self._spark = spark
         self.lease_dir = f"{target_path.rstrip('/')}__lease"
@@ -81,82 +112,188 @@ class WriterLease:
         self.poll_s = poll_s
         self.poll_max_s = poll_max_s
         self.settle_s = settle_s
+        self.choose_ttl_s = choose_ttl_s
+        self.heartbeat = heartbeat
         self.owner = uuid.uuid4().hex
         jvm = spark._jvm
         self._HPath = jvm.org.apache.hadoop.fs.Path
         self._dir = self._HPath(self.lease_dir)
-        self._claim = self._HPath(f"{self.lease_dir}/claim-{self.owner}")
+        self._choosing = self._HPath(f"{self.lease_dir}/choosing-{self.owner}")
         self._fs = self._dir.getFileSystem(spark._jsc.hadoopConfiguration())
-        self._held = False
+        self._token: int | None = None
+        self._claim = None  # set once a token is chosen
         self._claimed = False
+        self._held = False
+        self._hb_stop = threading.Event()
+        self._hb_thread: threading.Thread | None = None
 
     # -- claim bookkeeping ---------------------------------------------------
 
+    @staticmethod
+    def _parse_token(name: str) -> int | None:
+        # claim-<020d token>-<owner hex>
+        parts = name.split("-", 2)
+        if len(parts) != 3 or parts[0] != "claim" or not parts[1].isdigit():
+            return None
+        return int(parts[1])
+
     def _land_claim(self) -> None:
-        """Create this contender's unique claim file (no contention: the
-        name embeds the owner uuid, so creation always succeeds)."""
+        """Choose a bakery token and land this contender's unique claim.
+
+        The choosing marker makes the token pick safe: any holder-check
+        running concurrently refuses to trust the order until our marker
+        clears, by which point our claim (possibly tied, tie broken on
+        owner uuid — deterministic for everyone) is visible.
+        """
         if self._claimed:
             return
         self._fs.mkdirs(self._dir)
-        self._fs.create(self._claim, True).close()
+        if self._token is None:
+            self._fs.create(self._choosing, True).close()
+            try:
+                max_tok = 0
+                try:
+                    for st in self._fs.listStatus(self._dir):
+                        tok = self._parse_token(st.getPath().getName())
+                        if tok is not None:
+                            max_tok = max(max_tok, tok)
+                except Exception:
+                    pass
+                self._token = max_tok + 1
+                self._claim = self._HPath(
+                    f"{self.lease_dir}/claim-{self._token:020d}-{self.owner}"
+                )
+                self._fs.create(self._claim, True).close()
+            finally:
+                try:
+                    self._fs.delete(self._choosing, False)
+                except Exception:
+                    pass
+        else:
+            # re-land a claim that a waiter broke (e.g. clock skew beat
+            # the heartbeat): same token, so our queue position holds
+            self._fs.create(self._claim, True).close()
         self._claimed = True
 
-    def _list_claims(self):
-        """[(mtime_ms, name)] of live claims; deletes stale ones (age >
-        ttl) along the way — any waiter may break an orphaned claim."""
+    def _live_entries(self):
+        """(claim_names, others_choosing) from one listing; stale claims
+        (age > ttl — their writer stopped heartbeating) and stale
+        choosing markers (crashed mid-choose) are broken along the way."""
         try:
             statuses = self._fs.listStatus(self._dir)
         except Exception:
-            return []
+            return [], False
         now_ms = time.time() * 1000.0
-        live = []
+        mine = f"claim-{self._token:020d}-{self.owner}" if self._token else ""
+        claims, others_choosing = [], False
         for st in statuses:
             name = st.getPath().getName()
-            if not name.startswith("claim-"):
-                continue
-            mt = st.getModificationTime()
-            if now_ms - mt > self.ttl_s * 1000.0:
-                if name != f"claim-{self.owner}":
+            age_ms = now_ms - st.getModificationTime()
+            if name.startswith("choosing-"):
+                if name == f"choosing-{self.owner}":
+                    continue
+                if age_ms > self.choose_ttl_s * 1000.0:
                     try:
                         self._fs.delete(st.getPath(), False)
                     except Exception:
-                        pass  # another waiter broke it first
+                        pass
+                else:
+                    others_choosing = True
                 continue
-            live.append((mt, name))
-        return live
+            if self._parse_token(name) is None:
+                continue
+            if age_ms > self.ttl_s * 1000.0 and name != mine:
+                try:
+                    self._fs.delete(st.getPath(), False)
+                except Exception:
+                    pass  # another waiter broke it first
+                continue
+            claims.append(name)
+        return claims, others_choosing
 
     def _is_holder(self) -> bool:
-        """True when this owner's claim is the (mtime, name) minimum."""
-        live = self._list_claims()
-        mine = f"claim-{self.owner}"
-        if not any(name == mine for _, name in live):
-            # our claim aged out or was broken: re-land and re-contend
+        """True when the order is stable (nobody mid-choose) and this
+        owner's claim is the (token, owner) minimum."""
+        claims, others_choosing = self._live_entries()
+        mine = f"claim-{self._token:020d}-{self.owner}"
+        if mine not in claims:
+            # our claim was broken: re-land (same token) and re-contend
             self._claimed = False
             return False
-        return min(live)[1] == mine
+        if others_choosing:
+            return False
+        return min(claims) == mine
+
+    # -- heartbeat -----------------------------------------------------------
+
+    def _hb_loop(self) -> None:
+        period = max(0.02, self.ttl_s / 3.0)
+        while not self._hb_stop.wait(period):
+            try:
+                self._fs.setTimes(self._claim, int(time.time() * 1000.0), -1)
+            except Exception:
+                # claim vanished (broken despite heartbeat — clock skew):
+                # re-land with the same token to restore our position
+                try:
+                    self._fs.create(self._claim, True).close()
+                except Exception:
+                    pass
+
+    def _start_heartbeat(self) -> None:
+        if not self.heartbeat or self._hb_thread is not None:
+            return
+        self._hb_stop.clear()
+        self._hb_thread = threading.Thread(
+            target=self._hb_loop, name=f"lease-hb-{self.owner[:8]}", daemon=True
+        )
+        self._hb_thread.start()
+
+    def _stop_heartbeat(self) -> None:
+        if self._hb_thread is None:
+            return
+        self._hb_stop.set()
+        self._hb_thread.join(timeout=5.0)
+        self._hb_thread = None
 
     # -- public protocol -----------------------------------------------------
 
     def try_acquire(self) -> bool:
-        """One non-blocking acquisition attempt."""
+        """One non-blocking acquisition attempt. Side-effect-free on
+        failure: the claim is withdrawn, so a caller that backs off
+        without release() never blocks other writers."""
         self._land_claim()
-        time.sleep(self.settle_s)  # claims that can sort before ours land
+        if self.settle_s:
+            time.sleep(self.settle_s)
         if self._is_holder():
             self._held = True
+            self._start_heartbeat()
             return True
+        self._withdraw_claim()
         return False
 
     def acquire(self) -> None:
         deadline = time.monotonic() + self.timeout_s
         self._land_claim()
-        time.sleep(self.settle_s)
+        if self.settle_s:
+            time.sleep(self.settle_s)
         poll = self.poll_s
+        last_touch = time.monotonic()
         while True:
             if not self._claimed:
                 self._land_claim()
-                time.sleep(self.settle_s)
+                if self.settle_s:
+                    time.sleep(self.settle_s)
+            elif time.monotonic() - last_touch > self.ttl_s / 3.0:
+                # a QUEUED claim ages too: refresh it so a long wait
+                # behind a long-running holder never looks orphaned
+                try:
+                    self._fs.setTimes(self._claim, int(time.time() * 1000.0), -1)
+                except Exception:
+                    pass
+                last_touch = time.monotonic()
             if self._is_holder():
                 self._held = True
+                self._start_heartbeat()
                 return
             now = time.monotonic()
             if now >= deadline:
@@ -170,13 +307,22 @@ class WriterLease:
             time.sleep(min(poll, deadline - now))
             poll = min(poll * 2, self.poll_max_s)
 
-    def release(self) -> None:
-        if self._claimed:
+    def _withdraw_claim(self) -> None:
+        if self._claimed and self._claim is not None:
             try:
                 self._fs.delete(self._claim, False)
             except Exception:
-                pass  # claim already broken as stale — nothing to release
+                pass  # claim already broken as stale — nothing to delete
             self._claimed = False
+        # a fresh token is chosen on the next landing: a withdrawn
+        # contender re-enters at the back of the queue, never ahead of
+        # claims that were landed while it was out
+        self._token = None
+        self._claim = None
+
+    def release(self) -> None:
+        self._stop_heartbeat()
+        self._withdraw_claim()
         self._held = False
 
     def __enter__(self) -> "WriterLease":
