@@ -1,0 +1,232 @@
+"""Persisted banded-MinHash near-dup index: the INCREMENTAL dedup path.
+
+`queries.llm.dedup_minhash_banded` recomputes signatures corpus-wide per
+run — right for a one-shot dedup, wrong for production's steady state:
+"a new crawl batch lands against an already-deduped 100 TB corpus".
+Re-signing 100 TB to admit 100 GB is a 1000× overspend. This module is
+the missing piece (round-5 review item 2): the signature/banding state
+is PERSISTED as the index, and a delta batch is probed against it —
+only the delta is shingled, signed, and shuffled.
+
+Index layout (two parquet relations under one base path):
+
+- `postings/` — (band, sig, doc_id), partitioned by `band`: the banded
+  LSH buckets. A probe for the delta's (band, sig) keys is an equi-join;
+  partition pruning cuts it 8× before the sig filter. Appending a
+  delta's posting rows IS the index update — no rewrite, no merge.
+- `arrays/` — (doc_id, shs, nw): the verification store (per-doc
+  distinct shingle array + its size), used to confirm candidates with
+  EXACT Jaccard so the incremental path emits the same contract as the
+  batch path (verified pairs, J >= 0.8). At 100 TB this relation is
+  stored bucketed by doc_id so the candidate fetch co-locates; on plain
+  parquet AQE broadcasts the (delta-bounded) candidate side instead.
+
+Probe = insert-then-probe: the delta's postings/arrays are appended
+FIRST, then the delta's band keys join the (now-updated) postings. That
+ordering makes the touched-bucket sizes equal the full-corpus bucket
+sizes, so the bucket-cap semantics (skip buckets wider than
+MH_BUCKET_CAP — boilerplate clusters, handled by exact-hash dedup) are
+IDENTICAL to a from-scratch banded run: the incremental result is
+exactly the batch result restricted to pairs with >= 1 delta endpoint.
+That restriction is the oracle (`dedup_minhash_incremental`).
+
+Everything delta-side is delta-bounded: the only full-index work is the
+posting equi-join (broadcast of the delta's distinct band keys => a
+map-side semi-join over a partition-pruned scan) and the candidate
+fetch from the verification store. No corpus-wide shuffle anywhere.
+
+The hash family (same seed as the batch operator — one family, one
+index) lives here so the batch operator, the incremental index, and the
+DuckDB oracle share it from a single definition.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MH_P = (1 << 61) - 1
+MH_BANDS, MH_ROWS = 8, 4
+MH_K = MH_BANDS * MH_ROWS
+MH_BUCKET_CAP = 64  # max docs per (band, sig) bucket used for pair-gen
+
+_rng = random.Random(20260813)
+MH_A = [_rng.randrange(1, 1 << 29) | 1 for _ in range(MH_K)]
+MH_B = [_rng.randrange(0, MH_P) for _ in range(MH_K)]
+
+
+def shingle_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, nw, shs, h0..h{K-1}) in ONE shuffle: the groupBy that
+    computes the K codegen'd min() MinHash aggregates also reassembles
+    the per-doc distinct-shingle array for exact verification —
+    identical arithmetic to dedup_minhash_banded's signature stage
+    (md5-derived shingle ints, (a·x+b) mod 2^61-1), so index entries
+    and batch signatures are bit-interchangeable."""
+    ws = F.split("text", " ", -1)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+                F.element_at(ws, i + 3),
+            ),
+        )
+    )
+    tok = docs.filter(F.size(ws) >= 3).select(
+        "doc_id", F.explode(shingles).alias("w")
+    )
+    x = F.conv(
+        F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    tokx = tok.withColumn("x", x)
+    xc = F.col("x")
+    return tokx.groupBy("doc_id").agg(
+        F.count("*").alias("nw"),
+        F.collect_list("w").alias("shs"),
+        *[
+            F.min((F.lit(MH_A[i]) * xc + F.lit(MH_B[i])) % F.lit(MH_P)).alias(f"h{i}")
+            for i in range(MH_K)
+        ],
+    )
+
+
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) posting rows: r=MH_ROWS hashes concatenated
+    per band — the AND step of the AND-OR amplification."""
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"h{j * MH_ROWS + t}").cast("string") for t in range(MH_ROWS)],
+            ).alias("sig"),
+        )
+        for j in range(MH_BANDS)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bs")).select(
+        "doc_id", "bs.band", "bs.sig"
+    )
+
+
+class MinHashIndex:
+    """A persisted banded-MinHash index with bootstrap / probe+insert.
+
+    Usage (the production loop)::
+
+        idx = MinHashIndex(spark, index_path)
+        idx.bootstrap(landed_corpus)          # once
+        pairs = idx.probe_and_insert(delta)   # per arriving batch
+    """
+
+    def __init__(self, spark: SparkSession, base_path: str) -> None:
+        self.spark = spark
+        self.postings_path = f"{base_path.rstrip('/')}/postings"
+        self.arrays_path = f"{base_path.rstrip('/')}/arrays"
+
+    # -- build ---------------------------------------------------------------
+
+    def _write(self, docs: DataFrame, mode: str) -> None:
+        sigs = shingle_signatures(docs).persist()
+        try:
+            sigs.select("doc_id", "shs", "nw").write.mode(mode).parquet(
+                self.arrays_path
+            )
+            band_rows(sigs).write.mode(mode).partitionBy("band").parquet(
+                self.postings_path
+            )
+        finally:
+            sigs.unpersist()
+
+    def bootstrap(self, docs: DataFrame) -> None:
+        """Build the index from the landed corpus (one-time full pass)."""
+        self._write(docs, "overwrite")
+
+    def insert(self, docs: DataFrame) -> None:
+        """Append a delta's postings and verification rows — the
+        in-place index update: no existing file is rewritten."""
+        self._write(docs, "append")
+
+    # -- probe ---------------------------------------------------------------
+
+    def probe_and_insert(self, delta: DataFrame) -> DataFrame:
+        """Insert the delta, then emit verified near-dup pairs (da, db,
+        jaccard) with >= 1 delta endpoint — exactly the from-scratch
+        banded result restricted to delta-touching pairs.
+
+        Work is delta-bounded: the delta is signed once (one shuffle of
+        DELTA shingles only); its distinct band keys broadcast into a
+        semi-join over the partitioned postings (touched buckets only);
+        bucket sizes — needed for the cap — are counted over those
+        touched buckets, never the whole index; candidates fetch their
+        verification arrays by equi-join (AQE broadcasts the candidate
+        side at this scale; bucketed storage co-locates it at 100 TB)."""
+        self.insert(delta)
+        spark = self.spark
+        dsig = band_rows(shingle_signatures(delta)).select(
+            F.col("band"), F.col("sig"), F.col("doc_id").alias("d_new")
+        )
+        # dsig feeds the touched-key broadcast AND the pair join: persist
+        # so the delta isn't re-shingled per consumer; bound to one copy
+        # per index (the previous probe's handle is released)
+        prev = getattr(self, "_cached_dsig", None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+        dsig = dsig.persist()
+        self._cached_dsig = dsig
+        postings = spark.read.parquet(self.postings_path)
+        touched = dsig.select("band", "sig").distinct()
+        bucket = postings.join(F.broadcast(touched), ["band", "sig"])
+        sizes = bucket.groupBy("band", "sig").agg(F.count("*").alias("bucket_n"))
+        cand = (
+            bucket.join(sizes.filter(F.col("bucket_n") <= MH_BUCKET_CAP), ["band", "sig"])
+            .join(dsig, ["band", "sig"])
+            .filter(F.col("doc_id") != F.col("d_new"))
+            .select(
+                F.least("doc_id", "d_new").alias("da"),
+                F.greatest("doc_id", "d_new").alias("db"),
+            )
+            .distinct()
+        )
+        arrs = spark.read.parquet(self.arrays_path)
+        verified = (
+            cand.join(
+                arrs.select(
+                    F.col("doc_id").alias("da"),
+                    F.col("shs").alias("sa"),
+                    F.col("nw").alias("na"),
+                ),
+                "da",
+            )
+            .join(
+                arrs.select(
+                    F.col("doc_id").alias("db"),
+                    F.col("shs").alias("sb"),
+                    F.col("nw").alias("nb"),
+                ),
+                "db",
+            )
+            .select(
+                "da",
+                "db",
+                F.size(F.array_intersect("sa", "sb")).alias("i"),
+                "na",
+                "nb",
+            )
+            .select(
+                "da",
+                "db",
+                (
+                    F.col("i").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("i"))
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.8)
+        )
+        return verified

@@ -1957,14 +1957,18 @@ def dedup_embedding_cosine(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
 # A_i < 2^29 keeps A_i * x + B_i < 2^62 — no int64 overflow in either
 # engine. Constants come from a fixed-seed Mersenne twister at import
 # time, so both generated SQL strings embed identical literals.
-_MH_P = (1 << 61) - 1
-_MH_BANDS, _MH_ROWS = 8, 4
-_MH_K = _MH_BANDS * _MH_ROWS
-_MH_BUCKET_CAP = 64  # max docs per (band, sig) bucket used for pair-gen
-
-_mh_rng = __import__("random").Random(20260813)
-_MH_A = [_mh_rng.randrange(1, 1 << 29) | 1 for _ in range(_MH_K)]
-_MH_B = [_mh_rng.randrange(0, _MH_P) for _ in range(_MH_K)]
+# one hash family, one index: the batch operator, the persisted
+# incremental index (operators/minhash_index.py), and the DuckDB oracle
+# all share the same seeded permutations
+from ..operators.minhash_index import (  # noqa: E402
+    MH_A as _MH_A,
+    MH_B as _MH_B,
+    MH_BANDS as _MH_BANDS,
+    MH_BUCKET_CAP as _MH_BUCKET_CAP,
+    MH_K as _MH_K,
+    MH_P as _MH_P,
+    MH_ROWS as _MH_ROWS,
+)
 
 
 def _minhash_banded_duck() -> str:
@@ -2190,6 +2194,49 @@ def dedup_recall_audit(spark, sf_dir):
         "n_hit",
         (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    sql=f"""
+    SELECT da, db, jaccard FROM ({_minhash_banded_duck()}) t
+    WHERE da % 4 = 0 OR db % 4 = 0
+    """,
+    tags=("llm", "dedup", "fuzzy", "minhash", "incremental"),
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental near-dup detection of a DELTA batch against a
+    PERSISTED MinHash index — production's steady state: a new crawl
+    lands against an already-deduped corpus, and only the delta is
+    shingled, signed, and shuffled (re-signing 100 TB to admit 100 GB
+    is a 1000x overspend; round-5 review item 2).
+
+    Fixture split: landed = doc_id % 4 != 0 (bootstraps the index),
+    delta = doc_id % 4 == 0 (the arriving batch). The index
+    (operators/minhash_index.py) persists banded posting rows
+    partitioned by band plus a shingle-array verification store; the
+    probe inserts the delta FIRST, so touched-bucket sizes equal the
+    full-corpus bucket sizes and the bucket-cap semantics are identical
+    to a from-scratch banded run. Result contract: exactly the batch
+    operator's verified pairs (exact Jaccard >= 0.8) restricted to
+    pairs with >= 1 delta endpoint — which is the oracle: the full
+    banded-MinHash query filtered to da%4=0 OR db%4=0.
+
+    Same hash family / arithmetic as dedup_minhash_banded, so index
+    entries and batch signatures are bit-interchangeable; the
+    replay-equals-batch test (tests/test_minhash_index.py) additionally
+    pins that probing the delta in TWO sub-batches against the evolving
+    index yields the same union."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.minhash_index import MinHashIndex
+
+    docs = T(spark, sf_dir, "documents", parallel=True)
+    base = tempfile.mkdtemp(prefix=f"mh_index_{_uuid.uuid4().hex[:8]}_")
+    idx = MinHashIndex(spark, base)
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    return idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0))
 
 
 @register(
