@@ -2773,6 +2773,15 @@ _PQ_C = 16
 _PQ_NQ = 5
 _PQ_K = 3
 _PQ_L = 128
+# L-scaling rule (round-5 verdict item 3): the re-rank shortlist scales
+# with the database — L = max(_PQ_L, |DB| // _PQ_L_FRAC), i.e. at least
+# 25% of the corpus is re-ranked exactly once the corpus outgrows
+# 4*_PQ_L. A fixed L shrinks as a FRACTION of a growing database, which
+# is what dropped recall@3 from 1.0 (sf0.01, L=26% of DB) to 0.87
+# (sf0.1, L=6.4% of DB). At 100 TB the fraction rule is served by the
+# IVF+PQ composition (probe a cell, re-rank a fraction OF THE CELL), so
+# the exact-math cost stays per-cell, not per-corpus; see SCALE.md.
+_PQ_L_FRAC = 4
 
 _PQ_CORE_DUCK = f"""
 cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
@@ -2811,7 +2820,8 @@ short AS (
   SELECT qid, cid FROM (
     SELECT qid, cid,
       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, cid) AS rn
-    FROM adc) t WHERE rn <= {_PQ_L}),
+    FROM adc) t
+  WHERE rn <= GREATEST({_PQ_L}, (SELECT COUNT(*) // {_PQ_L_FRAC} FROM embeddings))),
 rdots AS (
   SELECT s.qid, s.cid,
     SUM({_Q.format(e='a.embedding[i]')} * {_Q.format(e='b.embedding[i]')}) AS d
@@ -2916,20 +2926,29 @@ def similarity_pq_rerank(spark, sf_dir):
     """PQ serving path: ADC shortlist (top-L by compressed distance)
     re-ranked by exact cosine — the standard two-stage PQ search
     (shortlist from codes, exact math only on L candidates per query).
-    Measured on this corpus at L=128: recall@3 goes from 0.33 (pure
-    ADC) to 1.0 at sf0.01, and 0.27 -> 0.87 at sf0.1 where the fixed L
-    is only 2.6% of the database — in production L scales with |DB| or
-    with a per-query ADC-margin rule. At 100 TB the full-precision
-    embeddings are read for the shortlist only, via an equi-join on
-    candidate id."""
+
+    L follows the SCALING RULE L = max({_PQ_L}, |DB| // {_PQ_L_FRAC}):
+    a fixed L=128 was 26% of the sf0.01 database (recall@3 = 1.0) but
+    only 6.4% at sf0.1 (recall@3 = 0.87) — the shortlist must track the
+    corpus or recall silently decays with growth. The scaled L lifts
+    sf0.1 to 0.93; closing the last gap needs a TRAINED codebook, which
+    is similarity_pq_trained (recall@3 = 1.0 at L=128). |DB| enters the
+    plan as a 1-row aggregate cross join — no driver-side count. At
+    100 TB the full-precision embeddings are read for the shortlist
+    only, via an equi-join on candidate id, and the fraction rule is
+    applied per IVF cell rather than per corpus (SCALE.md)."""
     adc = _pq_adc(spark, sf_dir)
     ws = W.partitionBy("qid").orderBy("adc_dist", "cid")
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    l_dyn = emb.agg(
+        F.floor(F.count("*") / _PQ_L_FRAC).cast("bigint").alias("l_dyn")
+    )
     short = (
         adc.withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= _PQ_L)
+        .crossJoin(F.broadcast(l_dyn))
+        .filter(F.col("rn") <= F.greatest(F.lit(_PQ_L).cast("bigint"), F.col("l_dyn")))
         .select("qid", "cid")
     )
-    emb = T(spark, sf_dir, "embeddings", parallel=True)
     sides = emb.select(
         "vec_id",
         V.quantize("embedding").alias("qv"),
@@ -3017,6 +3036,289 @@ def pq_recall_audit(spark, sf_dir):
         F.count("hr").alias("n_hit_rerank"),
         (F.count("h").cast("double") / F.count("*")).alias("recall_adc"),
         (F.count("hr").cast("double") / F.count("*")).alias("recall_rerank"),
+    )
+
+
+_PQT_ITER = 2
+
+
+def _pq_cb_trained_duck(n_iter: int = _PQT_ITER) -> str:
+    """Per-subspace Lloyd codebook training as unrolled DuckDB CTEs,
+    integer-exact like _kmeans_iter_duck: squared-L2 over quantized
+    subvector elements, means re-quantized via ROUND(SUM/COUNT), empty
+    cells carry their previous position. Ends with cb{n_iter} AS
+    (j, code, p, c_val)."""
+    parts = [
+        f"""qposn AS (
+      SELECT vec_id, t.i AS pos, {_Q.format(e='embedding[t.i]')} AS q
+      FROM embeddings CROSS JOIN range(1, {_PQ_M * _PQ_DIM + 1}) t(i)),
+    sub AS (
+      SELECT vec_id, (pos - 1) // {_PQ_DIM} AS j, (pos - 1) % {_PQ_DIM} AS p, q
+      FROM qposn),
+    cb0 AS (SELECT j, vec_id AS code, p, q AS c_val FROM sub WHERE vec_id < {_PQ_C})"""
+    ]
+    for it in range(1, n_iter + 1):
+        p = it - 1
+        parts.append(f"""dk{it} AS (
+      SELECT s.vec_id, s.j, c.code, SUM((s.q - c.c_val) * (s.q - c.c_val)) AS d2
+      FROM sub s JOIN cb{p} c ON c.j = s.j AND c.p = s.p
+      GROUP BY s.vec_id, s.j, c.code),
+    ak{it} AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+        FROM dk{it}) t WHERE rn = 1),
+    uk{it} AS (
+      SELECT a.j, a.code, s.p,
+             CAST(ROUND(CAST(SUM(s.q) AS DOUBLE) / COUNT(*)) AS BIGINT) AS new_val
+      FROM ak{it} a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j
+      GROUP BY a.j, a.code, s.p),
+    cb{it} AS (
+      SELECT c.j, c.code, c.p, COALESCE(u.new_val, c.c_val) AS c_val
+      FROM cb{p} c LEFT JOIN uk{it} u
+        ON u.j = c.j AND u.code = c.code AND u.p = c.p)""")
+    return ",\n    ".join(parts)
+
+
+def _pq_trained_duck() -> str:
+    cb = f"cb{_PQT_ITER}"
+    return f"""
+    WITH {_pq_cb_trained_duck(_PQT_ITER)},
+    {_NORM2_DUCK},
+    sdT AS (
+      SELECT s.vec_id, s.j, c.code, SUM((s.q - c.c_val) * (s.q - c.c_val)) AS d2
+      FROM sub s JOIN {cb} c ON c.j = s.j AND c.p = s.p
+      GROUP BY s.vec_id, s.j, c.code),
+    codesT AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+        FROM sdT) t WHERE rn = 1),
+    adcT AS (
+      SELECT ed.vec_id AS qid, cv.vec_id AS cid, CAST(SUM(ed.d2) AS BIGINT) AS adc_dist
+      FROM codesT cv JOIN sdT ed ON ed.code = cv.code AND ed.j = cv.j
+      WHERE ed.vec_id < {_PQ_NQ} AND cv.vec_id <> ed.vec_id
+      GROUP BY qid, cid),
+    shortT AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, cid) AS rn
+        FROM adcT) t WHERE rn <= {_PQ_L}),
+    rdotsT AS (
+      SELECT s.qid, s.cid,
+        SUM({_Q.format(e='a.embedding[i]')} * {_Q.format(e='b.embedding[i]')}) AS d
+      FROM shortT s JOIN embeddings a ON a.vec_id = s.qid
+      JOIN embeddings b ON b.vec_id = s.cid
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY s.qid, s.cid)
+    SELECT qid, cid, cos_sim, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT r.qid, r.cid,
+        CAST(r.d AS DOUBLE) /
+          (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY r.qid ORDER BY
+          CAST(r.d AS DOUBLE) /
+            (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) DESC,
+          r.cid) AS rn
+      FROM rdotsT r JOIN norms na ON na.vec_id = r.qid
+      JOIN norms nb ON nb.vec_id = r.cid) t
+    WHERE rn <= {_PQ_K}
+    """
+
+
+def _pq_trained_adc(spark, sf_dir):
+    """ADC candidate scores (qid, cid, adc_dist) over a TRAINED
+    codebook: per-subspace Lloyd iterations (the k-means loop of
+    _kmeans_centroids applied to each 4-dim subspace), then the same
+    encode/score shape as _pq_adc. Training is integer-exact (quantized
+    distances, re-quantized means), so the oracle replays the codebook
+    AND the serving bit-for-bit."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", V.quantize("embedding").alias("qv")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda j: F.slice("qv", j * _PQ_DIM + 1, _PQ_DIM),
+            )
+        ).alias("j", "sv"),
+    )
+    # the subvector relation feeds every training iteration, the encode
+    # pass, and the query distance table — persist ONE copy
+    sub = _swap_cached(_pq_trained_adc, "_cached_sub", sub)
+    cb = sub.filter(F.col("vec_id") < _PQ_C).select(
+        "j", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    aw = W.partitionBy("vec_id", "j").orderBy(F.asc("d2"), F.asc("code"))
+    for _ in range(_PQT_ITER):
+        assign = (
+            sub.join(F.broadcast(cb), "j")
+            .select("vec_id", "j", "code", "sv", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "j", "code", "sv")
+        )
+        upd = (
+            assign.select("j", "code", F.posexplode("sv").alias("p", "q"))
+            .groupBy("j", "code", "p")
+            .agg(F.round(F.sum("q") / F.count("*")).cast("bigint").alias("nv"))
+        )
+        upd_arr = upd.groupBy("j", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "nv"))),
+                lambda s: s["nv"],
+            ).alias("nv_arr")
+        )
+        cb = cb.join(upd_arr, ["j", "code"], "left").select(
+            "j", "code", F.coalesce("nv_arr", F.col("cv")).alias("cv")
+        )
+    sd = (
+        sub.join(F.broadcast(cb), "j")
+        .select("vec_id", "j", "code", d2.alias("d2"))
+    )
+    wcode = W.partitionBy("vec_id", "j").orderBy("d2", "code")
+    codes = (
+        sd.withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", "code")
+    )
+    qd = sd.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), "code", "j", "d2"
+    )
+    return (
+        codes.join(F.broadcast(qd), ["code", "j"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("d2").alias("adc_dist"))
+    )
+
+
+@register(
+    "similarity_pq_trained",
+    sql=_pq_trained_duck(),
+    tags=("llm", "similarity", "pq", "kmeans"),
+)
+def similarity_pq_trained(spark, sf_dir):
+    """PQ serving with a TRAINED codebook: 2 per-subspace Lloyd
+    iterations (seeded from the first {_PQ_C} vectors' slices — the
+    ivf_trained pattern applied to each 4-dim subspace), ADC shortlist
+    at FIXED L={_PQ_L}, exact re-rank top-{_PQ_K}.
+
+    Why training instead of growing L: the seed codebook is 16
+    arbitrary vectors' slices, so ADC quantization error buries some
+    true neighbors deep in the compressed order (measured at sf0.1: one
+    exact-top-3 candidate sits at seed-ADC rank ~515, forcing L~700 of
+    2000 for full recall). Two Lloyd rounds reshape each subspace
+    codebook to the data and pull the worst true neighbor to ADC rank
+    89: recall@3 = 1.0 at L=128 = 6.4% of the database, where the seed
+    codebook managed 0.87 (fixed L) / 0.93 (L=25%). The 100 TB lesson
+    (SCALE.md): train the codebook, keep the shortlist constant —
+    exact-math cost per query stays O(L), independent of corpus.
+
+    Training cost: _PQT_ITER broadcast-join passes over the subvector
+    relation (persisted once), each ONE shuffle of (j, code, p) partial
+    sums — k-means-step shape, no driver state."""
+    adc = _pq_trained_adc(spark, sf_dir)
+    ws = W.partitionBy("qid").orderBy("adc_dist", "cid")
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _PQ_L)
+        .select("qid", "cid")
+    )
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    sides = emb.select(
+        "vec_id",
+        V.quantize("embedding").alias("qv"),
+        V.dot_exact("embedding", "embedding").alias("n2"),
+    )
+    q = sides.select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qq"), F.col("n2").alias("qn2")
+    )
+    c = sides.select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("qc"), F.col("n2").alias("cn2")
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        short.join(F.broadcast(q), "qid")
+        .join(c, "cid")
+        .select(
+            "qid",
+            "cid",
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    wk = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= _PQ_K)
+        .select("qid", "cid", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+@register(
+    "pq_trained_recall_audit",
+    sql=f"""
+    WITH exact AS (
+      SELECT qid, cid FROM ({_TOPK_DUCK}) WHERE rnk <= {_PQ_K}
+    ),
+    seedrr AS (SELECT qid, cid FROM ({_PQ_RERANK_DUCK})),
+    trained AS (SELECT qid, cid FROM ({_pq_trained_duck()})),
+    j AS (
+      SELECT e.qid, e.cid, s.qid AS hs, t.qid AS ht
+      FROM exact e
+      LEFT JOIN seedrr s ON s.qid = e.qid AND s.cid = e.cid
+      LEFT JOIN trained t ON t.qid = e.qid AND t.cid = e.cid)
+    SELECT COUNT(*) AS n_exact,
+           COUNT(hs) AS n_hit_seed,
+           COUNT(ht) AS n_hit_trained,
+           CAST(COUNT(hs) AS DOUBLE) / COUNT(*) AS recall_seed,
+           CAST(COUNT(ht) AS DOUBLE) / COUNT(*) AS recall_trained
+    FROM j
+    """,
+    tags=("llm", "similarity", "pq", "kmeans", "audit"),
+)
+def pq_trained_recall_audit(spark, sf_dir):
+    """Does TRAINING the PQ codebook pay for itself? One row comparing
+    recall@{_PQ_K} of the seed-codebook re-rank (similarity_pq_rerank,
+    scaled L) and the trained-codebook re-rank (similarity_pq_trained,
+    fixed L={_PQ_L}) against the exact cosine top-{_PQ_K} — the
+    companion row to ivf_trained_recall_audit on the compressed-index
+    side. Measured at sf0.1: 0.93 (seed, L=25% of DB) vs 1.0 (trained,
+    L=6.4% of DB) — training buys more recall than a 4x-larger
+    shortlist."""
+    exact = (
+        similarity_topk_cosine(spark, sf_dir)
+        .filter(F.col("rnk") <= _PQ_K)
+        .select("qid", "cid")
+    )
+    seed = similarity_pq_rerank(spark, sf_dir).select("qid", "cid")
+    trained = similarity_pq_trained(spark, sf_dir).select("qid", "cid")
+    marked = (
+        exact.join(seed.withColumn("hs", F.lit(1)), ["qid", "cid"], "left")
+        .join(trained.withColumn("ht", F.lit(1)), ["qid", "cid"], "left")
+    )
+    return marked.agg(
+        F.count("*").alias("n_exact"),
+        F.count("hs").alias("n_hit_seed"),
+        F.count("ht").alias("n_hit_trained"),
+        (F.count("hs").cast("double") / F.count("*")).alias("recall_seed"),
+        (F.count("ht").cast("double") / F.count("*")).alias("recall_trained"),
     )
 
 
@@ -3583,11 +3885,12 @@ assign AS (
     FROM adot a JOIN norms nv ON nv.vec_id = a.vec_id
     JOIN norms nc ON nc.vec_id = a.cent_id) t
   WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cent_id,
+    ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY vec_id) AS mrank
+  FROM assign),
 capped AS (
-  SELECT vec_id, cent_id FROM (
-    SELECT vec_id, cent_id,
-      ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY vec_id) AS mrank
-    FROM assign) t
+  SELECT vec_id, cent_id FROM ranked
   WHERE mrank <= {_SEMDEDUP_CLUSTER_CAP})"""
 
 _SEMDEDUP_DUCK = f"""
@@ -3614,11 +3917,13 @@ WHERE rn = 1
 """
 
 
-def _semdedup_members(spark, sf_dir):
-    """Capped per-cluster member relation (vec_id, qv, n2, cent_id):
-    nearest-of-k assignment (broadcast centroids + window argmax), then
-    the per-cluster member cap. Cached once per invocation — feeds both
-    sides of the pair join and the recall audit."""
+def _semdedup_ranked(spark, sf_dir):
+    """UNCAPPED per-cluster member relation (vec_id, qv, n2, cent_id,
+    mrank): nearest-of-k assignment (broadcast centroids + window
+    argmax) with each member's rank within its cluster. Cached once per
+    invocation — the pair join filters to mrank <= cap; the audits keep
+    the full relation so cap-evicted pairs count as MISSES rather than
+    silently vanishing from the denominator."""
     emb = T(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id",
         V.quantize("embedding").alias("qv"),
@@ -3639,16 +3944,25 @@ def _semdedup_members(spark, sf_dir):
     )
     aw = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
     mw = W.partitionBy("cent_id").orderBy("vec_id")
-    members = (
+    ranked = (
         emb.crossJoin(F.broadcast(cent))
         .select("vec_id", "qv", "n2", "cent_id", cosvc.alias("cos_c"))
         .withColumn("rn", F.row_number().over(aw))
         .filter(F.col("rn") == 1)
         .withColumn("mrank", F.row_number().over(mw))
+        .select("vec_id", "qv", "n2", "cent_id", "mrank")
+    )
+    return _swap_cached(_semdedup_ranked, "_cached_ranked", ranked)
+
+
+def _semdedup_members(spark, sf_dir):
+    """Capped per-cluster member relation (vec_id, qv, n2, cent_id) —
+    what the pair join consumes."""
+    return (
+        _semdedup_ranked(spark, sf_dir)
         .filter(F.col("mrank") <= _SEMDEDUP_CLUSTER_CAP)
         .select("vec_id", "qv", "n2", "cent_id")
     )
-    return _swap_cached(_semdedup_members, "_cached_members", members)
 
 
 @register(
@@ -3962,13 +4276,17 @@ exact AS (
   WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
         >= {_SEMDEDUP_THRESHOLD})
 SELECT COUNT(*) AS n_exact_pairs,
-  CAST(SUM(CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(SUM(CASE WHEN ca.cent_id = cb.cent_id
+    AND ca.mrank <= {_SEMDEDUP_CLUSTER_CAP}
+    AND cb.mrank <= {_SEMDEDUP_CLUSTER_CAP} THEN 1 ELSE 0 END) AS BIGINT)
     AS n_coclustered,
-  CAST(SUM(CASE WHEN ca.cent_id = cb.cent_id THEN 1 ELSE 0 END) AS DOUBLE)
+  CAST(SUM(CASE WHEN ca.cent_id = cb.cent_id
+    AND ca.mrank <= {_SEMDEDUP_CLUSTER_CAP}
+    AND cb.mrank <= {_SEMDEDUP_CLUSTER_CAP} THEN 1 ELSE 0 END) AS DOUBLE)
     / COUNT(*) AS semantic_recall
 FROM exact
-JOIN capped ca ON ca.vec_id = va
-JOIN capped cb ON cb.vec_id = vb
+JOIN ranked ca ON ca.vec_id = va
+JOIN ranked cb ON cb.vec_id = vb
 """
 
 
@@ -3988,9 +4306,12 @@ def semdedup_recall_audit(spark, sf_dir):
 
     One row: (n_exact_pairs, n_coclustered, semantic_recall). The exact
     side is the same bounded O(n²) twin as similarity_threshold_pairs
-    (slice pushed into the scan); the cluster side reuses the capped
-    member relation. Excluded from the bench HEADLINE like every
-    oracle-twin."""
+    (slice pushed into the scan); the cluster side uses the UNCAPPED
+    assignment for the denominator, and a pair counts as co-clustered
+    only if BOTH endpoints survive the member cap — a pair lost to cap
+    eviction is a real miss for the pair join, so it must depress the
+    metric, not vanish from it (round-5 advice). Excluded from the
+    bench HEADLINE like every oracle-twin."""
     emb = _twin_sample(
         T(spark, sf_dir, "embeddings", parallel=True), _TWIN_SAMPLE_N
     )
@@ -4019,10 +4340,20 @@ def semdedup_recall_audit(spark, sf_dir):
         .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
         .select("va", "vb")
     )
-    assign = _semdedup_members(spark, sf_dir).select("vec_id", "cent_id")
-    ca = assign.select(F.col("vec_id").alias("va"), F.col("cent_id").alias("ca"))
-    cb = assign.select(F.col("vec_id").alias("vb"), F.col("cent_id").alias("cb"))
-    hit = (F.col("ca") == F.col("cb")).cast("int")
+    assign = _semdedup_ranked(spark, sf_dir).select("vec_id", "cent_id", "mrank")
+    ca = assign.select(
+        F.col("vec_id").alias("va"), F.col("cent_id").alias("ca"),
+        F.col("mrank").alias("ma"),
+    )
+    cb = assign.select(
+        F.col("vec_id").alias("vb"), F.col("cent_id").alias("cb"),
+        F.col("mrank").alias("mb"),
+    )
+    hit = (
+        (F.col("ca") == F.col("cb"))
+        & (F.col("ma") <= _SEMDEDUP_CLUSTER_CAP)
+        & (F.col("mb") <= _SEMDEDUP_CLUSTER_CAP)
+    ).cast("int")
     return (
         exact.join(ca, "va")
         .join(cb, "vb")
@@ -4288,16 +4619,20 @@ def _trained_assign_duck() -> str:
             >= {_SEMDEDUP_THRESHOLD}),
     trained AS (SELECT vec_id, cent_id FROM ({_trained_assign_duck()}) ta)
     SELECT COUNT(*) AS n_exact_pairs,
-      CAST(SUM(CASE WHEN sa.cent_id = sb.cent_id THEN 1 ELSE 0 END) AS BIGINT)
+      CAST(SUM(CASE WHEN sa.cent_id = sb.cent_id
+        AND sa.mrank <= {_SEMDEDUP_CLUSTER_CAP}
+        AND sb.mrank <= {_SEMDEDUP_CLUSTER_CAP} THEN 1 ELSE 0 END) AS BIGINT)
         AS n_cocluster_seed,
       CAST(SUM(CASE WHEN ta.cent_id = tb.cent_id THEN 1 ELSE 0 END) AS BIGINT)
         AS n_cocluster_trained,
-      CAST(SUM(CASE WHEN sa.cent_id = sb.cent_id THEN 1 ELSE 0 END) AS DOUBLE)
+      CAST(SUM(CASE WHEN sa.cent_id = sb.cent_id
+        AND sa.mrank <= {_SEMDEDUP_CLUSTER_CAP}
+        AND sb.mrank <= {_SEMDEDUP_CLUSTER_CAP} THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*) AS recall_seed,
       CAST(SUM(CASE WHEN ta.cent_id = tb.cent_id THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*) AS recall_trained
     FROM exact
-    JOIN capped sa ON sa.vec_id = va JOIN capped sb ON sb.vec_id = vb
+    JOIN ranked sa ON sa.vec_id = va JOIN ranked sb ON sb.vec_id = vb
     JOIN trained ta ON ta.vec_id = va JOIN trained tb ON tb.vec_id = vb
     """,
     tags=("llm", "dedup", "embedding", "semdedup", "kmeans", "audit"),
@@ -4339,13 +4674,23 @@ def semdedup_trained_audit(spark, sf_dir):
         .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
         .select("va", "vb")
     )
-    seed = _semdedup_members(spark, sf_dir).select("vec_id", "cent_id")
+    seed = _semdedup_ranked(spark, sf_dir).select("vec_id", "cent_id", "mrank")
     trained = _ivf_trained_assign(spark, sf_dir).select("vec_id", "cent_id")
-    sa = seed.select(F.col("vec_id").alias("va"), F.col("cent_id").alias("sa"))
-    sb = seed.select(F.col("vec_id").alias("vb"), F.col("cent_id").alias("sb"))
+    sa = seed.select(
+        F.col("vec_id").alias("va"), F.col("cent_id").alias("sa"),
+        F.col("mrank").alias("sma"),
+    )
+    sb = seed.select(
+        F.col("vec_id").alias("vb"), F.col("cent_id").alias("sb"),
+        F.col("mrank").alias("smb"),
+    )
     ta = trained.select(F.col("vec_id").alias("va"), F.col("cent_id").alias("ta"))
     tb = trained.select(F.col("vec_id").alias("vb"), F.col("cent_id").alias("tb"))
-    hs = (F.col("sa") == F.col("sb")).cast("int")
+    hs = (
+        (F.col("sa") == F.col("sb"))
+        & (F.col("sma") <= _SEMDEDUP_CLUSTER_CAP)
+        & (F.col("smb") <= _SEMDEDUP_CLUSTER_CAP)
+    ).cast("int")
     ht = (F.col("ta") == F.col("tb")).cast("int")
     return (
         exact.join(sa, "va")
