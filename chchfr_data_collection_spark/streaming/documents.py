@@ -86,10 +86,15 @@ def dedup_by_content_within_watermark(docs: DataFrame, delay: str = "10 days") -
 def foreach_batch_word_count_partials(stream_df: DataFrame, target: str, checkpoint: str):
     """Incremental term-frequency maintenance on the document stream:
     each micro-batch map-side-combines to per-word count partials and
-    APPENDS them to the stats store. Counts are mergeable partials, so
-    the summed store equals the batch word count exactly no matter how
-    the stream was chunked — the live "trending terms" feed a crawl
-    pipeline keeps next to ingest.
+    lands them in the stats store PARTITIONED BY batch_id with dynamic
+    partition overwrite — a foreachBatch RETRY of the same micro-batch
+    (task/driver failure before the checkpoint commit) REPLACES its own
+    partition instead of appending a second copy, so replays are
+    idempotent (foreachBatch is at-least-once; the sink must dedup by
+    batch_id). Counts are mergeable partials, so the summed store
+    equals the batch word count exactly no matter how the stream was
+    chunked — the live "trending terms" feed a crawl pipeline keeps
+    next to ingest.
 
     Store growth is O(#batches × batch-vocabulary); compaction is
     re-aggregation (same algebra), exactly like the moment-partials
@@ -100,8 +105,14 @@ def foreach_batch_word_count_partials(stream_df: DataFrame, target: str, checkpo
             batch.select(F.explode(F.split("text", " ", -1)).alias("word"))
             .groupBy("word")
             .agg(F.count("*").alias("c"))
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
         )
-        part.write.mode("append").parquet(target)
+        (
+            part.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(target)
+        )
 
     return (
         stream_df.writeStream.foreachBatch(_acc)

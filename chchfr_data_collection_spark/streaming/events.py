@@ -290,7 +290,11 @@ def foreach_batch_value_hist_partials(
 ):
     """Incremental value-HISTOGRAM maintenance on the event stream: each
     micro-batch reduces to (event_type, cents-value, count) cells and
-    APPENDS them to the stats store. Histogram cells are mergeable
+    lands them in the stats store PARTITIONED BY batch_id with dynamic
+    partition overwrite — a foreachBatch RETRY of the same micro-batch
+    REPLACES its own partition instead of appending a duplicate, so
+    replays are idempotent (foreachBatch is at-least-once; the sink
+    must dedup by batch_id). Histogram cells are mergeable
     partials — summing the store reproduces the batch histogram exactly
     regardless of chunking — and the per-type histogram is bounded by
     the value range, not the event count, so the store compacts to a
@@ -306,8 +310,14 @@ def foreach_batch_value_hist_partials(
             )
             .groupBy("event_type", "v")
             .agg(F.count("*").alias("c"))
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
         )
-        part.write.mode("append").parquet(target)
+        (
+            part.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(target)
+        )
 
     return (
         stream_df.writeStream.foreachBatch(_acc)

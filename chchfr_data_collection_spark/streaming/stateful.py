@@ -170,29 +170,51 @@ def user_transition_pairs(events: DataFrame) -> DataFrame:
     every transition that straddles a micro-batch boundary (the first
     event of a batch has no within-batch predecessor), so transition
     counts are NOT mergeable partials. The state store carries each
-    user's last event (ts, event_id, type); each batch sorts its rows
-    by (ts, event_id), prepends the carried event, emits the pair rows
-    (append mode), and stores the new tail — so the emitted pair
-    multiset is EXACTLY the batch computation's for any chunking of
-    the feed. State is O(1) per user forever."""
+    user's last event (ts, event_id, type); each batch MERGES the
+    carried event into its (ts, event_id) sort (not a blind prepend),
+    emits the pair rows (append mode), and stores the max-(ts,
+    event_id) row as the new tail.
+
+    Exactness contract: the emitted pair multiset equals the batch
+    computation's for any TIME-ORDERED chunking of the feed (each
+    batch's rows ≥ the carried tail — what an availableNow file replay
+    or a watermarked, ordered source delivers). A row arriving LATE
+    across a batch boundary cannot be exact in append mode without
+    retraction (its global predecessor pair was already emitted);
+    merging it into the sort at least handles it deterministically:
+    it pairs within the batch by true time order and the stored tail
+    stays the true maximum, so state never moves backwards."""
 
     def fold(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        rows = pd.DataFrame(
+            {
+                "tsu": [
+                    int(pd.Timestamp(t).value // 1000) for t in rows["ts"]
+                ],
+                "event_id": rows["event_id"].astype("int64"),
+                "event_type": rows["event_type"].astype("object"),
+            }
+        )
+        if state.exists:
+            carried = pd.DataFrame(
+                {
+                    "tsu": [int(state.get[0])],
+                    "event_id": [int(state.get[1])],
+                    "event_type": [str(state.get[2])],
+                }
+            )
+            rows = pd.concat([carried, rows], ignore_index=True)
+        rows = rows.sort_values(["tsu", "event_id"], kind="mergesort")
         types = rows["event_type"].tolist()
-        seq = ([state.get[2]] if state.exists else []) + types
         last = rows.iloc[-1]
         state.update(
-            (
-                int(pd.Timestamp(last["ts"]).value // 1000),
-                int(last["event_id"]),
-                str(last["event_type"]),
-            )
+            (int(last["tsu"]), int(last["event_id"]), str(last["event_type"]))
         )
         yield pd.DataFrame(
-            {"prev_type": seq[:-1], "next_type": seq[1:]},
+            {"prev_type": types[:-1], "next_type": types[1:]},
             dtype="object",
         )
 

@@ -432,3 +432,111 @@ def test_streaming_markov_multibatch_boundary_carry(spark, sf_small, tmp_path):
     u0 = set(pq.read_table(str(land / "b0.parquet"), columns=["user_id"]).column("user_id").to_pylist())
     u1 = set(pq.read_table(str(land / "b1.parquet"), columns=["user_id"]).column("user_id").to_pylist())
     assert u0 & u1, "split must force cross-batch state carries"
+
+
+def test_foreach_batch_partials_retry_idempotent(spark, sf_small, tmp_path):
+    """A foreachBatch RETRY of an already-landed micro-batch (driver
+    failure before the checkpoint commit) must REPLACE its partials,
+    not append a second copy. Simulated by re-running the sink with the
+    checkpoint wiped: availableNow restarts from batch_id 0 over the
+    same feed, so every batch replays — with the batch_id-partitioned
+    dynamic overwrite the merged counts are unchanged; with a plain
+    append they would exactly double."""
+    import shutil
+
+    from chchfr_data_collection_spark.streaming.documents import (
+        foreach_batch_word_count_partials,
+        read_documents_stream,
+    )
+
+    target = str(tmp_path / "partials")
+    ck = str(tmp_path / "ck")
+    foreach_batch_word_count_partials(
+        read_documents_stream(spark, sf_small), target, ck
+    ).awaitTermination()
+
+    def merged():
+        return {
+            r.word: r.c
+            for r in spark.read.parquet(target)
+            .groupBy("word")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        }
+
+    first = merged()
+    assert first, "sink landed no partials"
+    shutil.rmtree(ck)  # lose the commit log -> full replay, same ids
+    foreach_batch_word_count_partials(
+        read_documents_stream(spark, sf_small), target, ck
+    ).awaitTermination()
+    assert merged() == first
+
+
+def test_markov_out_of_order_batch_deterministic(spark, tmp_path):
+    """A micro-batch containing an event OLDER than the carried tail
+    (out-of-order arrival across batches) is handled DETERMINISTICALLY:
+    the carried event merges into the (ts, event_id) sort — it does not
+    blindly prepend — and the stored tail stays the true maximum, so
+    state never moves backwards. (Exactness under late arrival is
+    impossible in append mode without retraction; this pins the
+    documented degradation.)"""
+    import glob
+    import shutil
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from chchfr_data_collection_spark.streaming.stateful import user_transition_pairs
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2026, 1, 1, 0, 0, s)
+
+    batches = [
+        [(1, 7, "A", t(1), 0.0), (3, 7, "C", t(3), 0.0)],
+        # B arrives LATE: older than the carried tail C
+        [(2, 7, "B", t(2), 0.0), (4, 7, "D", t(4), 0.0)],
+        [(5, 7, "E", t(5), 0.0)],
+    ]
+    land = tmp_path / "land"
+    land.mkdir()
+    for i, rows in enumerate(batches):
+        tmp = tmp_path / f"part{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        (src,) = glob.glob(str(tmp / "part-*.parquet"))
+        shutil.copy(src, land / f"b{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land))
+    )
+    name = "markov_ooo_" + uuid.uuid4().hex[:8]
+    q = (
+        user_transition_pairs(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.prev_type, r.next_type)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    # batch1: (A,C); batch2 merged-sort [B,C,D]: (B,C),(C,D) — the late
+    # B pairs by true time order, and the tail D (not B) carries to
+    # batch3: (D,E). A blind prepend would have emitted (C,B),(B,D).
+    assert got == sorted([("A", "C"), ("B", "C"), ("C", "D"), ("D", "E")])
