@@ -166,6 +166,74 @@ def salted_join_lineitem(spark, sf_dir):
     )
 
 
+@register(
+    "skew_join_aqe",
+    sql="""
+    SELECT l.k, n.n_name, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM (SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+                      ELSE l_orderkey % 25 END AS k,
+                 l_extendedprice
+          FROM lineitem) l
+    JOIN nation n ON n.n_nationkey = l.k
+    GROUP BY l.k, n.n_name
+    """,
+    tags=("operator", "skew", "join", "aqe"),
+)
+def skew_join_aqe(spark, sf_dir):
+    """The ZERO-CODE skew path: a deliberately hot-keyed sort-merge join
+    left to `spark.sql.adaptive.skewJoin` (on in the session factory) —
+    the complement of salted_join_lineitem, which handles the same
+    shape by hand. ~90% of lineitem rows collapse onto key 0, so the
+    post-shuffle partition holding key 0 dwarfs its peers; at run time
+    AQE splits that partition into threshold-sized slices and replicates
+    the matching dim rows per slice (OptimizeSkewedJoin), with no salt
+    column, no replication logic, and no change to this query's text —
+    the path a 1000-executor cluster prefers because split sizing tracks
+    the ACTUAL runtime bytes, not a guessed n_salts.
+
+    Two plan-shape preconditions, measured here because each silently
+    disables the rule (the result stays correct, just stragglered):
+    (1) the skewed side needs >1 MAP task — AQE splits a reduce
+    partition by mapper ranges, so a single-row-group parquet scan
+    (1 mapper) is UNSPLITTABLE; `parallelize_scan` restores map-side
+    fan-out locally, and a real 100 TB scan has it structurally.
+    (2) `OptimizeSkewedJoin` pattern-matches SMJ(Sort(stage),
+    Sort(stage)) EXACTLY — a dim side that ends in an aggregation
+    (e.g. a pre-counted orders-per-key relation) leaves its final
+    HashAggregate between Sort and the shuffle stage and silently
+    vetoes the rule (measured here; AQE replanning also strips a
+    user repartition() inserted to force a stage boundary). Hence the
+    dim is a plain `nation` scan; pre-aggregated dims belong on the
+    salted path (salted_join_lineitem) or behind a broadcast.
+
+    The `merge` hint keeps the demo honest: the 25-row dim side would
+    otherwise broadcast (skew becomes a non-event — also a valid
+    answer, but then nothing exercises the skew machinery). The
+    skew-split firing is pinned by tests/test_skew.py::
+    test_aqe_skew_join_splits_hot_partition at lowered thresholds plus
+    forceOptimizeSkewedJoin (the downstream groupBy reuses the join's
+    k-partitioning, and at 100 TB one extra agg exchange beats a
+    straggler); correctness is oracle-exact because AQE's split changes
+    only the partitioning, never the join result."""
+    hot = F.when(F.col("l_orderkey") % 100 < 90, F.lit(0)).otherwise(
+        F.col("l_orderkey") % 25
+    )
+    li = (
+        T(spark, sf_dir, "lineitem", parallel=True)
+        .select(hot.cast("bigint").alias("k"), "l_extendedprice")
+    )
+    dim = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("k"), "n_name"
+    )
+    return (
+        li.join(dim.hint("merge"), "k")
+        .groupBy("k", "n_name")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice").alias("revenue"))
+    )
+
+
 # -------------------------------------------------------- write policy K2/K3
 
 @register(

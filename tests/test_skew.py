@@ -51,3 +51,42 @@ def test_salted_join_equals_naive(spark):
     naive_l = big.join(small, "k", "left").count()
     salted_l = salted_join(big, small, ["k"], how="left").count()
     assert naive_l == salted_l
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_small):
+    """Pin that the ZERO-CODE skew path actually fires: run
+    skew_join_aqe with the AQE skew thresholds lowered to test-scale
+    bytes and assert the executed plan carries a skew=true sort-merge
+    join (OptimizeSkewedJoin split the hot partition). At the default
+    256 MB threshold the sf0.001 fixture never trips the split — the
+    lowered thresholds model the 100 TB shape where the hot key's
+    partition dwarfs the advisory size."""
+    from chchfr_data_collection_spark.queries import catalog
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the groupBy (k, n_orders) RE-USES the join's k-partitioning, so
+        # AQE will not split it unless told the extra agg shuffle is worth
+        # it — at 100 TB it is (straggler >> one more exchange)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = catalog()["skew_join_aqe"].fn(spark, sf_small)
+        rows = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan[:4000]
+    # and the split changed only the partitioning, never the result
+    hot = {r.k: (r.n, r.revenue) for r in rows}
+    assert 0 in hot and len(hot) == 11  # hot key + tail keys 15..24
+    assert hot[0][0] > 50 * max(v[0] for k, v in hot.items() if k != 0)
