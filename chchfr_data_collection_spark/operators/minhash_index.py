@@ -10,16 +10,28 @@ only the delta is shingled, signed, and shuffled.
 
 Index layout (two parquet relations under one base path):
 
-- `postings/` — (band, sig, doc_id), partitioned by `band`: the banded
-  LSH buckets. A probe for the delta's (band, sig) keys is an equi-join;
-  partition pruning cuts it 8× before the sig filter. Appending a
-  delta's posting rows IS the index update — no rewrite, no merge.
-- `arrays/` — (doc_id, shs, nw): the verification store (per-doc
-  distinct shingle array + its size), used to confirm candidates with
-  EXACT Jaccard so the incremental path emits the same contract as the
-  batch path (verified pairs, J >= 0.8). At 100 TB this relation is
-  stored bucketed by doc_id so the candidate fetch co-locates; on plain
-  parquet AQE broadcasts the (delta-bounded) candidate side instead.
+- `postings/` — (band, sig, doc_id), partitioned by (band, delta_id):
+  the banded LSH buckets. A probe for the delta's (band, sig) keys is
+  an equi-join; partition pruning cuts it 8× before the sig filter.
+  Landing a delta's posting rows IS the index update — no rewrite, no
+  merge of existing files.
+- `arrays/` — (doc_id, shs, nw), partitioned by delta_id: the
+  verification store (per-doc distinct shingle array + its size), used
+  to confirm candidates with EXACT Jaccard so the incremental path
+  emits the same contract as the batch path (verified pairs, J >= 0.8).
+  At 100 TB this relation is stored bucketed by doc_id so the candidate
+  fetch co-locates; on plain parquet AQE broadcasts the (delta-bounded)
+  candidate side instead.
+
+Deltas land with DYNAMIC PARTITION OVERWRITE keyed by a caller-supplied
+`delta_id`: a RETRY of the same delta (task/driver failure mid-insert)
+replaces its own partitions instead of appending a second copy — the
+same at-least-once discipline as the foreachBatch partial sinks
+(streaming/documents.py). Duplicate index rows would otherwise inflate
+bucket sizes toward the cap and duplicate verified pair rows.
+Concurrent WRITERS on one index still need the WriterLease fence
+(operators/lease.py) — partition overwrite serializes retries of the
+same delta, not two different writers.
 
 Probe = insert-then-probe: the delta's postings/arrays are appended
 FIRST, then the delta's band keys join the (now-updated) postings. That
@@ -129,30 +141,49 @@ class MinHashIndex:
 
     # -- build ---------------------------------------------------------------
 
-    def _write(self, docs: DataFrame, mode: str) -> None:
+    def _write_sigs(self, sigs: DataFrame, delta_id: str, full: bool) -> None:
+        """Land one delta's partitions. `full=True` (bootstrap) clears
+        the whole index first; otherwise dynamic overwrite replaces only
+        this delta_id's partitions, so a retry is idempotent."""
+        did = F.lit(delta_id)
+        arrays_w = (
+            sigs.select("doc_id", "shs", "nw", did.alias("delta_id"))
+            .write.mode("overwrite")
+        )
+        postings_w = (
+            band_rows(sigs)
+            .withColumn("delta_id", did)
+            .write.mode("overwrite")
+        )
+        if not full:
+            arrays_w = arrays_w.option("partitionOverwriteMode", "dynamic")
+            postings_w = postings_w.option("partitionOverwriteMode", "dynamic")
+        arrays_w.partitionBy("delta_id").parquet(self.arrays_path)
+        postings_w.partitionBy("band", "delta_id").parquet(self.postings_path)
+
+    def bootstrap(self, docs: DataFrame, delta_id: str = "bootstrap") -> None:
+        """Build the index from the landed corpus (one-time full pass)."""
         sigs = shingle_signatures(docs).persist()
         try:
-            sigs.select("doc_id", "shs", "nw").write.mode(mode).parquet(
-                self.arrays_path
-            )
-            band_rows(sigs).write.mode(mode).partitionBy("band").parquet(
-                self.postings_path
-            )
+            self._write_sigs(sigs, delta_id, full=True)
         finally:
             sigs.unpersist()
 
-    def bootstrap(self, docs: DataFrame) -> None:
-        """Build the index from the landed corpus (one-time full pass)."""
-        self._write(docs, "overwrite")
-
-    def insert(self, docs: DataFrame) -> None:
-        """Append a delta's postings and verification rows — the
-        in-place index update: no existing file is rewritten."""
-        self._write(docs, "append")
+    def insert(self, docs: DataFrame, delta_id: str) -> None:
+        """Land a delta's postings and verification rows — the in-place
+        index update: no existing delta's files are rewritten, and
+        re-landing the SAME delta_id replaces rather than duplicates."""
+        sigs = shingle_signatures(docs).persist()
+        try:
+            self._write_sigs(sigs, delta_id, full=False)
+        finally:
+            sigs.unpersist()
 
     # -- probe ---------------------------------------------------------------
 
-    def probe_and_insert(self, delta: DataFrame) -> DataFrame:
+    def probe_and_insert(
+        self, delta: DataFrame, delta_id: str | None = None
+    ) -> DataFrame:
         """Insert the delta, then emit verified near-dup pairs (da, db,
         jaccard) with >= 1 delta endpoint — exactly the from-scratch
         banded result restricted to delta-touching pairs.
@@ -163,23 +194,31 @@ class MinHashIndex:
         bucket sizes — needed for the cap — are counted over those
         touched buckets, never the whole index; candidates fetch their
         verification arrays by equi-join (AQE broadcasts the candidate
-        side at this scale; bucketed storage co-locates it at 100 TB)."""
-        self.insert(delta)
+        side at this scale; bucketed storage co-locates it at 100 TB).
+
+        Pass a STABLE `delta_id` to make a retried probe idempotent
+        (same partitions replaced); the default random id gives each
+        call its own partitions."""
         spark = self.spark
-        dsig = band_rows(shingle_signatures(delta)).select(
-            F.col("band"), F.col("sig"), F.col("doc_id").alias("d_new")
-        )
-        # dsig feeds the touched-key broadcast AND the pair join: persist
-        # so the delta isn't re-shingled per consumer; bound to one copy
-        # per index (the previous probe's handle is released)
-        prev = getattr(self, "_cached_dsig", None)
+        if delta_id is None:
+            import uuid as _uuid
+
+            delta_id = _uuid.uuid4().hex
+        # one shingling pass feeds BOTH the index landing and the probe:
+        # persist so the delta isn't re-shingled per consumer; bound to
+        # one copy per index (the previous probe's handle is released)
+        sigs = shingle_signatures(delta).persist()
+        prev = getattr(self, "_cached_sigs", None)
         if prev is not None:
             try:
                 prev.unpersist()
             except Exception:
                 pass
-        dsig = dsig.persist()
-        self._cached_dsig = dsig
+        self._cached_sigs = sigs
+        self._write_sigs(sigs, delta_id, full=False)
+        dsig = band_rows(sigs).select(
+            F.col("band"), F.col("sig"), F.col("doc_id").alias("d_new")
+        )
         postings = spark.read.parquet(self.postings_path)
         touched = dsig.select("band", "sig").distinct()
         bucket = postings.join(F.broadcast(touched), ["band", "sig"])

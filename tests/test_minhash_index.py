@@ -70,3 +70,22 @@ def test_insert_is_append_only(spark, tmp_path):
     arrays_after = spark.read.parquet(idx.arrays_path).count()
     n_delta = delta.filter(F.size(F.split("text", " ", -1)) >= 3).count()
     assert arrays_after - arrays_before == n_delta
+
+
+def test_probe_retry_same_delta_id_idempotent(spark, tmp_path):
+    """Re-landing the SAME delta_id (a retried probe after a mid-insert
+    failure) replaces the delta's partitions instead of duplicating
+    them: index row counts and the verified pair set are unchanged, and
+    bucket sizes don't creep toward the cap."""
+    docs = _docs(spark)
+    landed = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(landed)
+    p1 = _pairs(idx.probe_and_insert(delta, delta_id="crawl-2026-08-14"))
+    arrays_1 = spark.read.parquet(idx.arrays_path).count()
+    postings_1 = spark.read.parquet(idx.postings_path).count()
+    p2 = _pairs(idx.probe_and_insert(delta, delta_id="crawl-2026-08-14"))
+    assert p2 == p1
+    assert spark.read.parquet(idx.arrays_path).count() == arrays_1
+    assert spark.read.parquet(idx.postings_path).count() == postings_1
