@@ -90,3 +90,36 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_small):
     hot = {r.k: (r.n, r.revenue) for r in rows}
     assert 0 in hot and len(hot) == 11  # hot key + tail keys 15..24
     assert hot[0][0] > 50 * max(v[0] for k, v in hot.items() if k != 0)
+
+
+def test_runtime_bloom_filter_injected(spark, sf_small):
+    """Pin that Catalyst injects the runtime bloom semi-join reduction
+    into runtime_bloom_filter_join under shuffle-join conditions: the
+    optimized plan carries a bloom_filter_agg on the creation side and
+    a BloomFilterMightContain probe pushed toward the fact scan. At
+    local scale the dim broadcasts (the rule correctly declines), so
+    broadcast is disabled and the 10 GB application-side threshold
+    lowered to model the 100 TB shape."""
+    from chchfr_data_collection_spark.queries import catalog
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1b",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = catalog()["runtime_bloom_filter_join"].fn(spark, sf_small)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        rows = {r.l_returnflag: r.n for r in df.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan[:3000]
+    assert "might_contain" in plan.lower(), plan[:3000]
+    assert set(rows) == {"A", "N", "R"} and all(v > 0 for v in rows.values())
