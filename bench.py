@@ -96,6 +96,11 @@ HEADLINE = [
     "multimodal_decode_jpeg_progressive",
     "csv_ingest_permissive",
     "curation_pipeline_v2",
+    # round 6
+    "dedup_minhash_incremental",
+    "similarity_pq_trained",
+    "dedup_semantic_multiprobe",
+    "skew_join_aqe",
 ]
 
 

@@ -2240,6 +2240,53 @@ def dedup_minhash_incremental(spark, sf_dir):
 
 
 @register(
+    "streaming_minhash_index_replay",
+    sql=f"""
+    SELECT da, db, jaccard FROM ({_minhash_banded_duck()}) t
+    WHERE da % 4 = 0 OR db % 4 = 0
+    """,
+    tags=("streaming", "llm", "dedup", "fuzzy", "minhash", "incremental"),
+)
+def streaming_minhash_index_replay(spark, sf_dir):
+    """dedup_minhash_incremental's STREAMING leg, replayed end-to-end:
+    the landed corpus (doc_id % 4 != 0) bootstraps the persisted index,
+    then the delta feed streams through foreachBatch — each micro-batch
+    probes + inserts against the EVOLVING index (stable per-batch
+    delta_id, so a replayed batch overwrites its own partitions) and
+    lands its verified pairs in a batch_id-partitioned store. The pairs
+    store's union equals the one-shot incremental probe for any
+    chunking of the feed: insert-then-probe keeps touched-bucket state
+    equal to full-corpus state, within-batch pairs surface in their own
+    batch and cross-batch pairs exactly once, when the later endpoint
+    arrives (disjoint by construction). Oracle: the batch banded run
+    restricted to delta-touching pairs — same as the one-shot entry.
+
+    This is the production crawl loop at 100 TB: per-batch work is
+    delta-bounded (only the batch is shingled/signed), the index grows
+    by appended partitions, and both sinks are retry-idempotent."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.minhash_index import MinHashIndex
+    from ..streaming.documents import (
+        foreach_batch_minhash_probe,
+        read_documents_stream,
+    )
+
+    docs = T(spark, sf_dir, "documents", parallel=True)
+    base = tempfile.mkdtemp(prefix=f"mh_sidx_{_uuid.uuid4().hex[:8]}_")
+    idx = MinHashIndex(spark, f"{base}/index")
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    delta_stream = read_documents_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 4 == 0
+    )
+    pairs, ck = f"{base}/pairs", f"{base}/ck"
+    q = foreach_batch_minhash_probe(delta_stream, idx, pairs, ck)
+    q.awaitTermination()
+    return spark.read.parquet(pairs).select("da", "db", "jaccard")
+
+
+@register(
     "text_top_words",
     sql="""
     SELECT w, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq

@@ -120,3 +120,42 @@ def foreach_batch_word_count_partials(stream_df: DataFrame, target: str, checkpo
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_minhash_probe(
+    stream_df: DataFrame, index, pairs_target: str, checkpoint: str
+):
+    """Streaming near-dup index maintenance — the MinHash twin of the
+    IVF insert path (streaming/embeddings.py): each arriving micro-batch
+    of documents is probed against the PERSISTED banded index
+    (operators/minhash_index.MinHashIndex.probe_and_insert), its
+    signatures land as the batch's own index partitions, and the
+    verified near-dup pairs (>= 1 endpoint in the batch) land in a pairs
+    store partitioned by batch_id.
+
+    Both sinks are retry-idempotent by construction: the index landing
+    keys its dynamic-overwrite partitions on a delta_id derived from
+    batch_id, and the pairs store overwrites its own batch_id partition
+    — a foreachBatch replay of an already-landed batch REPLACES rather
+    than duplicates (the at-least-once discipline of the partial sinks
+    above). Because insert-then-probe makes touched-bucket state equal
+    full-corpus state, the union of per-batch pair sets over ANY
+    chunking of the feed equals the one-shot incremental result
+    (pinned by tests/test_streaming.py and test_minhash_index.py)."""
+
+    def _probe(batch: DataFrame, batch_id: int) -> None:
+        pairs = index.probe_and_insert(batch, delta_id=f"b{batch_id:06d}")
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_target)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

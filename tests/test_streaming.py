@@ -540,3 +540,52 @@ def test_markov_out_of_order_batch_deterministic(spark, tmp_path):
     # B pairs by true time order, and the tail D (not B) carries to
     # batch3: (D,E). A blind prepend would have emitted (C,B),(B,D).
     assert got == sorted([("A", "C"), ("B", "C"), ("C", "D"), ("D", "E")])
+
+
+def test_streaming_minhash_multibatch_equals_oneshot(spark, sf_small, tmp_path):
+    """The delta feed split into two files streamed one per micro-batch
+    probes the EVOLVING persisted MinHash index; the batch_id-partitioned
+    pair store's union must equal the one-shot incremental probe (pairs
+    across the file boundary surface when the later endpoint lands)."""
+    import glob
+    import shutil
+
+    from chchfr_data_collection_spark.operators.minhash_index import MinHashIndex
+    from chchfr_data_collection_spark.queries.llm import dedup_minhash_incremental
+    from chchfr_data_collection_spark.streaming.documents import (
+        DOCUMENTS_SCHEMA,
+        foreach_batch_minhash_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    landed = docs.filter(F.col("doc_id") % 4 != 0)
+    land = tmp_path / "feed"
+    land.mkdir()
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") % 8 == 0), docs.filter(F.col("doc_id") % 8 == 4)]
+    ):
+        tmp = tmp_path / f"part{i}"
+        part.coalesce(1).write.parquet(str(tmp))
+        (src,) = glob.glob(str(tmp / "part-*.parquet"))
+        shutil.copy(src, land / f"b{i}.parquet")
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(landed)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(land))
+    )
+    pairs, ck = str(tmp_path / "pairs"), str(tmp_path / "ck")
+    q = foreach_batch_minhash_probe(stream, idx, pairs, ck)
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+    got = {
+        (r.da, r.db, round(r.jaccard, 12))
+        for r in spark.read.parquet(pairs).collect()
+    }
+    want = {
+        (r.da, r.db, round(r.jaccard, 12))
+        for r in dedup_minhash_incremental(spark, sf_small).collect()
+    }
+    assert got == want and got
