@@ -1417,3 +1417,109 @@ def pack_sequences_emit(spark, sf_dir):
         (seg_hi - seg_lo).cast("bigint").alias("n_tok"),
         (seg_lo - F.col("seq_id") * 2048).cast("bigint").alias("seq_offset"),
     )
+
+
+# ------------------------------------------- incremental curation (delta)
+
+
+def _curation_incremental_duck() -> str:
+    from .llm import _minhash_banded_duck
+
+    return f"""
+    WITH mh AS ({_minhash_banded_duck()}),
+    drops AS (
+      SELECT DISTINCT CASE WHEN db % 4 = 0 THEN db ELSE da END AS doc_id
+      FROM mh WHERE da % 4 = 0 OR db % 4 = 0),
+    landed AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 != 0),
+    quality AS (
+      SELECT d.doc_id, d.lang, md5(d.text) AS h,
+        0.3 * LEAST(d.n_chars / 200.0, 1.0)
+        + 0.4 * (SELECT CAST(SUM(CASE WHEN w IN {TX.STOPWORDS!r} THEN 1 ELSE 0 END) AS DOUBLE)
+                        / COUNT(*)
+                 FROM (SELECT unnest(string_split(d.text, ' ')) AS w) t)
+        + 0.3 * (CAST(length(regexp_replace(d.text, '[^a-z ]', '', 'g')) AS DOUBLE)
+                 / length(d.text)) AS q,
+        ROW_NUMBER() OVER (PARTITION BY md5(d.text) ORDER BY d.doc_id) AS rn
+      FROM documents d WHERE d.doc_id % 4 = 0)
+    SELECT doc_id, lang, q AS quality FROM quality
+    WHERE rn = 1 AND q > 0.5
+      AND h NOT IN (SELECT h FROM landed)
+      AND doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+
+
+@register(
+    "curation_pipeline_incremental",
+    sql=_curation_incremental_duck(),
+    tags=("llm", "curation", "pipeline", "incremental"),
+)
+def curation_pipeline_incremental(spark, sf_dir):
+    """curation_pipeline's PRODUCTION steady state: a DELTA batch
+    (doc_id % 4 == 0) curated against the immutable landed corpus, with
+    every stage delta-bounded — the full loop a 100 TB pipeline runs
+    per arriving crawl batch, where re-running the batch pipeline
+    corpus-wide would be a 1000x overspend.
+
+    Stages: (1) quality scoring + threshold on the DELTA only
+    (map-only); (2) exact dedup — keep-first within the delta, then
+    anti-join the delta's content hashes against the landed hash set
+    (at 100 TB the landed side is the Bloom-gated seen-set of
+    dedup_bloom_gate / operators/ingest; only delta hashes shuffle);
+    (3) near-dup — the persisted-MinHash-index probe
+    (dedup_minhash_incremental): an arriving doc that near-dups
+    anything landed is dropped, and of a delta-delta pair the higher
+    doc_id drops (keep-first) — only the delta is shingled; (4) kept
+    delta docs with their scores.
+
+    Oracle states the same contract: delta quality/exact gates plus the
+    batch banded-MinHash run restricted to delta-touching pairs with
+    the delta endpoint dropped."""
+    from .llm import dedup_minhash_incremental
+
+    docs = T(spark, sf_dir, "documents", parallel=True)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    landed_h = (
+        docs.filter(F.col("doc_id") % 4 != 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    wl = (
+        delta.select("doc_id", F.explode(TX.words("text")).alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("w").isin(*TX.STOPWORDS), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("stop_ratio")
+        )
+    )
+    quality = (
+        F.lit(0.3) * F.least(F.col("n_chars") / 200.0, F.lit(1.0))
+        + F.lit(0.4) * F.col("stop_ratio")
+        + F.lit(0.3) * TX.alpha_ratio("text")
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    )
+    scored = (
+        delta.join(wl, "doc_id")
+        .withColumn("h", F.md5(F.col("text").cast("binary")))
+        .withColumn("rn", rn)
+        .withColumn("quality", quality)
+        .filter((F.col("rn") == 1) & (F.col("quality") > 0.5))
+    )
+    after_exact = scored.join(landed_h, "h", "left_anti")
+    pairs = dedup_minhash_incremental(spark, sf_dir)
+    drops = pairs.select(
+        F.when(F.col("db") % 4 == 0, F.col("db"))
+        .otherwise(F.col("da"))
+        .alias("doc_id")
+    ).distinct()
+    # drop list scales with the delta's near-dup count: AQE decides the
+    # broadcast, same policy as curation_pipeline
+    return after_exact.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "quality"
+    )
