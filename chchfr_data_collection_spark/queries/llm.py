@@ -90,8 +90,10 @@ def _swap_cached(holder, attr: str, df):
     setattr(holder, attr, df)
     return df
 
-def _jaccard_capped_spark(spark, sf_dir):
-    """Single-pass df-capped Jaccard join (DataFrame form — a WITH-CTE
+def _capped_overlap_spark(spark, sf_dir):
+    """Single-pass df-capped pair-overlap relation (da, db, i, na, nb)
+    — the shared core of dedup_ngram_jaccard and
+    dedup_containment_pairs (DataFrame form — a WITH-CTE
     SQL version gets its shingle CTE inlined 3× by Catalyst, re-scanning
     and re-shingling the corpus for each consumer):
 
@@ -122,7 +124,7 @@ def _jaccard_capped_spark(spark, sf_dir):
     shc = tok.withColumn("df", F.count("*").over(W.partitionBy("s"))).filter(
         F.col("df") <= _NGRAM_DF_CAP
     )
-    shc = _swap_cached(_jaccard_capped_spark, "_cached", shc)
+    shc = _swap_cached(_capped_overlap_spark, "_cached", shc)
     ns = shc.groupBy("doc_id").agg(F.count("*").alias("ns"))
     buckets = (
         shc.groupBy("s")
@@ -143,12 +145,17 @@ def _jaccard_capped_spark(spark, sf_dir):
         ).alias("p")
     ).select("p.da", "p.db")
     inter = pairs.groupBy("da", "db").agg(F.count("*").alias("i"))
+    return inter.join(
+        ns.select(F.col("doc_id").alias("da"), F.col("ns").alias("na")), "da"
+    ).join(ns.select(F.col("doc_id").alias("db"), F.col("ns").alias("nb")), "db")
+
+
+def _jaccard_capped_spark(spark, sf_dir):
+    """(da, db, jaccard >= 0.8) over the df-capped shingle space."""
+    overlap = _capped_overlap_spark(spark, sf_dir)
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(ns.select(F.col("doc_id").alias("da"), F.col("ns").alias("na")), "da")
-        .join(ns.select(F.col("doc_id").alias("db"), F.col("ns").alias("nb")), "db")
-        .select("da", "db", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+    return overlap.select("da", "db", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.8
     )
 
 # exact (uncapped) variant — the oracle for the provably-exact prefix
@@ -206,6 +213,61 @@ def dedup_ngram_jaccard(spark, sf_dir):
     (dedup_jaccard_prefix carries the uncapped-exact oracle).
     """
     return _jaccard_capped_spark(spark, sf_dir)
+
+
+_CONTAINMENT_T = 0.9
+
+_CONTAINMENT_DUCK = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct([ws[i] || '_' || ws[i+1] || '_' || ws[i+2]
+         for i in range(1, len(ws)-1)])) AS s
+  FROM w WHERE len(ws) >= 3),
+shc AS (
+  SELECT * FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh) t
+  WHERE df <= {_NGRAM_DF_CAP}),
+n AS (SELECT doc_id, COUNT(*) AS ns FROM shc GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT da, db,
+       CAST(i AS DOUBLE) / LEAST(na.ns, nb.ns) AS containment,
+       CAST(i AS DOUBLE) / (na.ns + nb.ns - i) AS jaccard
+FROM inter JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+WHERE CAST(i AS DOUBLE) / LEAST(na.ns, nb.ns) >= {_CONTAINMENT_T}
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    sql=_CONTAINMENT_DUCK,
+    tags=("llm", "dedup", "fuzzy", "containment"),
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """ASYMMETRIC near-dup pairs by shingle CONTAINMENT — the measure
+    Jaccard structurally misses: a short document wholly quoted inside
+    a much longer one has |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so
+    a Jaccard-0.8 gate never sees doc-in-doc duplication (boilerplate
+    wrappers, quoted articles, prompt-template expansions — the
+    training-leakage shapes a curation pass must catch). Emits
+    (da, db, containment = i/min(ns), jaccard) at containment >=
+    {_CONTAINMENT_T}, jaccard alongside so a consumer can split
+    "mutual near-dup" from "one-sided inclusion".
+
+    Same single-shuffle df-capped posting-list plan as
+    dedup_ngram_jaccard — the shared overlap relation
+    (_capped_overlap_spark) is cached once when both run in one
+    session, and the df cap bounds bucket fan-out identically (the
+    containment denominator uses capped set sizes, replicated by the
+    oracle). 100 TB: identical contract to the Jaccard pass —
+    posting-list equi-join, no new shuffle shape."""
+    overlap = _capped_overlap_spark(spark, sf_dir)
+    cont = F.col("i").cast("double") / F.least("na", "nb")
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return overlap.select(
+        "da", "db", cont.alias("containment"), jac.alias("jaccard")
+    ).filter(F.col("containment") >= _CONTAINMENT_T)
 
 
 def dedup_minhash_lsh(spark, sf_dir):
