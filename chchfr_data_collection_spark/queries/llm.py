@@ -4515,7 +4515,10 @@ def _ivf_trained_ranked(spark, sf_dir, probes: int = 3):
     """Bulk TRAINED-centroid assignment with probe ranks (vec_id, qv,
     n2, cent_id, arank <= probes): 2 Lloyd iterations then broadcast
     ranking by exact squared-L2 — arank=1 is the classic assignment;
-    ranks 2..p are the multiprobe cells. Cached once per invocation;
+    ranks 2..p are the multiprobe cells. Cached once per invocation
+    keyed on (sf_dir-independent) probe depth — every current caller
+    uses the default p=_SEMDEDUP_PROBES, and the cache stores the
+    relation per p so a different depth never reads a stale slice;
     shared by similarity_ivf_trained, the trained audits, and the
     multiprobe SemDeDup."""
     cent_pos = _kmeans_centroids(spark, sf_dir, 2)
@@ -4543,7 +4546,7 @@ def _ivf_trained_ranked(spark, sf_dir, probes: int = 3):
         .filter(F.col("arank") <= probes)
         .select("vec_id", "qv", "n2", "cent_id", "arank")
     )
-    return _swap_cached(_ivf_trained_ranked, "_cached_ranked", ranked)
+    return _swap_cached(_ivf_trained_ranked, f"_cached_ranked_p{probes}", ranked)
 
 
 def _ivf_trained_assign(spark, sf_dir):
