@@ -884,3 +884,63 @@ def streaming_markov_replay(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.sum("n").over(tw)).alias("p"),
     )
+
+
+@register(
+    "events_behavior_ngrams",
+    sql="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p1,
+             LAG(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p2
+      FROM events),
+    tri AS (
+      SELECT user_id, p2 || '>' || p1 || '>' || event_type AS trigram
+      FROM ordered WHERE p2 IS NOT NULL)
+    SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tri GROUP BY trigram
+    ORDER BY n DESC, trigram LIMIT 50
+    """,
+    tags=("events", "ngram", "sessions", "window"),
+)
+def events_behavior_ngrams(spark, sf_dir):
+    """Behavioral event-type TRIGRAMS — the order-2 extension of the
+    Markov matrix (events_markov_transitions): per-user time-ordered
+    action motifs counted corpus-wide with their user support, the
+    feature behind sequence-model pretraining data selection, funnel
+    mining, and scripted-bot detection (a bot's top motifs have huge n
+    over tiny n_users).
+
+    Shape: ONE shuffle — both lag windows share the (user_id) partition
+    and (ts, event_id) order, so Catalyst runs them in a single Window
+    node over a single exchange; the trigram aggregation's reduce side
+    is bounded by #types^3 (125 cells here), constant in corpus size,
+    and n_users rides the same aggregation as a distinct count. Top-50
+    is a TakeOrdered over the bounded relation — no global sort."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type", 1).over(w).alias("p1"),
+            F.lag("event_type", 2).over(w).alias("p2"),
+        )
+        .filter(F.col("p2").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "p2", "p1", "event_type").alias("trigram"),
+        )
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(50)
+    )
