@@ -5080,3 +5080,173 @@ def semdedup_multiprobe_audit(spark, sf_dir):
         (F.count("h1").cast("double") / F.count("*")).alias("recall_p1"),
         (F.count("h3").cast("double") / F.count("*")).alias("recall_p3"),
     )
+
+
+# --------------------------------- random projection (JL sketch) + audit
+
+# Seeded sign matrix for the 64 -> 16 Johnson-Lindenstrauss sketch: a
+# module-level constant (the MH_A/MH_B pattern) so the Spark plan, the
+# DuckDB oracle, and any persisted sketch share ONE matrix definition.
+# Sign (Rademacher) entries keep the projection INTEGER-exact over the
+# quantized vectors — no float matmul to diverge across engines.
+_RP_OUT = 16
+_RP_IN = 64
+_rp_rng = __import__("random").Random(20260814)
+_RP_SIGNS = [
+    [1 if _rp_rng.random() < 0.5 else -1 for _ in range(_RP_IN)]
+    for _ in range(_RP_OUT)
+]
+
+_RP_SIGNS_DUCK = "(VALUES " + ", ".join(
+    f"({i}, {j}, {_RP_SIGNS[j][i]})"
+    for j in range(_RP_OUT)
+    for i in range(_RP_IN)
+) + ") s(i, j, sgn)"
+
+_RP_PROJ_DUCK = f"""
+q AS (
+  SELECT vec_id, i - 1 AS i, {_Q.format(e='e')} AS qe
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings) t),
+proj AS (
+  SELECT q.vec_id, s.j, CAST(SUM(q.qe * s.sgn) AS BIGINT) AS y
+  FROM q JOIN {_RP_SIGNS_DUCK} ON s.i = q.i
+  GROUP BY q.vec_id, s.j)
+"""
+
+
+def _rp_project(spark, sf_dir):
+    """(vec_id, rp: array<bigint>[16]) — the JL sketch of every
+    embedding, integer-exact: y_j = sum_i sign_ij * quant_i."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", V.quantize("embedding").alias("qv")
+    )
+    srows = F.array(
+        *[
+            F.array(*[F.lit(_RP_SIGNS[j][i]) for i in range(_RP_IN)])
+            for j in range(_RP_OUT)
+        ]
+    )
+    rp = F.transform(
+        srows,
+        lambda srow: F.aggregate(
+            F.zip_with("qv", srow, lambda x, s: x * s.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return emb.select("vec_id", rp.alias("rp"))
+
+
+@register(
+    "embedding_random_projection",
+    sql=f"""
+    WITH {_RP_PROJ_DUCK}
+    SELECT vec_id, j, y FROM proj
+    """,
+    tags=("llm", "embedding", "sketch", "projection"),
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss SKETCH of the embedding column: every
+    64-dim vector projected to {_RP_OUT} dims through a seeded
+    Rademacher sign matrix — the compression a 100 TB pipeline runs
+    BEFORE its pair-heavy stages (candidate cosine, clustering,
+    near-dup blocking) to cut per-pair arithmetic 4x and shuffle bytes
+    ~4x while approximately preserving pairwise distance
+    (rp_distortion_audit measures how well).
+
+    Map-only: one pass, no shuffle, no training, and — unlike PQ — no
+    codebook state to version; signs are a module constant shared with
+    the oracle, and the integer-exact arithmetic means the sketch is
+    reproducible bit-for-bit on any engine. Emitted exploded as
+    (vec_id, j, y) for the cross-engine compare."""
+    return _rp_project(spark, sf_dir).select(
+        "vec_id", F.posexplode("rp").alias("j", "y")
+    )
+
+
+@register(
+    "rp_distortion_audit",
+    sql=f"""
+    WITH {_RP_PROJ_DUCK},
+    pv AS (
+      SELECT vec_id, list(y ORDER BY j) AS rp FROM proj
+      WHERE vec_id < {_TWIN_SAMPLE_N // 5} GROUP BY vec_id),
+    qv AS (
+      SELECT vec_id, list(qe ORDER BY i) AS qv FROM q
+      WHERE vec_id < {_TWIN_SAMPLE_N // 5} GROUP BY vec_id),
+    pd AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+        (SELECT SUM((qa.qv[i] - qb.qv[i]) * (qa.qv[i] - qb.qv[i]))
+         FROM range(1, {_RP_IN} + 1) t(i)) AS d2o,
+        (SELECT SUM((a.rp[j] - b.rp[j]) * (a.rp[j] - b.rp[j]))
+         FROM range(1, {_RP_OUT} + 1) t(j)) AS d2p
+      FROM pv a JOIN pv b ON a.vec_id < b.vec_id
+      JOIN qv qa ON qa.vec_id = a.vec_id
+      JOIN qv qb ON qb.vec_id = b.vec_id),
+    r AS (
+      SELECT CAST(d2p AS DOUBLE) / ({_RP_OUT} * CAST(d2o AS DOUBLE)) AS ratio
+      FROM pd WHERE d2o > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(CASE WHEN ratio BETWEEN 0.75 AND 1.25 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_within_25pct,
+      CAST(SUM(CASE WHEN ratio BETWEEN 0.5 AND 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_within_2x,
+      MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
+    FROM r
+    """,
+    tags=("llm", "embedding", "sketch", "projection", "audit"),
+)
+def rp_distortion_audit(spark, sf_dir):
+    """Does the JL sketch PRESERVE pairwise distance well enough to
+    block/filter on? One row over a bounded sample (vec_id <
+    {_TWIN_SAMPLE_N // 5}, pushed to the scan): for every pair, ratio =
+    ||proj(a)-proj(b)||^2 / (m * ||a-b||^2) — expectation 1 under the
+    Rademacher projection — reported as order-independent stats only
+    (counts within bands, min/max; a mean would sum doubles in engine
+    order). The audit is the measured basis for using the sketch as a
+    CANDIDATE filter with exact re-verification, same contract as every
+    approximate pass here."""
+    pv = _rp_project(spark, sf_dir).filter(
+        F.col("vec_id") < _TWIN_SAMPLE_N // 5
+    )
+    qv = (
+        T(spark, sf_dir, "embeddings", parallel=True)
+        .filter(F.col("vec_id") < _TWIN_SAMPLE_N // 5)
+        .select("vec_id", V.quantize("embedding").alias("qv"))
+    )
+    both = pv.join(qv, "vec_id")
+    a = both.select(
+        F.col("vec_id").alias("va"), F.col("rp").alias("ra"), F.col("qv").alias("qa")
+    )
+    b = both.select(
+        F.col("vec_id").alias("vb"), F.col("rp").alias("rb"), F.col("qv").alias("qb")
+    )
+    d2 = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("va") < F.col("vb"))
+        .select(d2("qa", "qb").alias("d2o"), d2("ra", "rb").alias("d2p"))
+        .filter(F.col("d2o") > 0)
+        .select(
+            (
+                F.col("d2p").cast("double")
+                / (F.lit(_RP_OUT) * F.col("d2o").cast("double"))
+            ).alias("ratio")
+        )
+    )
+    within = lambda lo, hi: F.sum(  # noqa: E731
+        F.when(F.col("ratio").between(lo, hi), 1).otherwise(0)
+    ).cast("bigint")
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        within(0.75, 1.25).alias("n_within_25pct"),
+        within(0.5, 2.0).alias("n_within_2x"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+    )
