@@ -282,6 +282,49 @@ def runtime_bloom_filter_join(spark, sf_dir):
     )
 
 
+@register(
+    "compaction_roundtrip",
+    sql="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source
+    """,
+    tags=("operator", "compaction", "write"),
+)
+def compaction_roundtrip(spark, sf_dir):
+    """Small-file compaction with the data read back THROUGH the swap:
+    the documents table lands as 32 arrival-sized files (a streaming
+    sink's sprawl), operators/compaction.compact_parquet rewrites it to
+    ~target-sized files under the writer lease and verify-then-swaps,
+    and the result is the per-source rollup of the COMPACTED directory
+    — so the oracle (the same rollup on the original table) checks the
+    swap lost and duplicated nothing, column values included.
+
+    100 TB: compaction is the scheduled hygiene pass every landing zone
+    needs (scan cost is per-file; arrival sizing != scan sizing); the
+    operator sizes output from the store's actual bytes, is a receipt
+    no-op when already compact, and runs per partition-leaf so hive
+    layouts keep their pruning."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.compaction import compact_parquet
+
+    base = tempfile.mkdtemp(prefix=f"compact_{_uuid.uuid4().hex[:8]}_")
+    zone = f"{base}/zone"
+    T(spark, sf_dir, "documents").repartition(32).write.parquet(zone)
+    receipt = compact_parquet(spark, zone, target_bytes=1 << 30)
+    assert receipt["compacted"] and receipt["files_after"] < 32
+    return (
+        spark.read.parquet(zone)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
 # -------------------------------------------------------- write policy K2/K3
 
 @register(
