@@ -101,6 +101,11 @@ HEADLINE = [
     "similarity_pq_trained",
     "dedup_semantic_multiprobe",
     "skew_join_aqe",
+    "runtime_bloom_filter_join",
+    "dedup_containment_pairs",
+    "embedding_random_projection",
+    "curation_pipeline_incremental",
+    "events_behavior_ngrams",
 ]
 
 
