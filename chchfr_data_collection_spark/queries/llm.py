@@ -5250,3 +5250,61 @@ def rp_distortion_audit(spark, sf_dir):
         F.min("ratio").alias("min_ratio"),
         F.max("ratio").alias("max_ratio"),
     )
+
+
+# --------------------------------------- cross-source overlap matrix
+
+
+@register(
+    "source_overlap_matrix",
+    sql=f"""
+    WITH mh AS ({{mh}}),
+    lab AS (
+      SELECT m.da, m.db, m.jaccard,
+             LEAST(a.source, b.source) AS source_a,
+             GREATEST(a.source, b.source) AS source_b
+      FROM mh m JOIN documents a ON a.doc_id = m.da
+      JOIN documents b ON b.doc_id = m.db)
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+    FROM lab GROUP BY source_a, source_b
+    """.format(mh=_minhash_banded_duck()),
+    tags=("llm", "dedup", "lineage", "source"),
+)
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-SOURCE near-dup overlap matrix: the banded-MinHash verified
+    pairs labeled with their endpoints' sources and rolled up per
+    unordered source pair — the data-lineage report a curation team
+    reads before mixing corpora (a hot off-diagonal cell means source A
+    is largely re-crawled/mirrored content of source B: dedup BETWEEN
+    them before weighting them as independent; a hot diagonal means the
+    source self-duplicates). Same signal class as the train-eval
+    decontamination scan, aimed at train-train double counting.
+
+    Plan: the pair relation is near-dup-sized (not corpus-sized), so
+    the two documents joins for source labels are candidate-bounded
+    lookups (AQE broadcasts the pair side); the rollup's reduce side is
+    bounded by #sources². No new shuffle shape beyond the banded pass
+    itself."""
+    pairs = dedup_minhash_banded(spark, sf_dir)
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("da"), F.col("source").alias("sa")),
+            "da",
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("db"), F.col("source").alias("sb")),
+            "db",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
