@@ -925,6 +925,145 @@ def similarity_lsh_multiprobe(spark, sf_dir):
     return _lsh_verify(emb, cand)
 
 
+# Corpus-scaled LSH: a deeper plane family (8 bits/table) whose
+# EFFECTIVE granularity is masked down by an in-plan rule
+# H = clamp(floor(log2(n)) - 6, 3, 8) — closes the NOTES.md headroom
+# item "bucket granularity is fixed; production would scale bits with
+# log2(n)". The plan STRUCTURE stays static (all 8 bits computed), so
+# one SQL text is exact at every scale factor; only the mask moves.
+_LSHS_MAX_BITS = 8
+_lshs_rng = __import__("random").Random(20260815)
+_LSHS_PLANES = [
+    [
+        [_lshs_rng.choice((-1, 1)) for _ in range(_LSH_DIM)]
+        for _ in range(_LSHS_MAX_BITS)
+    ]
+    for _ in range(_LSH_TABLES)
+]
+
+
+def _lsh_scaled_duck() -> str:
+    def bucket_expr(t: int) -> str:
+        bits = []
+        for j in range(_LSHS_MAX_BITS):
+            pl = "[" + ", ".join(str(v) for v in _LSHS_PLANES[t][j]) + "]"
+            bits.append(
+                f"(CASE WHEN CAST(list_sum([qv[i] * ({pl})[i] "
+                f"for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    tables = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS fullb FROM q"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+        [CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id,
+        CAST(list_sum([qv[i] * qv[i] for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) AS norm2
+      FROM q),
+    hsel AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR(LOG2(COUNT(*))) AS BIGINT) - 6, 3),
+                   {_LSHS_MAX_BITS}) AS h
+      FROM embeddings),
+    rawb AS ({tables}),
+    b AS (SELECT vec_id, tbl, fullb & ((1 << h) - 1) AS bkt
+          FROM rawb CROSS JOIN hsel),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id),
+    dots AS (
+      SELECT cand.va, cand.vb,
+        CAST(list_sum([qa.qv[i] * qb.qv[i] for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) AS d
+      FROM cand JOIN q qa ON qa.vec_id = cand.va JOIN q qb ON qb.vec_id = cand.vb)
+    SELECT va, vb,
+      CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+    FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+    WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+          >= {_LSH_THRESHOLD}
+    """
+
+
+@register(
+    "similarity_lsh_scaled",
+    sql=_lsh_scaled_duck(),
+    tags=("llm", "similarity", "ann", "scaling"),
+)
+def similarity_lsh_scaled(spark, sf_dir):
+    """Sign-LSH with CORPUS-SCALED bucket granularity — the production
+    rule the fixed-H entry's NOTES headroom named: effective AND-bits
+    H = clamp(floor(log2(n)) - 6, 3, {_LSHS_MAX_BITS}), computed
+    IN-PLAN from a 1-row count (no driver action) and applied as a bit
+    MASK over a statically-computed 8-bit bucket. Expected bucket
+    occupancy n/2^H stays ~constant as the corpus grows (each added
+    bit halves candidate volume), so per-bucket pair work — the term
+    that otherwise grows linearly with n at fixed H — is held flat;
+    recall lost to the extra splitting is bought back with multiprobe
+    (similarity_lsh_multiprobe's dial), not coarser buckets.
+
+    Cross-engine exactness is the point of the mask design: the plan
+    STRUCTURE is scale-independent (all 8 hyperplane bits always
+    computed; one SQL text), only the masked width is data-dependent —
+    both engines derive H from the same COUNT(*) with the same integer
+    floor(log2) rule. On this fixture the rule yields H=3 at
+    sf0.001/sf0.01 (clamp floor) and H=4 at sf0.1 — the record that
+    the granularity actually moves."""
+    emb = _lsh_emb(spark, sf_dir)
+    h = F.least(
+        F.greatest(
+            F.floor(F.log2(F.count("*"))).cast("bigint") - 6, F.lit(3).cast("bigint")
+        ),
+        F.lit(_LSHS_MAX_BITS).cast("bigint"),
+    )
+    hsel = emb.agg(h.alias("h"))
+
+    def plane_dot(t: int, j: int):
+        plane = F.array(*[F.lit(v) for v in _LSHS_PLANES[t][j]])
+        return F.aggregate(
+            F.zip_with("qv", plane, lambda x, y: x * y.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    def bucket(t: int):
+        b = F.lit(0)
+        for j in range(_LSHS_MAX_BITS):
+            b = b + F.when(plane_dot(t, j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return b
+
+    rawb = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), bucket(t).alias("fullb")
+                    )
+                    for t in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.fullb")
+    b = rawb.crossJoin(F.broadcast(hsel)).select(
+        "vec_id",
+        "tbl",
+        F.expr("fullb & (shiftleft(1, CAST(h AS INT)) - 1)").alias("bkt"),
+    )
+    cand = (
+        b.select(F.col("vec_id").alias("va"), "tbl", "bkt")
+        .join(b.select(F.col("vec_id").alias("vb"), "tbl", "bkt"), ["tbl", "bkt"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    return _lsh_verify(emb, cand)
+
+
 def _lsh_emb(spark, sf_dir):
     """Quantized embeddings + exact self-dot, the shared LSH input."""
     return T(spark, sf_dir, "embeddings", parallel=True).select(
