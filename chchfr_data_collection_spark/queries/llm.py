@@ -1218,6 +1218,84 @@ def ann_recall_audit(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
     )
 
 
+@register(
+    "lsh_scaled_recall_audit",
+    sql=f"""
+    WITH exact AS ({_TWIN_PAIRS_DUCK}),
+    sc AS (
+      SELECT va, vb FROM ({_lsh_scaled_duck()})
+      WHERE va < {_TWIN_SAMPLE_N} AND vb < {_TWIN_SAMPLE_N}
+    ),
+    fx AS (
+      SELECT va, vb FROM ({_lsh_ann_duck()})
+      WHERE va < {_TWIN_SAMPLE_N} AND vb < {_TWIN_SAMPLE_N}
+    ),
+    j AS (
+      SELECT e.va, e.vb, s.va AS hit_sc, f.va AS hit_fx
+      FROM exact e
+      LEFT JOIN sc s ON s.va = e.va AND s.vb = e.vb
+      LEFT JOIN fx f ON f.va = e.va AND f.vb = e.vb)
+    SELECT COUNT(*) AS n_exact,
+           (SELECT COUNT(*) FROM sc) AS n_scaled,
+           (SELECT COUNT(*) FROM fx) AS n_fixed,
+           COUNT(hit_sc) AS n_hit_scaled,
+           COUNT(hit_fx) AS n_hit_fixed,
+           CAST(COUNT(hit_sc) AS DOUBLE) / COUNT(*) AS recall_scaled,
+           CAST(COUNT(hit_fx) AS DOUBLE) / COUNT(*) AS recall_fixed
+    FROM j
+    """,
+    tags=("llm", "similarity", "ann", "scaling", "audit"),
+)
+def lsh_scaled_recall_audit(spark, sf_dir):
+    """The scaled-granularity rule's go/no-go row: recall of
+    similarity_lsh_scaled vs the fixed-H entry against the exact twin
+    on the bounded slice, in one row. At sf0.001/0.01 the clamp makes
+    the rules coincide (H=3, different plane families — recall differs
+    only by draw); at sf0.1 the scaled rule runs H=4 with HALF the
+    expected bucket occupancy — this audit records what that costs in
+    recall so the multiprobe dial can be sized to buy it back. Same
+    audit-row idiom as ann_recall_audit: the quadratic exact join runs
+    only on the pushed-bound slice; both measured inputs are the
+    shipping operators unchanged."""
+    exact = similarity_threshold_pairs(spark, sf_dir, _TWIN_SAMPLE_N).select(
+        "va", "vb"
+    )
+    sc = (
+        similarity_lsh_scaled(spark, sf_dir)
+        .filter((F.col("va") < _TWIN_SAMPLE_N) & (F.col("vb") < _TWIN_SAMPLE_N))
+        .select("va", "vb")
+    )
+    fx = (
+        similarity_lsh_ann(spark, sf_dir)
+        .filter((F.col("va") < _TWIN_SAMPLE_N) & (F.col("vb") < _TWIN_SAMPLE_N))
+        .select("va", "vb")
+    )
+    marked = exact.join(sc.withColumn("m", F.lit(1)), ["va", "vb"], "left").join(
+        fx.withColumn("m2", F.lit(1)), ["va", "vb"], "left"
+    )
+    hits = marked.agg(
+        F.count("*").alias("n_exact"),
+        F.count("m").alias("n_hit_scaled"),
+        F.count("m2").alias("n_hit_fixed"),
+    )
+    totals = sc.agg(F.count("*").alias("n_scaled")).crossJoin(
+        fx.agg(F.count("*").alias("n_fixed"))
+    )
+    return hits.crossJoin(totals).select(
+        "n_exact",
+        "n_scaled",
+        "n_fixed",
+        "n_hit_scaled",
+        "n_hit_fixed",
+        (F.col("n_hit_scaled").cast("double") / F.col("n_exact")).alias(
+            "recall_scaled"
+        ),
+        (F.col("n_hit_fixed").cast("double") / F.col("n_exact")).alias(
+            "recall_fixed"
+        ),
+    )
+
+
 def similarity_lsh_ann_mllib(spark, sf_dir):
     """MLlib BucketedRandomProjectionLSH comparison point — NOT in the
     catalog (engine-internal hash seeds preclude a cross-engine oracle);
