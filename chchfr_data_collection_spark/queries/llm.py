@@ -5120,6 +5120,15 @@ def dedup_semantic_multiprobe(spark, sf_dir):
     representative — same output contract as dedup_semantic_clusters.
     The cross-cluster quadratic still never materializes: pair work is
     O(n·cap·p²) with k scaled to hold cells at the cap."""
+    return _semdedup_mp(spark, sf_dir)
+
+
+def _semdedup_mp(spark, sf_dir, vb_filter=None):
+    """Shared multiprobe SemDeDup pair pipeline. `vb_filter` restricts
+    the DOMINATED side (vb) of the pair join — the incremental entry
+    passes the delta predicate so only delta-touching pairs are ever
+    generated; membership, caps, and ranking are computed corpus-wide
+    either way so restricted output == full output filtered."""
     ranked = _ivf_trained_ranked(spark, sf_dir, _SEMDEDUP_PROBES)
     mw = W.partitionBy("cent_id").orderBy("vec_id")
     mm = (
@@ -5129,7 +5138,8 @@ def dedup_semantic_multiprobe(spark, sf_dir):
         .select("vec_id", "cent_id")
     )
     a = mm.select(F.col("vec_id").alias("va"), "cent_id")
-    b = mm.select(F.col("vec_id").alias("vb"), F.col("cent_id").alias("cent_b"))
+    bm = mm if vb_filter is None else mm.filter(vb_filter(F.col("vec_id")))
+    b = bm.select(F.col("vec_id").alias("vb"), F.col("cent_id").alias("cent_b"))
     cand = (
         a.join(b, (F.col("cent_id") == F.col("cent_b")) & (F.col("va") < F.col("vb")))
         .groupBy("va", "vb")
@@ -5172,6 +5182,34 @@ def dedup_semantic_multiprobe(spark, sf_dir):
         .withColumn("rn", F.row_number().over(pw))
         .filter(F.col("rn") == 1)
         .drop("rn")
+    )
+
+
+@register(
+    "dedup_semantic_incremental",
+    sql=f"""
+    SELECT vec_id, cent_id, dup_of, cos_sim FROM ({_SEMDEDUP_MP_DUCK}) t
+    WHERE vec_id % 4 = 0
+    """,
+    tags=("llm", "dedup", "embedding", "semdedup", "incremental"),
+)
+def dedup_semantic_incremental(spark, sf_dir):
+    """The SEMANTIC leg of the incremental-dedup trio (exact:
+    dedup_bloom_gate's seen-set anti-join; fuzzy:
+    dedup_minhash_incremental's persisted index; semantic: this) — a
+    DELTA batch of embeddings (vec_id % 4 == 0) deduped against the
+    landed corpus without ever generating a landed-vs-landed pair:
+    the multiprobe pair join's DOMINATED side is restricted to the
+    delta before the join, so pair work is O(|delta|·cap·p²), not
+    O(n·cap·p²). Membership, cluster caps, and best-representative
+    ranking are computed corpus-wide (in production: read from the
+    persisted assignment the streaming IVF path maintains,
+    streaming/embeddings.py), so the restricted output equals the full
+    multiprobe run filtered to delta rows — which IS the oracle.
+    Survivorship stays the batch contract (min-id representative); the
+    emitted rows are the arriving vectors to drop or link."""
+    return _semdedup_mp(
+        spark, sf_dir, vb_filter=lambda v: v % 4 == 0
     )
 
 
