@@ -224,3 +224,48 @@ def test_rfm_thresholds_broadcast(spark, sf_small, cat):
     df = cat["customer_rfm_segmentation"].fn(spark, sf_small)
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_r6_incremental_and_sketch_plans_bounded(spark, sf_small, cat):
+    """Round-6 entries must keep their pair joins bucketed — no
+    cartesian anywhere, and the sketch/projection stays map-only."""
+    # multiprobe SemDeDup + its delta restriction: cell equi-joins only
+    for name in ("dedup_semantic_multiprobe", "dedup_semantic_incremental"):
+        df = cat[name].fn(spark, sf_small)
+        assert count_nodes(df, "CartesianProduct") == 0, name
+    # JL sketch: one scan, zero joins, and no shuffle DEMANDED by the
+    # computation (the only allowed Exchange is parallelize_scan's
+    # round-robin — a local-mode fan-out that is a structural no-op on
+    # a real cluster scan)
+    df = cat["embedding_random_projection"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+    from chchfr_data_collection_spark.plans.audit import formatted_plan
+
+    assert "ENSURE_REQUIREMENTS" not in formatted_plan(df), (
+        "JL sketch must not demand a shuffle"
+    )
+    # containment shares the capped posting-list plan: no cartesian
+    df = cat["dedup_containment_pairs"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
+    # scaled LSH: bucket equi-join + broadcast 1-row mask, no cartesian
+    # beyond the 1-row broadcast nested loop for the mask
+    df = cat["similarity_lsh_scaled"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_minhash_incremental_probe_shape(spark, sf_small, tmp_path):
+    """The persisted-index probe must be delta-bounded: touched band
+    keys BROADCAST into the postings join (never a corpus-wide
+    shuffle of the index), and no cartesian appears anywhere."""
+    from pyspark.sql import functions as F
+
+    from chchfr_data_collection_spark.operators.minhash_index import MinHashIndex
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    probe = idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0))
+    assert count_nodes(probe, "CartesianProduct") == 0
+    assert count_nodes(probe, "BroadcastHashJoin") >= 1
