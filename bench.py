@@ -106,6 +106,10 @@ HEADLINE = [
     "embedding_random_projection",
     "curation_pipeline_incremental",
     "events_behavior_ngrams",
+    "dedup_semantic_incremental",
+    "similarity_lsh_scaled",
+    "source_overlap_matrix",
+    "compaction_roundtrip",
 ]
 
 
