@@ -16,12 +16,21 @@ Index layout (two parquet relations under one base path):
   Landing a delta's posting rows IS the index update — no rewrite, no
   merge of existing files.
 - `arrays/` — (doc_id, shs, nw), partitioned by delta_id: the
-  verification store (per-doc distinct shingle array + its size), used
-  to confirm candidates with EXACT Jaccard so the incremental path
-  emits the same contract as the batch path (verified pairs, J >= 0.8).
+  verification store (per-doc distinct shingle-HASH array + its size),
+  used to confirm candidates with EXACT Jaccard over the md5-derived
+  int64 shingle values so the incremental path emits the same contract
+  as the batch path (verified pairs, J >= 0.8). Storing the int64
+  hashes instead of the shingle strings (round-6 verdict item 1b) cuts
+  the store ~3× in bytes — a 3-word shingle averages ~20 chars where
+  the hash is 8 bytes — and the hashes are ALREADY computed for the
+  MinHash permutations, so verification arithmetic is identical in
+  both engines (the DuckDB oracle intersects the same hash sets).
   At 100 TB this relation is stored bucketed by doc_id so the candidate
   fetch co-locates; on plain parquet AQE broadcasts the (delta-bounded)
   candidate side instead.
+- `pairs/` — (da, db, jaccard), partitioned by delta_id: each probe's
+  verified output, landed BEFORE probe_and_insert returns so the
+  result is a stable snapshot (see that method's docstring).
 
 Deltas land with DYNAMIC PARTITION OVERWRITE keyed by a caller-supplied
 `delta_id`: a RETRY of the same delta (task/driver failure mid-insert)
@@ -70,12 +79,14 @@ MH_B = [_rng.randrange(0, MH_P) for _ in range(MH_K)]
 
 
 def shingle_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, nw, shs, h0..h{K-1}) in ONE shuffle: the groupBy that
+    """(doc_id, shs, nw, h0..h{K-1}) in ONE shuffle: the groupBy that
     computes the K codegen'd min() MinHash aggregates also reassembles
-    the per-doc distinct-shingle array for exact verification —
-    identical arithmetic to dedup_minhash_banded's signature stage
-    (md5-derived shingle ints, (a·x+b) mod 2^61-1), so index entries
-    and batch signatures are bit-interchangeable."""
+    the per-doc distinct shingle-HASH array (int64) for exact
+    verification — identical arithmetic to dedup_minhash_banded's
+    signature stage (md5-derived shingle ints, (a·x+b) mod 2^61-1), so
+    index entries and batch signatures are bit-interchangeable. nw is
+    the DISTINCT-hash count (= |set| under the hashed-shingle Jaccard
+    definition both engines share)."""
     ws = F.split("text", " ", -1)
     shingles = F.array_distinct(
         F.transform(
@@ -96,13 +107,25 @@ def shingle_signatures(docs: DataFrame) -> DataFrame:
     ).cast("bigint")
     tokx = tok.withColumn("x", x)
     xc = F.col("x")
-    return tokx.groupBy("doc_id").agg(
-        F.count("*").alias("nw"),
-        F.collect_list("w").alias("shs"),
-        *[
-            F.min((F.lit(MH_A[i]) * xc + F.lit(MH_B[i])) % F.lit(MH_P)).alias(f"h{i}")
-            for i in range(MH_K)
-        ],
+    return (
+        tokx.groupBy("doc_id")
+        .agg(
+            F.collect_list("x").alias("xs"),
+            *[
+                F.min((F.lit(MH_A[i]) * xc + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
+                    f"h{i}"
+                )
+                for i in range(MH_K)
+            ],
+        )
+        # distinct + size as post-agg expressions: no second distinct
+        # aggregate (which would force an Expand), one shuffle total
+        .select(
+            "doc_id",
+            F.array_distinct("xs").alias("shs"),
+            *[f"h{i}" for i in range(MH_K)],
+        )
+        .withColumn("nw", F.size("shs"))
     )
 
 
