@@ -159,8 +159,10 @@ class MinHashIndex:
 
     def __init__(self, spark: SparkSession, base_path: str) -> None:
         self.spark = spark
-        self.postings_path = f"{base_path.rstrip('/')}/postings"
-        self.arrays_path = f"{base_path.rstrip('/')}/arrays"
+        self.base_path = base_path.rstrip("/")
+        self.postings_path = f"{self.base_path}/postings"
+        self.arrays_path = f"{self.base_path}/arrays"
+        self.pairs_path = f"{self.base_path}/pairs"
 
     # -- build ---------------------------------------------------------------
 
@@ -184,13 +186,25 @@ class MinHashIndex:
         arrays_w.partitionBy("delta_id").parquet(self.arrays_path)
         postings_w.partitionBy("band", "delta_id").parquet(self.postings_path)
 
+    def _fs(self):
+        jvm = self.spark._jvm
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(self.base_path).getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        return fs, HPath
+
     def bootstrap(self, docs: DataFrame, delta_id: str = "bootstrap") -> None:
-        """Build the index from the landed corpus (one-time full pass)."""
+        """Build the index from the landed corpus (one-time full pass).
+        Clears any previous generation's pairs store too, so a rebuilt
+        index never serves another generation's probe output."""
         sigs = shingle_signatures(docs).persist()
         try:
             self._write_sigs(sigs, delta_id, full=True)
         finally:
             sigs.unpersist()
+        fs, HPath = self._fs()
+        fs.delete(HPath(self.pairs_path), True)
 
     def insert(self, docs: DataFrame, delta_id: str) -> None:
         """Land a delta's postings and verification rows — the in-place
@@ -205,19 +219,36 @@ class MinHashIndex:
     # -- probe ---------------------------------------------------------------
 
     def probe_and_insert(
-        self, delta: DataFrame, delta_id: str | None = None
+        self,
+        delta: DataFrame,
+        delta_id: str | None = None,
+        materialize: bool = True,
     ) -> DataFrame:
         """Insert the delta, then emit verified near-dup pairs (da, db,
         jaccard) with >= 1 delta endpoint — exactly the from-scratch
         banded result restricted to delta-touching pairs.
 
         Work is delta-bounded: the delta is signed once (one shuffle of
-        DELTA shingles only); its distinct band keys broadcast into a
-        semi-join over the partitioned postings (touched buckets only);
-        bucket sizes — needed for the cap — are counted over those
-        touched buckets, never the whole index; candidates fetch their
-        verification arrays by equi-join (AQE broadcasts the candidate
-        side at this scale; bucketed storage co-locates it at 100 TB).
+        DELTA shingles only — persisted across the two index writes and
+        released before returning); the probe's delta side is a
+        partition-PRUNED read of the just-landed postings, its distinct
+        band keys broadcast into a semi-join over the full postings
+        (touched buckets only); bucket sizes — needed for the cap — are
+        counted over those touched buckets, never the whole index;
+        candidates fetch their verification arrays by equi-join (AQE
+        broadcasts the candidate side at this scale; bucketed storage
+        co-locates it at 100 TB).
+
+        The default (`materialize=True`) lands the verified pairs in
+        the index's `pairs/` store partitioned by delta_id (dynamic
+        overwrite — a retried probe with the same delta_id replaces its
+        own output) and returns a partition-pruned read of THAT
+        snapshot, so the result is stable no matter how many inserts
+        follow, and no persisted RDD outlives the call.
+        `materialize=False` skips the landing and returns the lazy
+        probe plan (for plan inspection / custom sinks): that plan
+        re-reads the index at evaluation time, so it must be consumed
+        before the next insert or it will see later deltas' postings.
 
         Pass a STABLE `delta_id` to make a retried probe idempotent
         (same partitions replaced); the default random id gives each
@@ -227,22 +258,18 @@ class MinHashIndex:
             import uuid as _uuid
 
             delta_id = _uuid.uuid4().hex
-        # one shingling pass feeds BOTH the index landing and the probe:
-        # persist so the delta isn't re-shingled per consumer; bound to
-        # one copy per index (the previous probe's handle is released)
+        # one shingling pass feeds both index writes; the handle is
+        # released as soon as the writes are done — the probe reads the
+        # landed partitions back instead of holding the plan
         sigs = shingle_signatures(delta).persist()
-        prev = getattr(self, "_cached_sigs", None)
-        if prev is not None:
-            try:
-                prev.unpersist()
-            except Exception:
-                pass
-        self._cached_sigs = sigs
-        self._write_sigs(sigs, delta_id, full=False)
-        dsig = band_rows(sigs).select(
+        try:
+            self._write_sigs(sigs, delta_id, full=False)
+        finally:
+            sigs.unpersist()
+        postings = spark.read.parquet(self.postings_path)
+        dsig = postings.where(F.col("delta_id") == delta_id).select(
             F.col("band"), F.col("sig"), F.col("doc_id").alias("d_new")
         )
-        postings = spark.read.parquet(self.postings_path)
         touched = dsig.select("band", "sig").distinct()
         bucket = postings.join(F.broadcast(touched), ["band", "sig"])
         sizes = bucket.groupBy("band", "sig").agg(F.count("*").alias("bucket_n"))
@@ -291,4 +318,23 @@ class MinHashIndex:
             )
             .filter(F.col("jaccard") >= 0.8)
         )
-        return verified
+        if not materialize:
+            return verified
+        (
+            verified.withColumn("delta_id", F.lit(delta_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("delta_id")
+            .parquet(self.pairs_path)
+        )
+        # explicit schema: a probe that found zero pairs leaves no
+        # partition dir to infer from, and must still read back empty
+        from pyspark.sql.types import StringType
+
+        snap_schema = verified.schema.add("delta_id", StringType())
+        return (
+            spark.read.schema(snap_schema)
+            .parquet(self.pairs_path)
+            .where(F.col("delta_id") == delta_id)
+            .drop("delta_id")
+        )

@@ -144,7 +144,14 @@ def foreach_batch_minhash_probe(
     (pinned by tests/test_streaming.py and test_minhash_index.py)."""
 
     def _probe(batch: DataFrame, batch_id: int) -> None:
-        pairs = index.probe_and_insert(batch, delta_id=f"b{batch_id:06d}")
+        # materialize=False: the lazy probe plan is consumed right here
+        # inside the micro-batch (no later insert can shift what it
+        # reads), and this sink's own batch_id-partitioned write IS the
+        # materialization — the index-internal pairs landing would be a
+        # redundant second copy
+        pairs = index.probe_and_insert(
+            batch, delta_id=f"b{batch_id:06d}", materialize=False
+        )
         (
             pairs.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
             .write.mode("overwrite")

@@ -72,6 +72,40 @@ def test_insert_is_append_only(spark, tmp_path):
     assert arrays_after - arrays_before == n_delta
 
 
+def test_probe_result_is_stable_snapshot(spark, tmp_path):
+    """The returned pairs are a materialized snapshot: collecting them
+    AFTER a later insert yields the same set (a lazy plan would re-read
+    postings/ and pick up the later delta's buckets — the round-6
+    review finding), and no persisted RDD outlives the call."""
+    sc = spark.sparkContext
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    persisted_before = sc._jsc.getPersistentRDDs().size()
+    probe1 = idx.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 0))
+    assert sc._jsc.getPersistentRDDs().size() == persisted_before, (
+        "probe_and_insert leaked a persisted handle"
+    )
+    first = _pairs(probe1)
+    idx.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 4))
+    assert _pairs(probe1) == first, (
+        "probe result drifted after a subsequent insert"
+    )
+
+
+def test_probe_zero_pairs_reads_back_empty(spark, tmp_path):
+    """A probe that verifies no pairs still returns a well-formed empty
+    frame (the pairs store has no partition to infer a schema from —
+    the explicit read schema covers it)."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    lone = docs.filter(F.col("doc_id") == -1)  # empty delta
+    out = idx.probe_and_insert(lone)
+    assert out.columns == ["da", "db", "jaccard"]
+    assert out.count() == 0
+
+
 def test_probe_retry_same_delta_id_idempotent(spark, tmp_path):
     """Re-landing the SAME delta_id (a retried probe after a mid-insert
     failure) replaces the delta's partitions instead of duplicating

@@ -266,6 +266,8 @@ def test_minhash_incremental_probe_shape(spark, sf_small, tmp_path):
     docs = spark.read.parquet(f"{sf_small}/documents.parquet")
     idx = MinHashIndex(spark, str(tmp_path / "idx"))
     idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
-    probe = idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0))
+    probe = idx.probe_and_insert(
+        docs.filter(F.col("doc_id") % 4 == 0), materialize=False
+    )
     assert count_nodes(probe, "CartesianProduct") == 0
     assert count_nodes(probe, "BroadcastHashJoin") >= 1
