@@ -45,15 +45,28 @@ This (third) implementation fixes both at the root:
   trusts it. Ties (both listed before either landed) break on the
   owner uuid — a deterministic total order every contender computes
   identically, with NO dependency on store timestamp granularity.
-- **A held lease heartbeats.** While held, a daemon thread refreshes
-  the claim's mtime every `ttl_s / 3` (`FileSystem.setTimes`), so the
-  waiters' staleness check (`age > ttl_s` ⇒ orphaned, break it) never
-  fires on a LIVE holder no matter how long the protected section
-  runs. TTL-breaking now only reclaims claims whose writer actually
-  stopped heartbeating — crashed or partitioned — the trade every
-  lease system makes (Chubby/ZooKeeper session ephemerals). Staleness
-  compares local clock to store mtime, so `ttl_s` must exceed
-  worst-case client↔store clock skew by a wide margin (default 600 s).
+- **A held lease heartbeats — with a refresh that works on object
+  stores.** While held, a daemon thread refreshes the claim's mtime
+  every `ttl_s / 3`, so the waiters' staleness check (`age > ttl_s` ⇒
+  orphaned, break it) never fires on a LIVE holder no matter how long
+  the protected section runs. `FileSystem.setTimes` is the cheap
+  refresh, but setTimes is a DOCUMENTED NO-OP in the Hadoop FileSystem
+  base class and on S3A-class object stores (S3 objects are immutable;
+  LastModified can't be touched in place) — exactly the stores this
+  module targets. So the first refresh PROBES the store once: a
+  throwaway file's mtime is setTimes'd to a sentinel deep in the past
+  and read back — if it didn't move, setTimes is inert there, and
+  every refresh instead re-lands the claim file
+  (`create(overwrite=True)` re-puts the object, which refreshes
+  LastModified on every store). The probe is deterministic at any TTL
+  (no "did now-ish move to now" ambiguity against mtime granularity),
+  and its verdict sticks, so steady state on an object store pays one
+  put per refresh. TTL-breaking now only reclaims claims
+  whose writer actually stopped heartbeating — crashed or partitioned
+  — the trade every lease system makes (Chubby/ZooKeeper session
+  ephemerals). Staleness compares local clock to store mtime, so
+  `ttl_s` must exceed worst-case client↔store clock skew by a wide
+  margin (default 600 s).
 - Losers poll with capped exponential backoff; release deletes the
   holder's own claim file only; a failed `try_acquire` removes its
   claim before returning so a non-context-manager caller that backs
@@ -123,6 +136,8 @@ class WriterLease:
         self._token: int | None = None
         self._claim = None  # set once a token is chosen
         self._claimed = False
+        # None = not yet probed; True = store ignores setTimes (S3A-class)
+        self._settimes_inert: bool | None = None
         self._held = False
         self._hb_stop = threading.Event()
         self._hb_thread: threading.Thread | None = None
@@ -226,18 +241,57 @@ class WriterLease:
 
     # -- heartbeat -----------------------------------------------------------
 
+    def _settimes_is_inert(self) -> bool:
+        """One-time probe: does this store's setTimes actually move
+        mtimes? A throwaway file is setTimes'd to a sentinel deep in
+        the past and read back — an inert store (S3A, base-class
+        default) leaves it at ~now. Deterministic at any TTL, unlike
+        checking whether a just-refreshed claim's mtime is 'recent'
+        (it always is, the file was just created). The dotfile name is
+        invisible to _live_entries (not a claim, not a choosing
+        marker)."""
+        if self._settimes_inert is None:
+            probe = self._HPath(f"{self.lease_dir}/.settimes-probe-{self.owner}")
+            sentinel = 1_000_000_000_000  # 2001-09-09: unambiguous past
+            try:
+                self._fs.create(probe, True).close()
+                self._fs.setTimes(probe, sentinel, -1)
+                got = self._fs.getFileStatus(probe).getModificationTime()
+                # second-granularity stores round; anything NEAR the
+                # sentinel (vs ~now) means setTimes took effect
+                self._settimes_inert = abs(got - sentinel) > 2000
+            except Exception:
+                self._settimes_inert = True  # unsupported => same as inert
+            finally:
+                try:
+                    self._fs.delete(probe, False)
+                except Exception:
+                    pass
+        return self._settimes_inert
+
+    def _refresh_claim(self) -> None:
+        """Advance the claim's store mtime so the staleness check never
+        fires on a live contender: `setTimes` where the store honors
+        it, re-landing the claim file (`create(overwrite=True)` re-puts
+        the object, refreshing LastModified on every store) where it
+        does not — see _settimes_is_inert."""
+        try:
+            if self._settimes_is_inert():
+                self._fs.create(self._claim, True).close()
+            else:
+                self._fs.setTimes(self._claim, int(time.time() * 1000.0), -1)
+        except Exception:
+            # claim vanished (broken despite the refresh — clock skew):
+            # re-land with the same token to restore our position
+            try:
+                self._fs.create(self._claim, True).close()
+            except Exception:
+                pass
+
     def _hb_loop(self) -> None:
         period = max(0.02, self.ttl_s / 3.0)
         while not self._hb_stop.wait(period):
-            try:
-                self._fs.setTimes(self._claim, int(time.time() * 1000.0), -1)
-            except Exception:
-                # claim vanished (broken despite heartbeat — clock skew):
-                # re-land with the same token to restore our position
-                try:
-                    self._fs.create(self._claim, True).close()
-                except Exception:
-                    pass
+            self._refresh_claim()
 
     def _start_heartbeat(self) -> None:
         if not self.heartbeat or self._hb_thread is not None:
@@ -284,12 +338,10 @@ class WriterLease:
                 if self.settle_s:
                     time.sleep(self.settle_s)
             elif time.monotonic() - last_touch > self.ttl_s / 3.0:
-                # a QUEUED claim ages too: refresh it so a long wait
-                # behind a long-running holder never looks orphaned
-                try:
-                    self._fs.setTimes(self._claim, int(time.time() * 1000.0), -1)
-                except Exception:
-                    pass
+                # a QUEUED claim ages too: refresh it (same verified
+                # refresh as the holder heartbeat) so a long wait behind
+                # a long-running holder never looks orphaned
+                self._refresh_claim()
                 last_touch = time.monotonic()
             if self._is_holder():
                 self._held = True

@@ -134,6 +134,58 @@ def test_lease_heartbeat_protects_slow_holder(spark, tmp_path):
     assert counter.read_text() == "2", "waiter broke a live holder"
 
 
+class _InertSetTimesFS:
+    """Delegating FS proxy whose setTimes is an S3A-style silent no-op
+    (the Hadoop FileSystem base-class default)."""
+
+    def __init__(self, fs):
+        self.__dict__["_fs"] = fs
+
+    def setTimes(self, *args):
+        return None
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def test_lease_heartbeat_survives_settimes_noop_store(spark, tmp_path):
+    """On S3A-class object stores `FileSystem.setTimes` is a silent
+    no-op, so a heartbeat built on setTimes alone never advances the
+    claim's LastModified and a slow holder is still TTL-broken there —
+    the round-7 ADVICE medium finding. The refresh now verifies the
+    mtime advanced and falls back to re-landing the claim file
+    (`create(overwrite=True)` refreshes LastModified on every store):
+    with setTimes inert on BOTH contenders, a holder outliving 3x the
+    TTL must keep the lease (final counter 2, no lost update), and the
+    holder must have detected the inert store."""
+    target = str(tmp_path / "t")
+    counter = tmp_path / "counter.txt"
+    counter.write_text("0")
+    ttl = 0.6  # heartbeat period = ttl/3 = 0.2 s
+    leases = []
+
+    def bump(hold_s: float) -> None:
+        lease = WriterLease(
+            spark, target, ttl_s=ttl, timeout_s=30.0, poll_s=0.05
+        )
+        lease._fs = _InertSetTimesFS(lease._fs)
+        leases.append(lease)
+        with lease:
+            v = int(counter.read_text())
+            time.sleep(hold_s)
+            counter.write_text(str(v + 1))
+
+    slow = threading.Thread(target=bump, args=(3 * ttl,))
+    slow.start()
+    time.sleep(0.2)  # ensure the slow writer holds first
+    fast = threading.Thread(target=bump, args=(0.05,))
+    fast.start()
+    slow.join()
+    fast.join()
+    assert counter.read_text() == "2", "waiter broke a live holder"
+    assert leases[0]._settimes_inert, "inert setTimes went undetected"
+
+
 def test_lease_order_is_token_not_mtime(spark, tmp_path):
     """Holder order is the bakery token embedded in the claim NAME, not
     the store mtime: on a second-granularity store (S3A LastModified)
