@@ -1,13 +1,20 @@
 """Persisted-MinHash-index incremental dedup (round-5 verdict item 2):
 the probe result equals the from-scratch banded run restricted to
 delta-touching pairs, replaying the delta in sub-batches yields the
-same union, and inserts are appends (no index rewrite)."""
+same union, and inserts are appends (no index rewrite). Round 8 adds
+the lifecycle: format-marker gating, compaction that folds delta
+partitions without changing probe results, snapshot retention, and the
+zero-pair-retry stale-snapshot fix."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
-from chchfr_data_collection_spark.operators.minhash_index import MinHashIndex
+from chchfr_data_collection_spark.operators.minhash_index import (
+    MH_BANDS,
+    MinHashIndex,
+)
 from chchfr_data_collection_spark.queries.llm import (
     dedup_minhash_banded,
     dedup_minhash_incremental,
@@ -104,6 +111,129 @@ def test_probe_zero_pairs_reads_back_empty(spark, tmp_path):
     out = idx.probe_and_insert(lone)
     assert out.columns == ["da", "db", "jaccard"]
     assert out.count() == 0
+
+
+def test_compact_folds_partitions_preserving_probe(spark, tmp_path):
+    """compact() folds N deltas' partitions into one generation:
+    postings drops to O(bands) leaf partitions, arrays/pairs to O(1) —
+    and a probe AFTER compaction returns exactly the pairs it returned
+    before (folding changes layout, never rows). This is the index's
+    answer to 'thousands of crawl batches = partition explosion'
+    (round-7 verdict ask 2)."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    # five crawl batches land five delta partitions per band
+    for i in range(5):
+        idx.insert(docs.filter(F.col("doc_id") % 20 == 4 * i), f"crawl-{i}")
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    before = _pairs(idx.probe_and_insert(delta, delta_id="probe-a"))
+    parts_before = idx._leaf_partition_count(idx.postings_path, 2)
+    assert parts_before > MH_BANDS  # sprawl exists to fold
+
+    receipt = idx.compact()
+    assert receipt["postings"]["compacted"] is True
+    assert idx._leaf_partition_count(idx.postings_path, 2) == MH_BANDS
+    assert idx._leaf_partition_count(idx.arrays_path, 1) == 1
+    assert idx._leaf_partition_count(idx.pairs_path, 1) == 1
+
+    after = _pairs(idx.probe_and_insert(delta, delta_id="probe-b"))
+    assert after == before, "compaction changed probe results"
+    # a second compact over an already-folded index is a no-op... once
+    # probe-b's fresh delta partitions are folded in
+    receipt2 = idx.compact()
+    assert receipt2["postings"]["compacted"] is True  # probe-b's delta
+    receipt3 = idx.compact()
+    assert receipt3["postings"]["compacted"] is False
+
+
+def test_format_marker_gates_writes(spark, tmp_path):
+    """insert/probe against a store without the current format marker
+    fail fast with a 'rebootstrap required' message BEFORE landing
+    anything — a v1-format index receiving v2 partitions would corrupt
+    the store into mixed-schema parquet (round-7 ADVICE, medium)."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    # simulate an index bootstrapped by the previous revision
+    fs, HPath = idx._fs()
+    fs.delete(HPath(idx.format_path), False)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    with pytest.raises(RuntimeError, match="[Rr]ebootstrap"):
+        idx.insert(delta, "d1")
+    with pytest.raises(RuntimeError, match="[Rr]ebootstrap"):
+        idx.probe_and_insert(delta, delta_id="d1")
+    # nothing landed: arrays/ still holds only the bootstrap rows
+    n_landed = docs.filter(
+        (F.col("doc_id") % 4 != 0) & (F.size(F.split("text", " ", -1)) >= 3)
+    ).count()
+    assert spark.read.parquet(idx.arrays_path).count() == n_landed
+    # rebootstrap restores service
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.probe_and_insert(delta, delta_id="d1").count()
+
+
+def test_crashed_bootstrap_fails_fast_with_no_stale_pairs(spark, tmp_path):
+    """A bootstrap that dies mid-index-write leaves a store that (a)
+    refuses inserts/probes — the marker lands LAST — and (b) holds no
+    previous generation's pairs/ snapshots — those are deleted FIRST
+    (round-7 ADVICE: deleting pairs/ after the write left a window
+    where a rebuilt index served the old generation's probe output)."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    landed = docs.filter(F.col("doc_id") % 4 != 0)
+    idx.bootstrap(landed)
+    idx.probe_and_insert(
+        docs.filter(F.col("doc_id") % 4 == 0), delta_id="gen1-probe"
+    ).count()
+    fs, HPath = idx._fs()
+    assert fs.exists(HPath(f"{idx.pairs_path}/delta_id=gen1-probe"))
+
+    real = idx._write_sigs
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash mid-bootstrap")
+    idx._write_sigs = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.bootstrap(landed)
+    idx._write_sigs = real
+    assert not fs.exists(HPath(idx.pairs_path)), "stale pairs survived"
+    with pytest.raises(RuntimeError, match="[Rr]ebootstrap"):
+        idx.insert(docs.filter(F.col("doc_id") % 4 == 0), "d1")
+
+
+def test_zero_pair_retry_replaces_stale_snapshot(spark, tmp_path):
+    """A retried probe under the SAME delta_id whose content now
+    verifies ZERO pairs must read back empty: dynamic overwrite writes
+    nothing for an empty frame, so without the pre-delete the previous
+    attempt's non-empty partition would be served (round-7 verdict
+    finding 4)."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    rich = idx.probe_and_insert(
+        docs.filter(F.col("doc_id") % 4 == 0), delta_id="retry-me"
+    )
+    assert rich.count() > 0
+    empty = idx.probe_and_insert(
+        docs.filter(F.col("doc_id") == -1), delta_id="retry-me"
+    )
+    assert empty.count() == 0, "stale snapshot served on a zero-pair retry"
+
+
+def test_prune_pairs_reclaims_consumed_snapshots(spark, tmp_path):
+    """prune_pairs deletes consumed snapshot partitions (named or all)
+    — the retention story for a store that otherwise grows by one
+    permanent partition per probe (round-7 ADVICE, low)."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 0), delta_id="a")
+    idx.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 4), delta_id="b")
+    assert idx._leaf_partition_count(idx.pairs_path, 1) == 2
+    assert idx.prune_pairs(["a"]) == 1
+    assert idx._leaf_partition_count(idx.pairs_path, 1) == 1
+    assert idx.prune_pairs() == 1
+    assert idx._leaf_partition_count(idx.pairs_path, 1) == 0
 
 
 def test_probe_retry_same_delta_id_idempotent(spark, tmp_path):
