@@ -110,6 +110,8 @@ HEADLINE = [
     "similarity_lsh_scaled",
     "source_overlap_matrix",
     "compaction_roundtrip",
+    # round 8
+    "dedup_minhash_probe_only",
 ]
 
 

@@ -2308,8 +2308,20 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
     band signatures → posting-list pair generation per (band, signature)
     bucket → exact shingle-Jaccard verification of candidates only.
     P(candidate | J) = 1-(1-J^r)^b ≈ 0.985 at J=0.8. Emits verified
-    pairs with exact Jaccard >= 0.8 — the probabilistic twin of
-    dedup_ngram_jaccard (same similarity definition).
+    pairs with exact Jaccard >= 0.8.
+
+    Similarity definition (precise, since round 7): Jaccard over the
+    sets of 32-bit md5-prefix HASHES of 3-word shingles — not the
+    shingle strings themselves. dedup_ngram_jaccard verifies over the
+    string sets; a 32-bit prefix collision can merge two distinct
+    shingles and nudge an edge pair's Jaccard (birthday bound: a
+    1000-shingle doc has ~1e-4 probability of ANY internal collision,
+    and a collision shifts J by ~1/|union|), so the two operators'
+    definitions can disagree on pairs sitting exactly at the 0.8
+    threshold. That is the accepted price of carrying int64 hashes
+    instead of strings through shuffle/cache/store (~3x fewer bytes);
+    dedup_recall_audit measures the realized agreement against the
+    string-exact definition, collisions included.
 
     Scale hardening: buckets wider than _MH_BUCKET_CAP docs are skipped
     for pair generation (a degenerate signature shared by k docs would
@@ -2466,9 +2478,13 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
 )
 def dedup_recall_audit(spark, sf_dir):
     """Recall audit for the APPROXIMATE dedup path: banded-MinHash
-    verified pairs vs the exact capped-Jaccard join, one audit row
-    (n_exact, n_approx, n_hit, recall) — the dedup-family twin of
-    ann_recall_audit. The theoretical floor is P(candidate | J=0.8) =
+    verified pairs (hashed-shingle Jaccard — 32-bit md5-prefix sets,
+    see dedup_minhash_banded) vs the exact STRING-shingle capped-Jaccard
+    join, one audit row (n_exact, n_approx, n_hit, recall) — the
+    dedup-family twin of ann_recall_audit. The two sides deliberately
+    use different similarity definitions (hashed vs string shingles),
+    so the audit prices both the banding misses AND the hash-collision
+    edge cases in one number. The theoretical floor is P(candidate | J=0.8) =
     1-(1-0.8^4)^8 ≈ 0.985 per pair; the audit measures the realized
     value (bucket-cap skips included) on exactly the operators that
     ship, so a curation pipeline asserts `recall >= target` before
@@ -2528,6 +2544,52 @@ def dedup_minhash_incremental(spark, sf_dir):
     idx = MinHashIndex(spark, base)
     idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
     return idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0))
+
+
+@register(
+    "dedup_minhash_probe_only",
+    sql=f"""
+    SELECT da, db, jaccard FROM ({_minhash_banded_duck()}) t
+    WHERE da % 4 = 0 OR db % 4 = 0
+    """,
+    tags=("llm", "dedup", "fuzzy", "minhash", "incremental"),
+)
+def dedup_minhash_probe_only(spark, sf_dir):
+    """STEADY-STATE serving cost of the incremental dedup path: the
+    delta-bounded probe against a PREBUILT persisted index.
+
+    dedup_minhash_incremental bootstraps its index from scratch inside
+    the entry for catalog self-containment, so its bench row prices
+    bootstrap + probe together; production's steady state is "the index
+    already exists, a crawl batch arrives" — THIS entry. The index is
+    bootstrapped once per (session, fixture) and reused across
+    invocations (the _ivf_trained_ranked cache pattern, keyed on
+    applicationId so a new session rebuilds), so the measured time is
+    the probe alone: delta shingling/signing, the partition-pruned
+    posting semi-join, candidate verification, and the pairs/ snapshot
+    round-trip. Repeated probes pass a STABLE delta_id, so each
+    invocation replaces its own partitions — idempotent across bench
+    passes, index state identical after every run. Same result
+    contract and oracle as dedup_minhash_incremental (round-6 ask 3 /
+    round-7 ask 4: the 7 s incremental bench rows finally get their
+    apples-to-apples steady-state twin)."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.minhash_index import MinHashIndex
+
+    docs = T(spark, sf_dir, "documents", parallel=True)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    holder = dedup_minhash_probe_only
+    cached = getattr(holder, "_cached_idx", None)
+    if cached is None or cached[0] != key:
+        base = tempfile.mkdtemp(prefix=f"mh_probe_only_{_uuid.uuid4().hex[:8]}_")
+        idx = MinHashIndex(spark, base)
+        idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+        holder._cached_idx = (key, idx)
+    return holder._cached_idx[1].probe_and_insert(
+        docs.filter(F.col("doc_id") % 4 == 0), delta_id="steady-state-probe"
+    )
 
 
 @register(
