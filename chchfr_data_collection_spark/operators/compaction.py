@@ -69,31 +69,45 @@ def _hidden_sibling(path: str, kind: str) -> str:
     return f"{parent}/_{name}__{kind}_{uuid.uuid4().hex[:8]}"
 
 
-def footer_row_count(spark: SparkSession, path: str) -> int:
+def footer_row_count(spark: SparkSession, path: str, threads: int = 16) -> int:
     """Exact row count of a parquet directory from FOOTER metadata only
     — zero data pages read. Recurses so partitioned layouts work;
     hidden (`_`/`.`-prefixed) files are skipped like any parquet
     reader would. This is the verification primitive that keeps
-    compaction at one data pass."""
+    compaction at one data pass.
+
+    Footer reads run on a bounded driver-side thread pool (py4j calls
+    are thread-safe — each thread gets its own gateway connection): a
+    relation of thousands of files on an object store would otherwise
+    pay a SERIAL loop of ~2 range-GETs per file, minutes of latency
+    for what is conceptually one metadata sweep."""
+    from concurrent.futures import ThreadPoolExecutor
+
     jvm = spark._jvm
     HPath = jvm.org.apache.hadoop.fs.Path
     conf = spark._jsc.hadoopConfiguration()
     fs = HPath(path).getFileSystem(conf)
     it = fs.listFiles(HPath(path), True)
-    total = 0
+    paths = []
     while it.hasNext():
         p = it.next().getPath()
         name = p.getName()
-        if not name.endswith(".parquet") or name.startswith(("_", ".")):
-            continue
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            paths.append(p)
+
+    def _rows(p) -> int:
         reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
             jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
         )
         try:
-            total += reader.getRecordCount()
+            return reader.getRecordCount()
         finally:
             reader.close()
-    return total
+
+    if not paths:
+        return 0
+    with ThreadPoolExecutor(max_workers=min(threads, len(paths))) as pool:
+        return sum(pool.map(_rows, paths))
 
 
 def _list_parquet_files(fs, HPath, path: str):
@@ -123,6 +137,7 @@ def swap_in_place(spark: SparkSession, staging: str, path: str) -> None:
         raise IOError(f"could not move aside {path}")
     if not fs.rename(HPath(staging), tgt):
         fs.rename(trash, tgt)  # roll back: target never left absent
+        fs.delete(HPath(staging), True)  # don't leak the hidden staging
         raise IOError(f"could not publish compacted dir to {path}")
     fs.delete(trash, True)
 

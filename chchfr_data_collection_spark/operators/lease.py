@@ -106,6 +106,11 @@ class WriterLease:
     target directory itself (parquet readers don't glob siblings).
     """
 
+    # setTimes-inert verdicts, keyed by filesystem URI: one probe per
+    # STORE per process, not one per lease instance — a busy writer
+    # creates many short-lived leases against the same store
+    _settimes_inert_by_fs: dict[str, bool] = {}
+
     def __init__(
         self,
         spark,
@@ -251,6 +256,14 @@ class WriterLease:
         invisible to _live_entries (not a claim, not a choosing
         marker)."""
         if self._settimes_inert is None:
+            try:
+                fs_key = str(self._fs.getUri())
+            except Exception:
+                fs_key = ""
+            cached = self._settimes_inert_by_fs.get(fs_key) if fs_key else None
+            if cached is not None:
+                self._settimes_inert = cached
+                return cached
             probe = self._HPath(f"{self.lease_dir}/.settimes-probe-{self.owner}")
             sentinel = 1_000_000_000_000  # 2001-09-09: unambiguous past
             try:
@@ -267,6 +280,8 @@ class WriterLease:
                     self._fs.delete(probe, False)
                 except Exception:
                     pass
+            if fs_key:
+                self._settimes_inert_by_fs[fs_key] = self._settimes_inert
         return self._settimes_inert
 
     def _refresh_claim(self) -> None:

@@ -136,13 +136,18 @@ def test_lease_heartbeat_protects_slow_holder(spark, tmp_path):
 
 class _InertSetTimesFS:
     """Delegating FS proxy whose setTimes is an S3A-style silent no-op
-    (the Hadoop FileSystem base-class default)."""
+    (the Hadoop FileSystem base-class default). Reports its own FS URI
+    so the process-wide per-store inert cache neither reads the real
+    local filesystem's verdict nor poisons it for other tests."""
 
     def __init__(self, fs):
         self.__dict__["_fs"] = fs
 
     def setTimes(self, *args):
         return None
+
+    def getUri(self):
+        return "inert://settimes-noop-test"
 
     def __getattr__(self, name):
         return getattr(self._fs, name)
