@@ -2762,11 +2762,13 @@ def text_tfidf_topterms(spark, sf_dir):
 
 
 _SIMHASH_LEV_DUCK = f"""
-WITH sh AS ({_SIMHASH_DUCK})
+WITH sh AS ({_SIMHASH_DUCK}),
+bsz AS (SELECT simhash16, COUNT(*) AS c FROM sh GROUP BY simhash16)
 SELECT a.doc_id AS da, b.doc_id AS db,
        levenshtein(ta.text, tb.text) AS edit_dist
 FROM sh a
 JOIN sh b ON a.simhash16 = b.simhash16 AND a.doc_id < b.doc_id
+JOIN bsz z ON z.simhash16 = a.simhash16 AND z.c <= {_MH_BUCKET_CAP}
 JOIN documents ta ON ta.doc_id = a.doc_id
 JOIN documents tb ON tb.doc_id = b.doc_id
 WHERE levenshtein(ta.text, tb.text) <= 40
@@ -2782,25 +2784,49 @@ def dedup_simhash_levenshtein(spark, sf_dir):
     """Bucket-then-verify with EDIT DISTANCE: simhash collision proposes
     the pair, Levenshtein <= 40 confirms it — the character-level twin
     of the shingle-Jaccard verifiers (catches small in-word edits that
-    word-shingles miss). Levenshtein is O(len²) per pair, which is why
-    it NEVER runs all-pairs: the simhash equi-join bounds it to bucket
-    collisions, and the distance runs JVM-side (F.levenshtein — same DP,
-    bit-identical in DuckDB). Texts join in AFTER the candidate pairs
-    exist, so full documents are never shuffled for non-candidates."""
+    word-shingles miss). Texts join in AFTER the candidate pairs exist,
+    so full documents are never shuffled for non-candidates.
+
+    The verification cost is bounded THREE ways (round-8 fix — the
+    first full-catalog sf0.1 sweep caught this entry at 225 s, 85% of
+    its pairs coming from simhash buckets wider than 64 docs, one
+    478-doc bucket alone contributing 114k pairs):
+
+    - **Bucket cap** (same _MH_BUCKET_CAP=64 discipline as every other
+      bucket-verify operator here): a degenerate fingerprint shared by
+      k docs proposes k(k-1)/2 pairs in one task; clusters that wide
+      are boilerplate — exact-hash dedup's territory, carrying no
+      edit-distance signal. Mirrored in the oracle, so the contract
+      stays cross-engine exact.
+    - **Length band**: |len(a) - len(b)| is a lower bound on edit
+      distance, so pairs differing by more than the threshold skip the
+      DP entirely — an O(1) reject.
+    - **Banded DP**: the threshold form of F.levenshtein computes an
+      O(len x threshold) band and returns -1 past it, instead of the
+      full O(len^2) table; surviving rows carry the exact distance, so
+      emitted values equal the oracle's unbanded DP bit-for-bit."""
     sh = dedup_simhash(spark, sf_dir)
-    a = sh.select(F.col("doc_id").alias("da"), F.col("simhash16").alias("ha"))
-    b = sh.select(F.col("doc_id").alias("db"), F.col("simhash16").alias("hb"))
+    keep = (
+        sh.groupBy("simhash16")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") <= _MH_BUCKET_CAP)
+        .select("simhash16")
+    )
+    shc = sh.join(F.broadcast(keep), "simhash16")
+    a = shc.select(F.col("doc_id").alias("da"), F.col("simhash16").alias("ha"))
+    b = shc.select(F.col("doc_id").alias("db"), F.col("simhash16").alias("hb"))
     cand = a.join(b, (F.col("ha") == F.col("hb")) & (F.col("da") < F.col("db")))
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         cand.join(docs.select(F.col("doc_id").alias("da"), F.col("text").alias("ta")), "da")
         .join(docs.select(F.col("doc_id").alias("db"), F.col("text").alias("tb")), "db")
+        .filter(F.abs(F.length("ta") - F.length("tb")) <= 40)
         .select(
             "da",
             "db",
-            F.levenshtein("ta", "tb").alias("edit_dist"),
+            F.levenshtein("ta", "tb", 40).alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 40)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 

@@ -504,17 +504,29 @@ def agg_approx_distinct(spark, sf_dir):
     is (a) the exact distinct count, (b) a boolean asserting the sketch
     landed within 3×rsd of it (deterministic: Spark's HLL is
     deterministic for fixed input), and (c) an exact-at-this-accuracy
-    median (see agg_approx_quantiles for the convention)."""
+    median (see agg_approx_quantiles for the convention).
+
+    The exact distinct runs as its OWN aggregation joined back on the
+    3-row group key, never in the same agg as the percentile: a true
+    DISTINCT aggregate plans through Expand, which re-keys the partial
+    phase by (group, distinct-value) — so every approx_percentile
+    partial becomes a PER-PARTKEY QuantileSummaries buffer (tens of
+    thousands of accuracy-10^6 summaries to allocate and merge). The
+    full-catalog sf0.1 sweep caught the combined form at 31 s; the
+    split form is ~1 s, and each subplan column-prunes its scan to
+    exactly one value column — the cheaper shape at 100 TB too."""
+    li = T(spark, sf_dir, "lineitem")
+    sketch = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000000)").alias(
+            "median_price"
+        ),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
     return (
-        T(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-            F.expr("approx_percentile(l_extendedprice, 0.5, 1000000)").alias(
-                "median_price"
-            ),
-        )
+        exact.join(F.broadcast(sketch), "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",
