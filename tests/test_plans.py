@@ -271,3 +271,35 @@ def test_minhash_incremental_probe_shape(spark, sf_small, tmp_path):
     )
     assert count_nodes(probe, "CartesianProduct") == 0
     assert count_nodes(probe, "BroadcastHashJoin") >= 1
+
+
+def test_r8_perf_fix_plan_shapes(spark, sf_small, cat):
+    """Pin the two round-8 perf fixes so they can't silently revert
+    (each was a 30-100x sf0.1 regression found by the first
+    full-catalog sweep):
+
+    - dedup_simhash_levenshtein: the BANDED threshold form of
+      levenshtein (`Some(40)` in the expression — O(len x 40), not
+      O(len^2)), the length-band prefilter, a broadcast for the
+      bucket-cap keep-list, and no cartesian.
+    - agg_approx_distinct: the exact-distinct aggregation must NOT
+      plan through Expand in the same subtree as the percentile —
+      with the split-and-join shape there is no Expand node at all,
+      and the percentile lives in its own ObjectHashAggregate."""
+    from chchfr_data_collection_spark.plans.audit import formatted_plan
+
+    df = cat["dedup_simhash_levenshtein"].fn(spark, sf_small)
+    plan = formatted_plan(df)
+    assert "levenshtein" in plan and "Some(40)" in plan, (
+        "banded threshold levenshtein regressed to the full DP"
+    )
+    assert "abs((length(" in plan, "length-band prefilter missing"
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+
+    df = cat["agg_approx_distinct"].fn(spark, sf_small)
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Expand") == 0, (
+        "distinct agg re-joined percentile partials through Expand"
+    )
+    assert "percentile" in plan
