@@ -110,6 +110,61 @@ def footer_row_count(spark: SparkSession, path: str, threads: int = 16) -> int:
         return sum(pool.map(_rows, paths))
 
 
+def footer_row_count_distributed(
+    spark: SparkSession, path: str, files_per_task: int = 64
+) -> int:
+    """Exact parquet row count from footers, EXECUTOR-side — the
+    table-wide variant of `footer_row_count`.
+
+    The driver-side thread pool is right for one leaf directory
+    (hundreds of files — compaction verify, index fold verify); a
+    whole-table audit at 100 TB has millions of files, and even 16
+    concurrent ~2-range-GET footer reads serialize into hours on the
+    driver. Here only the recursive LISTING stays on the driver (one
+    metadata sweep, the same cost any scan planning pays); the footer
+    reads fan out as one Spark job over the file list, ~`files_per_task`
+    files per task so task-launch overhead stays amortized while a
+    million-file table still spreads over every executor.
+
+    Executors read footers with pyarrow (the JVM FileSystem is not
+    reachable from Python workers): local paths directly, any other
+    scheme through `pyarrow.fs.FileSystem.from_uri` — which covers
+    hdfs:// and s3:// with the standard pyarrow bindings."""
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(HPath(path), True)
+    uris = []
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            uris.append(p.toUri().toString())
+    if not uris:
+        return 0
+
+    def _part(paths):
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        total = 0
+        for u in paths:
+            parsed = urlparse(u)
+            if parsed.scheme in ("", "file"):
+                total += pq.ParquetFile(unquote(parsed.path)).metadata.num_rows
+            else:
+                fsys, rel = pafs.FileSystem.from_uri(u)
+                with fsys.open_input_file(rel) as fh:
+                    total += pq.ParquetFile(fh).metadata.num_rows
+        yield total
+
+    n_slices = max(1, math.ceil(len(uris) / files_per_task))
+    sc = spark.sparkContext
+    return sum(sc.parallelize(uris, n_slices).mapPartitions(_part).collect())
+
+
 def _list_parquet_files(fs, HPath, path: str):
     """Non-recursive (leaf-dir) parquet data files: (names, total_bytes)."""
     files = []

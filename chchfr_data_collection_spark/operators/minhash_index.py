@@ -47,6 +47,26 @@ Lifecycle (round-7 verdict asks 1a/6 + ADVICE):
   O(bands) leaf partitions, not O(N*bands). Probe results are
   IDENTICAL before and after (pinned by test) — folding changes file
   layout, never rows.
+
+  The fold is IN PLACE, not a whole-relation swap (round-8 rework —
+  closes the "insert racing compact() could be erased" accepted risk):
+  only delta partitions whose insert has COMMITTED — advertised by a
+  per-delta marker under `_landed/` (`_landed_pairs/` for snapshots),
+  written after the insert's last relation write — are read, rewritten
+  as ONE fresh `delta_id=gen-<id>` partition landed BESIDE the live
+  data (dynamic overwrite touches only the gen partition), verified
+  row-exact from parquet footers, and only then deleted. A concurrent
+  insert's new delta is untouched by construction: its partitions are
+  not in the fold set (no marker at plan time), and the fold never
+  replaces the relation directory. Crash safety is a two-phase
+  manifest (`_fold_intent.json` → `_fold_commit.json`): recovery rolls
+  an unverified fold back (delete the gen partition) and rolls a
+  committed one forward (finish the source deletions) — either way the
+  store holds each row exactly once. Still NOT fold-safe: re-inserting
+  a delta_id that is already in a running fold's set (coordinate
+  retries of pre-compaction batches externally), and probes/snapshot
+  read-backs overlapping the fold window (consume them first — the
+  fold re-keys their delta_id partitions to the generation).
 - `pairs/` retention: every probe with `materialize=True` lands a
   permanent snapshot partition. Consumed snapshots are reclaimed by
   `prune_pairs(delta_ids)` (or wholesale by `compact()`, which folds
@@ -101,9 +121,12 @@ MH_K = MH_BANDS * MH_ROWS
 MH_BUCKET_CAP = 64  # max docs per (band, sig) bucket used for pair-gen
 # On-disk format of the persisted store. v1: shingle STRINGS in
 # arrays/ (rounds 5-6). v2: int64 shingle hashes (shs: array<bigint>,
-# nw: int) — ~3x fewer bytes (round 7). Bumped on any layout change;
-# insert/probe refuse a store whose marker doesn't match.
-MH_FORMAT_VERSION = 2
+# nw: int) — ~3x fewer bytes (round 7). v3: per-delta `_landed/`
+# markers gate compaction folds (round 8) — a v2 store's partitions
+# carry no markers, so compact() would silently never fold them;
+# refusing the store is the honest failure. Bumped on any layout
+# change; insert/probe refuse a store whose marker doesn't match.
+MH_FORMAT_VERSION = 3
 
 _rng = random.Random(20260813)
 MH_A = [_rng.randrange(1, 1 << 29) | 1 for _ in range(MH_K)]
@@ -197,6 +220,15 @@ class MinHashIndex:
         self.pairs_path = f"{self.base_path}/pairs"
         # `_`-prefixed: hidden from any listing that globs the base path
         self.format_path = f"{self.base_path}/_FORMAT"
+        # landed markers: delta_id X gets `_landed/X` AFTER its index
+        # writes commit (`_landed_pairs/X` after its pairs/ snapshot
+        # lands). compact() folds ONLY marked deltas — a mid-flight
+        # insert's partitions are invisible to the fold by construction.
+        self.landed_path = f"{self.base_path}/_landed"
+        self.landed_pairs_path = f"{self.base_path}/_landed_pairs"
+        # two-phase fold manifest (see compact())
+        self.fold_intent_path = f"{self.base_path}/_fold_intent.json"
+        self.fold_commit_path = f"{self.base_path}/_fold_commit.json"
 
     # -- format marker ---------------------------------------------------------
 
@@ -244,6 +276,52 @@ class MinHashIndex:
                 "probing — mixing formats in one store corrupts it."
             )
 
+    # -- landed markers / manifests ---------------------------------------------
+
+    def _mark_landed(self, root: str, delta_id: str) -> None:
+        fs, HPath = self._fs()
+        fs.create(HPath(f"{root}/{delta_id}"), True).close()
+
+    def _unmark_landed(self, root: str, delta_id: str) -> None:
+        fs, HPath = self._fs()
+        fs.delete(HPath(f"{root}/{delta_id}"), False)
+
+    def _landed_ids(self, root: str) -> set:
+        fs, HPath = self._fs()
+        if not fs.exists(HPath(root)):
+            return set()
+        return {
+            st.getPath().getName()
+            for st in fs.listStatus(HPath(root))
+            if st.isFile()
+        }
+
+    def _write_json(self, path: str, obj: dict) -> None:
+        import json
+
+        fs, HPath = self._fs()
+        out = fs.create(HPath(path), True)
+        try:
+            out.write(bytearray(json.dumps(obj).encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_json(self, path: str):
+        import json
+
+        fs, HPath = self._fs()
+        p = HPath(path)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            txt = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(str(txt))
+
     # -- build ---------------------------------------------------------------
 
     def _write_sigs(self, sigs: DataFrame, delta_id: str, full: bool) -> None:
@@ -258,6 +336,10 @@ class MinHashIndex:
         index-side twin of the pairs/ zero-pair-retry hole)."""
         if not full:
             fs, HPath = self._fs()
+            # retract the landed marker FIRST: while this retry is
+            # rewriting the delta's partitions they are not a settled
+            # fold source; the caller re-lands the marker after commit
+            self._unmark_landed(self.landed_path, delta_id)
             fs.delete(HPath(f"{self.arrays_path}/delta_id={delta_id}"), True)
             for b in range(MH_BANDS):
                 fs.delete(
@@ -302,11 +384,17 @@ class MinHashIndex:
         fs, HPath = self._fs()
         fs.delete(HPath(self.format_path), False)
         fs.delete(HPath(self.pairs_path), True)
+        # previous generation's lifecycle metadata goes with it
+        fs.delete(HPath(self.landed_path), True)
+        fs.delete(HPath(self.landed_pairs_path), True)
+        fs.delete(HPath(self.fold_intent_path), False)
+        fs.delete(HPath(self.fold_commit_path), False)
         sigs = shingle_signatures(docs).persist()
         try:
             self._write_sigs(sigs, delta_id, full=True)
         finally:
             sigs.unpersist()
+        self._mark_landed(self.landed_path, delta_id)
         self._write_format_marker()
 
     def insert(self, docs: DataFrame, delta_id: str) -> None:
@@ -319,6 +407,10 @@ class MinHashIndex:
             self._write_sigs(sigs, delta_id, full=False)
         finally:
             sigs.unpersist()
+        # marker last: a crash above leaves partitions compact() will
+        # never fold (and a retry will replace) — never a half-landed
+        # delta folded into a generation
+        self._mark_landed(self.landed_path, delta_id)
 
     # -- probe ---------------------------------------------------------------
 
@@ -424,6 +516,10 @@ class MinHashIndex:
             .filter(F.col("jaccard") >= 0.8)
         )
         if not materialize:
+            # the delta IS landed; marked foldable here because the
+            # lazy plan must anyway be consumed before the next
+            # insert/compact (docstring contract)
+            self._mark_landed(self.landed_path, delta_id)
             return verified
         # dynamic overwrite writes NOTHING when the result is empty, so
         # a retried probe whose delta now verifies zero pairs would
@@ -431,6 +527,7 @@ class MinHashIndex:
         # the delta's partition first (one metadata op) so the landed
         # state always reflects THIS attempt (round-7 verdict finding 4)
         fs, HPath = self._fs()
+        self._unmark_landed(self.landed_pairs_path, delta_id)
         fs.delete(HPath(f"{self.pairs_path}/delta_id={delta_id}"), True)
         (
             verified.withColumn("delta_id", F.lit(delta_id))
@@ -448,6 +545,12 @@ class MinHashIndex:
         snap_schema = StructType(
             list(verified.schema.fields) + [StructField("delta_id", StringType())]
         )
+        # markers only after every write for this delta committed: the
+        # index partitions stayed un-foldable through the probe (the
+        # probe plan partition-prunes on this delta_id), and the pairs
+        # snapshot is advertised only once it exists
+        self._mark_landed(self.landed_path, delta_id)
+        self._mark_landed(self.landed_pairs_path, delta_id)
         return (
             spark.read.schema(snap_schema)
             .parquet(self.pairs_path)
@@ -474,10 +577,14 @@ class MinHashIndex:
                 name = st.getPath().getName()
                 if st.isDirectory() and name.startswith("delta_id="):
                     fs.delete(st.getPath(), True)
+                    self._unmark_landed(
+                        self.landed_pairs_path, name[len("delta_id="):]
+                    )
                     removed += 1
             return removed
         for did in delta_ids:
             if fs.delete(HPath(f"{self.pairs_path}/delta_id={did}"), True):
+                self._unmark_landed(self.landed_pairs_path, did)
                 removed += 1
         return removed
 
@@ -498,92 +605,250 @@ class MinHashIndex:
             level = nxt
         return len(level)
 
+    def _rel_path(self, rel: str) -> str:
+        return {
+            "postings": self.postings_path,
+            "arrays": self.arrays_path,
+            "pairs": self.pairs_path,
+        }[rel]
+
+    def _partition_ids(self, rel: str) -> set:
+        """delta_id values present as partition directories in `rel`."""
+        fs, HPath = self._fs()
+        path = self._rel_path(rel)
+        if not fs.exists(HPath(path)):
+            return set()
+        roots = []
+        if rel == "postings":
+            for bd in fs.listStatus(HPath(path)):
+                if bd.isDirectory() and bd.getPath().getName().startswith("band="):
+                    roots.append(bd.getPath())
+        else:
+            roots.append(HPath(path))
+        ids = set()
+        for r in roots:
+            for st in fs.listStatus(r):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith("delta_id="):
+                    ids.add(name[len("delta_id="):])
+        return ids
+
+    def _delta_dirs(self, rel: str, delta_id: str) -> list:
+        """Existing partition directories holding `delta_id` in `rel`."""
+        fs, HPath = self._fs()
+        path = self._rel_path(rel)
+        if rel == "postings":
+            dirs = [
+                f"{path}/band={b}/delta_id={delta_id}" for b in range(MH_BANDS)
+            ]
+        else:
+            dirs = [f"{path}/delta_id={delta_id}"]
+        return [d for d in dirs if fs.exists(HPath(d))]
+
+    def _fold_plan(self) -> dict:
+        """Decide what this fold touches: per relation, the delta_ids
+        that are BOTH marker-landed and present as partitions. Unmarked
+        partitions (an insert mid-flight, or one that crashed before
+        its marker) are left alone — that is the whole concurrency
+        story. A relation with < 2 foldable deltas has no sprawl to
+        fold and is skipped."""
+        idx_marked = self._landed_ids(self.landed_path)
+        folded = {}
+        for rel in ("postings", "arrays"):
+            land = sorted(idx_marked & self._partition_ids(rel))
+            folded[rel] = land if len(land) >= 2 else []
+        pl = sorted(
+            self._landed_ids(self.landed_pairs_path) & self._partition_ids("pairs")
+        )
+        folded["pairs"] = pl if len(pl) >= 2 else []
+        return {"gen": f"gen-{uuid.uuid4().hex[:8]}", "folded": folded}
+
+    def _fold_write(self, plan: dict, target_bytes: int) -> dict:
+        """Land each folded relation's rows as ONE delta_id=<gen>
+        partition BESIDE the live data (dynamic overwrite touches only
+        the gen partition — never the relation root), and verify the
+        gen partition's footer row sum equals the folded sources'.
+        Returns {rel: rows} on success; raises on mismatch (caller
+        rolls the gen partitions back — sources untouched)."""
+        from .compaction import footer_row_count
+
+        spark = self.spark
+        fs, HPath = self._fs()
+        gen = plan["gen"]
+        rows = {}
+        for rel, land in plan["folded"].items():
+            if not land:
+                continue
+            path = self._rel_path(rel)
+            src_dirs = [d for did in land for d in self._delta_dirs(rel, did)]
+            rows_before = sum(footer_row_count(spark, d) for d in src_dirs)
+            total_bytes = sum(
+                st.getLen()
+                for d in src_dirs
+                for st in _iter_files(fs, HPath, d)
+            )
+            floor = MH_BANDS if rel == "postings" else 1
+            n_out = max(floor, math.ceil(total_bytes / float(target_bytes)))
+            df = (
+                spark.read.parquet(path)
+                .where(F.col("delta_id").isin(land))
+                .drop("delta_id")
+            )
+            shuffled = (
+                df.repartition(n_out, "band")
+                if rel == "postings"
+                else df.repartition(n_out)
+            )
+            parts = ("band", "delta_id") if rel == "postings" else ("delta_id",)
+            (
+                shuffled.withColumn("delta_id", F.lit(gen))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*parts)
+                .parquet(path)
+            )
+            rows_gen = sum(
+                footer_row_count(spark, d) for d in self._delta_dirs(rel, gen)
+            )
+            if rows_gen != rows_before:
+                raise IOError(
+                    f"index fold row mismatch on {path}: "
+                    f"{rows_before} -> {rows_gen}; sources untouched"
+                )
+            rows[rel] = rows_before
+        return rows
+
+    def _rollback_fold(self, plan: dict) -> None:
+        """Undo an UNCOMMITTED fold: delete the (possibly partial) gen
+        partitions and both manifests. Sources were never touched, so
+        the store is exactly its pre-fold self."""
+        fs, HPath = self._fs()
+        for rel in ("postings", "arrays", "pairs"):
+            for d in self._delta_dirs(rel, plan["gen"]):
+                fs.delete(HPath(d), True)
+        fs.delete(HPath(self.fold_intent_path), False)
+        fs.delete(HPath(self.fold_commit_path), False)
+
+    def _fold_finish(self, plan: dict) -> None:
+        """Roll a COMMITTED fold forward (idempotent — also the crash
+        recovery path): delete the folded source partitions, retire
+        their markers, mark the generation itself landed (the NEXT
+        compaction folds it like any delta), then drop the manifests —
+        intent first, so a crash between the two deletes is recovered
+        via the commit manifest (roll forward), never misread as an
+        uncommitted fold (roll back would delete live gen data)."""
+        fs, HPath = self._fs()
+        gen = plan["gen"]
+        folded = plan["folded"]
+        for rel, land in folded.items():
+            for did in land:
+                for d in self._delta_dirs(rel, did):
+                    fs.delete(HPath(d), True)
+        idx_left = self._partition_ids("postings") | self._partition_ids("arrays")
+        for did in set(folded["postings"]) | set(folded["arrays"]):
+            if did not in idx_left:
+                self._unmark_landed(self.landed_path, did)
+        for did in folded["pairs"]:
+            self._unmark_landed(self.landed_pairs_path, did)
+        if folded["postings"] or folded["arrays"]:
+            self._mark_landed(self.landed_path, gen)
+        if folded["pairs"]:
+            self._mark_landed(self.landed_pairs_path, gen)
+        fs.delete(HPath(self.fold_intent_path), False)
+        fs.delete(HPath(self.fold_commit_path), False)
+
+    def _recover_fold(self) -> None:
+        """Finish or undo a fold a previous compact() died inside of.
+        Commit manifest present => the gen partitions verified complete
+        before the crash: roll FORWARD. Intent only => the gen write
+        never verified: roll BACK. Either way every row is stored
+        exactly once afterwards."""
+        commit = self._read_json(self.fold_commit_path)
+        if commit is not None:
+            self._fold_finish(commit)
+            return
+        intent = self._read_json(self.fold_intent_path)
+        if intent is not None:
+            self._rollback_fold(intent)
+
     def compact(self, target_bytes: int = 128 * 1024 * 1024) -> dict:
         """Fold the per-delta partition sprawl into ONE consolidated
-        generation per relation.
+        generation per relation — IN PLACE, concurrent-insert-safe.
 
         insert()/probe_and_insert() land one `(band, delta_id)` posting
         partition pair per crawl batch FOREVER — after thousands of
         batches that is a partition-explosion + small-file sprawl that
         slows every probe's listing and scan (round-7 verdict ask 2).
-        compact() rewrites each relation with a single fresh
-        `delta_id=gen-<id>` partition value: postings/ drops from
-        O(N*bands) leaf partitions to O(bands), arrays/ and pairs/ to
-        O(1). Rows are untouched, so a probe returns identical pairs
-        before and after (pinned by test); subsequent inserts simply
-        add new delta partitions beside the generation.
+        compact() rewrites the marker-landed delta partitions as a
+        single fresh `delta_id=gen-<id>` partition per relation:
+        postings/ drops from O(N*bands) leaf partitions to O(bands),
+        arrays/ and pairs/ to O(1). Rows are untouched, so a probe
+        returns identical pairs before and after (pinned by test);
+        subsequent inserts simply add new delta partitions beside the
+        generation.
 
-        Mechanics per relation: rewrite into a `_`-prefixed staging
-        sibling (hidden from listings), verify the staging row count
-        equals the source's from parquet FOOTERS only (one data pass —
-        the rewrite), then the fenced rename-swap, all under the
-        WriterLease on the base path. Run it between probes (probes
-        don't take the lease; the swap window must not race a reader) —
-        and note pairs/ snapshots fold into the generation too, so
-        outstanding probe handles (which filter on their delta_id) must
-        be consumed BEFORE compacting.
+        Concurrency (round-8 rework; closes the ADVICE accepted risk
+        "an insert racing a compact() could land a delta partition
+        that the swap erases"): the fold never replaces a relation
+        directory — it lands the generation BESIDE the live partitions
+        and deletes exactly the source partitions it read. The fold
+        set is pinned at plan time to deltas with a `_landed/` marker,
+        which inserts write only AFTER their last relation write
+        commits, so a concurrent insert's partitions are never read,
+        never deleted, and never double-counted (pinned by test).
+        Two races remain out of scope and documented: RE-inserting a
+        delta_id that is already in the running fold's set, and
+        probes/snapshot read-backs overlapping the fold window (their
+        delta_id partitions re-key to the generation mid-plan) —
+        schedule those apart or take the lease.
+
+        Crash safety is a two-phase manifest: `_fold_intent.json`
+        lands before the gen write, `_fold_commit.json` only after the
+        gen partition verified row-exact against the sources from
+        parquet FOOTERS (one data pass total — the rewrite). The next
+        compact() rolls an intent-only fold back and a committed fold
+        forward before planning its own (`_recover_fold`).
 
         Returns a receipt: per relation {compacted, leaf_partitions
         before/after, rows}."""
-        from .compaction import _hidden_sibling, footer_row_count, swap_in_place
         from .lease import WriterLease
 
         spark = self.spark
         self._require_format()
-        fs, HPath = self._fs()
-        gen = f"gen-{uuid.uuid4().hex[:8]}"
-        receipt: dict = {"generation": gen}
         with WriterLease(spark, self.base_path):
-            for rel, path, parts, depth in (
-                ("postings", self.postings_path, ("band", "delta_id"), 2),
-                ("arrays", self.arrays_path, ("delta_id",), 1),
-                ("pairs", self.pairs_path, ("delta_id",), 1),
-            ):
-                before = self._leaf_partition_count(path, depth)
-                floor = MH_BANDS if depth == 2 else 1
-                if before <= floor:
+            self._recover_fold()
+            plan = self._fold_plan()
+            receipt: dict = {"generation": plan["gen"]}
+            before = {
+                rel: self._leaf_partition_count(self._rel_path(rel), depth)
+                for rel, depth in (("postings", 2), ("arrays", 1), ("pairs", 1))
+            }
+            rows: dict = {}
+            if any(plan["folded"].values()):
+                self._write_json(self.fold_intent_path, plan)
+                try:
+                    rows = self._fold_write(plan, target_bytes)
+                except BaseException:
+                    self._rollback_fold(plan)
+                    raise
+                self._write_json(self.fold_commit_path, plan)
+                self._fold_finish(plan)
+            for rel, depth in (("postings", 2), ("arrays", 1), ("pairs", 1)):
+                if plan["folded"][rel]:
+                    receipt[rel] = {
+                        "compacted": True,
+                        "leaf_partitions_before": before[rel],
+                        "leaf_partitions": self._leaf_partition_count(
+                            self._rel_path(rel), depth
+                        ),
+                        "rows": rows.get(rel),
+                    }
+                else:
                     receipt[rel] = {
                         "compacted": False,
-                        "leaf_partitions": before,
+                        "leaf_partitions": before[rel],
                         "rows": None,
                     }
-                    continue
-                rows_before = footer_row_count(spark, path)
-                total_bytes = sum(
-                    st.getLen()
-                    for st in _iter_files(fs, HPath, path)
-                )
-                n_out = max(
-                    MH_BANDS if depth == 2 else 1,
-                    math.ceil(total_bytes / float(target_bytes)),
-                )
-                staging = _hidden_sibling(path, "compact")
-                df = spark.read.parquet(path).drop("delta_id")
-                shuffled = (
-                    df.repartition(n_out, "band")
-                    if depth == 2
-                    else df.repartition(n_out)
-                )
-                (
-                    shuffled.withColumn("delta_id", F.lit(gen))
-                    .write.mode("overwrite")
-                    .partitionBy(*parts)
-                    .parquet(staging)
-                )
-                rows_staged = footer_row_count(spark, staging)
-                if rows_staged != rows_before:
-                    fs.delete(HPath(staging), True)
-                    raise IOError(
-                        f"index compaction row mismatch on {path}: "
-                        f"{rows_before} -> {rows_staged}; relation untouched"
-                    )
-                swap_in_place(spark, staging, path)
-                receipt[rel] = {
-                    "compacted": True,
-                    "leaf_partitions_before": before,
-                    "leaf_partitions": self._leaf_partition_count(path, depth),
-                    "rows": rows_before,
-                }
         return receipt
 
 

@@ -151,3 +151,26 @@ def test_target_sizing_splits_output(spark, tmp_path):
     assert receipt["compacted"] is True
     assert 3 <= receipt["files_after"] <= 4
     assert spark.read.parquet(target).count() == 50_000
+
+
+def test_footer_row_count_distributed_matches_driver_side(spark, tmp_path):
+    """The executor-side footer sweep (table-wide audit path) agrees
+    with the driver-side thread-pool variant and with a real scan,
+    across a partitioned layout, multi-slice file lists, and the
+    empty-directory edge."""
+    from chchfr_data_collection_spark.operators.compaction import (
+        footer_row_count_distributed,
+    )
+
+    target = str(tmp_path / "t")
+    spark.range(5_000).select(
+        F.col("id"), (F.col("id") % 7).alias("p")
+    ).repartition(12).write.partitionBy("p").parquet(target)
+    expect = footer_row_count(spark, target)
+    assert expect == 5_000
+    # files_per_task=2 forces a many-slice job — the 100 TB shape
+    assert footer_row_count_distributed(spark, target, files_per_task=2) == expect
+    assert footer_row_count_distributed(spark, target) == expect
+    empty = str(tmp_path / "e")
+    (tmp_path / "e").mkdir()
+    assert footer_row_count_distributed(spark, empty) == 0

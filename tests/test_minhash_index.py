@@ -253,3 +253,137 @@ def test_probe_retry_same_delta_id_idempotent(spark, tmp_path):
     assert p2 == p1
     assert spark.read.parquet(idx.arrays_path).count() == arrays_1
     assert spark.read.parquet(idx.postings_path).count() == postings_1
+
+
+def test_compact_preserves_concurrent_insert(spark, tmp_path):
+    """The round-8 fold rework's whole point: an insert landing AFTER
+    the fold set is pinned but BEFORE the fold rewrites/deletes is
+    untouched — the fold lands the generation BESIDE live partitions
+    and deletes exactly the sources it read, never the relation root.
+    (The previous whole-relation rename-swap erased such an insert —
+    the ADVICE r8 accepted risk this closes.)"""
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    idx = MinHashIndex(spark, path)
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.insert(docs.filter(F.col("doc_id") % 8 == 0), "settled")
+    racer = docs.filter(F.col("doc_id") % 8 == 4)
+    real = idx._fold_write
+
+    def hooked(plan, target_bytes):
+        # a second writer lands a fresh delta mid-fold
+        MinHashIndex(spark, path).insert(racer, "racer")
+        return real(plan, target_bytes)
+
+    idx._fold_write = hooked
+    receipt = idx.compact()
+    idx._fold_write = real
+    assert receipt["postings"]["compacted"] is True
+    assert "racer" in idx._partition_ids("arrays")
+    assert "racer" in idx._partition_ids("postings")
+    # every doc's row exists exactly once: nothing lost, nothing doubled
+    n_total = docs.filter(F.size(F.split("text", " ", -1)) >= 3).count()
+    arrs = spark.read.parquet(idx.arrays_path)
+    assert arrs.count() == n_total
+    assert arrs.select("doc_id").distinct().count() == n_total
+    # the racer is marker-landed, so the NEXT fold consolidates it
+    receipt2 = idx.compact()
+    assert receipt2["postings"]["compacted"] is True
+    assert idx._partition_ids("postings") == {receipt2["generation"]}
+
+
+def test_compact_skips_unlanded_delta(spark, tmp_path):
+    """A delta whose insert died before its `_landed/` marker is
+    invisible to the fold: its partitions are neither read nor deleted
+    (they stay probe-visible), and the standard same-delta_id retry
+    re-marks it for the next fold."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.insert(docs.filter(F.col("doc_id") % 8 == 0), "ok")
+    delta = docs.filter(F.col("doc_id") % 8 == 4)
+    idx.insert(delta, "halfway")
+    # simulate the insert having died between its writes and its marker
+    idx._unmark_landed(idx.landed_path, "halfway")
+    receipt = idx.compact()
+    assert receipt["postings"]["compacted"] is True  # bootstrap+ok fold
+    assert "halfway" in idx._partition_ids("arrays")
+    assert "halfway" in idx._partition_ids("postings")
+    n_half = delta.filter(F.size(F.split("text", " ", -1)) >= 3).count()
+    landed_rows = (
+        spark.read.parquet(idx.arrays_path)
+        .filter(F.col("delta_id") == "halfway")
+        .count()
+    )
+    assert landed_rows == n_half
+    idx.insert(delta, "halfway")  # the retry re-lands marker + rows
+    receipt2 = idx.compact()
+    assert receipt2["postings"]["compacted"] is True
+    assert idx._partition_ids("postings") == {receipt2["generation"]}
+
+
+def test_fold_crash_before_commit_rolls_back(spark, tmp_path):
+    """A fold that dies before the commit manifest is rolled BACK by
+    the next compact(): the gen partitions vanish, the sources were
+    never touched, and the retried fold then succeeds — probe results
+    identical throughout."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    before = _pairs(
+        idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), delta_id="p")
+    )
+    rows_before = spark.read.parquet(idx.postings_path).count()
+    real_write, real_rb = idx._fold_write, idx._rollback_fold
+
+    def boom(plan, target_bytes):
+        real_write(plan, target_bytes)  # gen fully written...
+        raise RuntimeError("simulated crash before commit manifest")
+
+    idx._fold_write = boom
+    idx._rollback_fold = lambda plan: None  # process death: no except path
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.compact()
+    idx._fold_write, idx._rollback_fold = real_write, real_rb
+    # crashed state on disk: intent manifest + gen partitions + sources
+    assert idx._read_json(idx.fold_intent_path) is not None
+    assert any(d.startswith("gen-") for d in idx._partition_ids("postings"))
+    receipt = idx.compact()  # recovery rolls back, then folds cleanly
+    assert receipt["postings"]["compacted"] is True
+    assert spark.read.parquet(idx.postings_path).count() == rows_before
+    assert idx._partition_ids("postings") == {receipt["generation"]}
+    after = _pairs(
+        idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), delta_id="p2")
+    )
+    assert after == before
+
+
+def test_fold_crash_after_commit_rolls_forward(spark, tmp_path):
+    """A fold that dies after the commit manifest (gen verified, source
+    deletions unfinished — rows transiently duplicated) is rolled
+    FORWARD by the next compact(): sources and markers are cleaned up,
+    and every row is stored exactly once again."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), delta_id="p")
+    rows_before = spark.read.parquet(idx.postings_path).count()
+    real_finish = idx._fold_finish
+
+    def dies(plan):
+        raise RuntimeError("simulated crash after commit manifest")
+
+    idx._fold_finish = dies
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.compact()
+    idx._fold_finish = real_finish
+    assert idx._read_json(idx.fold_commit_path) is not None
+    # duplicated on disk right now: gen + unfinished sources
+    assert spark.read.parquet(idx.postings_path).count() > rows_before
+    receipt = idx.compact()  # recovery finishes the committed fold
+    assert spark.read.parquet(idx.postings_path).count() == rows_before
+    assert idx._read_json(idx.fold_commit_path) is None
+    assert idx._read_json(idx.fold_intent_path) is None
+    only = idx._partition_ids("postings")
+    assert len(only) == 1 and next(iter(only)).startswith("gen-")
+    assert receipt["postings"]["compacted"] is False  # nothing left to fold
