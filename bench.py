@@ -112,6 +112,8 @@ HEADLINE = [
     "compaction_roundtrip",
     # round 8
     "dedup_minhash_probe_only",
+    "similarity_filtered_ann",
+    "parquet_footer_audit",
 ]
 
 

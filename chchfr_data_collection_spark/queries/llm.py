@@ -1296,6 +1296,292 @@ def lsh_scaled_recall_audit(spark, sf_dir):
     )
 
 
+# --------------------------------------------- filtered vector search
+
+# Metadata-filtered similarity search — "nearest allowed neighbors",
+# every vector store's other core query (filter by tenant / license /
+# language / date, THEN rank by similarity). The catalog predicate is
+# label % 3 = 0 (~40% selectivity, spelled identically in both
+# engines); queries are the pushed-bound slice vec_id < _FTK_QUERIES.
+_FTK_QUERIES, _FTK_K = 16, 5
+_FTK_PRED_SQL = "label % 3 = 0"
+
+
+def _ftk_pred():
+    """The predicate as a Column — built lazily: a module-level Column
+    would require an active SparkContext at IMPORT time (classic-mode
+    Column construction goes through the JVM)."""
+    return F.col("label") % 3 == 0
+
+_FILTERED_TOPK_DUCK = f"""
+    WITH {_NORM2_DUCK},
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, {_DOT_QUANT} AS d
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < {_FTK_QUERIES}
+                       AND b.vec_id <> a.vec_id AND b.{_FTK_PRED_SQL}
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.vec_id, b.vec_id),
+    scored AS (
+      SELECT qid, cid,
+        CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+      FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid)
+    SELECT qid, cid, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, cid) AS rnk
+      FROM scored) t
+    WHERE rnk <= {_FTK_K}
+    """
+
+
+@register(
+    "similarity_filtered_topk",
+    sql=_FILTERED_TOPK_DUCK,
+    tags=("llm", "similarity", "topk", "filtered"),
+)
+def similarity_filtered_topk(spark, sf_dir):
+    """PRE-FILTERED exact top-k: each query vector's k=5 nearest
+    neighbors AMONG the vectors satisfying the metadata predicate —
+    the correct answer to a filtered vector search, against which the
+    cheap post-filter shortcut is audited (filtered_topk_recall_audit).
+
+    Plan shape is the point: the predicate lands on the CANDIDATE
+    side's parquet scan (PushedFilters — the allowed corpus is never
+    wider than the scan), the per-pair work runs on the ~40% slice,
+    and ranking happens after filtering, so every query gets its full
+    k results. Same integer-quantized cosine + deterministic tiebreak
+    as similarity_topk_cosine, so scores and ranks are bit-identical
+    cross-engine."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    q = emb.filter(F.col("vec_id") < _FTK_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        V.quantize("embedding").alias("qq"),
+        V.dot_exact("embedding", "embedding").alias("qn2"),
+    )
+    c = emb.filter(_ftk_pred()).select(
+        F.col("vec_id").alias("cid"),
+        V.quantize("embedding").alias("qc"),
+        V.dot_exact("embedding", "embedding").alias("cn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _FTK_K)
+        .select("qid", "cid", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "filtered_topk_recall_audit",
+    sql=f"""
+    WITH {_NORM2_DUCK},
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS cid, b.{_FTK_PRED_SQL} AS ok, {_DOT_QUANT} AS d
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < {_FTK_QUERIES} AND b.vec_id <> a.vec_id
+      CROSS JOIN range(1, 65) t(i)
+      GROUP BY a.vec_id, b.vec_id, b.label),
+    scored AS (
+      SELECT qid, cid, ok,
+        CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+      FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+    r_all AS (
+      SELECT qid, cid, ok,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+      FROM scored),
+    r_ok AS (
+      SELECT qid, cid,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+      FROM scored WHERE ok)
+    SELECT
+      (SELECT COUNT(*) FROM r_ok WHERE rnk <= {_FTK_K}) AS n_true,
+      (SELECT COUNT(*) FROM r_all WHERE rnk <= {_FTK_K} AND ok) AS n_post,
+      CAST((SELECT COUNT(*) FROM r_all WHERE rnk <= {_FTK_K} AND ok) AS DOUBLE)
+        / (SELECT COUNT(*) FROM r_ok WHERE rnk <= {_FTK_K}) AS recall_post
+    """,
+    tags=("llm", "similarity", "topk", "filtered", "audit"),
+)
+def filtered_topk_recall_audit(spark, sf_dir):
+    """The filtered-search go/no-go row: what POST-filtering costs.
+
+    The tempting shortcut for a filtered vector search is to reuse the
+    unfiltered top-k and drop disallowed results. Every allowed vector
+    in the unfiltered top-k is necessarily in the TRUE filtered top-k
+    (the rank order is a shared deterministic total order), so the
+    shortcut's recall is exactly |allowed ∩ unfiltered-top-k| / k·|Q|
+    — roughly the predicate's selectivity when labels are independent
+    of similarity, and WORSE when the filter excludes the query's own
+    cluster. One row (n_true, n_post, recall_post) decides whether the
+    pre-filtered pass (similarity_filtered_topk) must run; both ranks
+    come off ONE scored relation — the audit adds a window, not a
+    second O(|Q|·n) pass."""
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    q = emb.filter(F.col("vec_id") < _FTK_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        V.quantize("embedding").alias("qq"),
+        V.dot_exact("embedding", "embedding").alias("qn2"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        _ftk_pred().alias("ok"),
+        V.quantize("embedding").alias("qc"),
+        V.dot_exact("embedding", "embedding").alias("cn2"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            "ok",
+            (
+                dot.cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    w_ok = (
+        W.partitionBy("qid", "ok").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    )
+    ranked = scored.withColumn("rnk_all", F.row_number().over(w)).withColumn(
+        "rnk_ok", F.row_number().over(w_ok)
+    )
+    return ranked.agg(
+        F.count(F.when(F.col("ok") & (F.col("rnk_ok") <= _FTK_K), 1)).alias(
+            "n_true"
+        ),
+        F.count(F.when(F.col("ok") & (F.col("rnk_all") <= _FTK_K), 1)).alias(
+            "n_post"
+        ),
+    ).select(
+        "n_true",
+        "n_post",
+        (F.col("n_post").cast("double") / F.col("n_true")).alias("recall_post"),
+    )
+
+
+def _lsh_filtered_duck() -> str:
+    """DuckDB twin of similarity_filtered_ann: the non-multiprobe
+    _lsh_ann_duck shape with a DIRECTED candidate join whose home side
+    is restricted to the predicate."""
+
+    def bucket_expr(t: int) -> str:
+        bits = []
+        for j in range(_LSH_BITS):
+            pl = "[" + ", ".join(str(v) for v in _LSH_PLANES[t][j]) + "]"
+            bits.append(
+                f"(CASE WHEN CAST(list_sum([qv[i] * ({pl})[i] "
+                f"for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) >= 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(bits)
+
+    tables = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(t)} AS bkt FROM q"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+        [CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) for x in embedding] AS qv
+      FROM embeddings),
+    norms AS (
+      SELECT vec_id,
+        CAST(list_sum([qv[i] * qv[i] for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) AS norm2
+      FROM q),
+    b AS ({tables}),
+    allowed AS (SELECT vec_id FROM embeddings WHERE {_FTK_PRED_SQL}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
+      FROM b a
+      JOIN b c ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id <> c.vec_id
+      JOIN allowed ON allowed.vec_id = c.vec_id),
+    dots AS (
+      SELECT cand.qid, cand.cid,
+        CAST(list_sum([qa.qv[i] * qb.qv[i] for i in range(1, {_LSH_DIM + 1})]) AS BIGINT) AS d
+      FROM cand JOIN q qa ON qa.vec_id = cand.qid JOIN q qb ON qb.vec_id = cand.cid)
+    SELECT qid, cid,
+      CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))) AS cos_sim
+    FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid
+    WHERE CAST(d AS DOUBLE) / (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE)))
+          >= {_LSH_THRESHOLD}
+    """
+
+
+@register(
+    "similarity_filtered_ann",
+    sql=_lsh_filtered_duck(),
+    tags=("llm", "similarity", "ann", "filtered"),
+)
+def similarity_filtered_ann(spark, sf_dir):
+    """Filtered similarity search at SCALE: sign-LSH candidate
+    generation with the HOME (candidate) side PRE-filtered to the
+    metadata predicate, directed output (qid -> allowed cid at the
+    LSH family's 0.45 cosine threshold).
+
+    This is the production composition of the two ideas above: the
+    predicate pushes into the allowed side's parquet scan BEFORE its
+    buckets are even computed — bucket work on that side, the bucket
+    equi-join's fan-out, verification pair volume, and (in an index
+    deployment) the stored posting lists all shrink by the predicate's
+    selectivity, while the probe side is untouched. Post-filtering the
+    unfiltered LSH join would pay full-width buckets and verify ~2.5×
+    the pairs here, then still throw 60% of them away. Every pair is
+    exactly verified, so precision is 1.0 and recall is the LSH
+    family's (audited in ann_recall_audit on the same plane family)."""
+    emb = _lsh_emb(spark, sf_dir)
+    allowed = T(spark, sf_dir, "embeddings", parallel=True).filter(_ftk_pred())
+    allowed_emb = allowed.select(
+        "vec_id",
+        V.quantize("embedding").alias("qv"),
+        V.dot_exact("embedding", "embedding").alias("n2"),
+    )
+    probes = _lsh_buckets(emb).select(F.col("vec_id").alias("va"), "tbl", "bkt")
+    homes = _lsh_buckets(allowed_emb).select(
+        F.col("vec_id").alias("vb"), "tbl", "bkt"
+    )
+    cand = (
+        probes.join(homes, ["tbl", "bkt"])
+        .filter(F.col("va") != F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    return _lsh_verify(emb, cand).select(
+        F.col("va").alias("qid"), F.col("vb").alias("cid"), "cos_sim"
+    )
+
+
 def similarity_lsh_ann_mllib(spark, sf_dir):
     """MLlib BucketedRandomProjectionLSH comparison point — NOT in the
     catalog (engine-internal hash seeds preclude a cross-engine oracle);

@@ -303,3 +303,17 @@ def test_r8_perf_fix_plan_shapes(spark, sf_small, cat):
         "distinct agg re-joined percentile partials through Expand"
     )
     assert "percentile" in plan
+
+
+def test_filtered_search_pushdown_shapes(spark, sf_small, cat):
+    """Filtered vector search: the metadata predicate reaches the
+    ALLOWED side's parquet scan (PushedFilters on label) in both the
+    exact top-k and the LSH path, and the LSH path's candidate stage
+    stays an equi-join — never a cartesian. At 100 TB the pushed
+    predicate is what shrinks bucket work and pair volume by the
+    filter's selectivity before anything shuffles."""
+    topk = cat["similarity_filtered_topk"].fn(spark, sf_small)
+    assert_pushed_filter(topk, "embeddings", "label")
+    ann = cat["similarity_filtered_ann"].fn(spark, sf_small)
+    assert_pushed_filter(ann, "embeddings", "label")
+    assert count_nodes(ann, "CartesianProduct") == 0
