@@ -66,7 +66,13 @@ Lifecycle (round-7 verdict asks 1a/6 + ADVICE):
   a delta_id that is already in a running fold's set (coordinate
   retries of pre-compaction batches externally), and probes/snapshot
   read-backs overlapping the fold window (consume them first — the
-  fold re-keys their delta_id partitions to the generation).
+  fold re-keys their delta_id partitions to the generation). After a
+  CRASHED compact(), run compact() again (recovery heals the store)
+  BEFORE further probes: until then the gen partition coexists with
+  its un-deleted sources, and a probe over the duplicated rows sees
+  inflated bucket sizes (buckets pushed over the cap are
+  conservatively skipped) and can emit duplicate pair rows from the
+  doubled verification arrays.
 - `pairs/` retention: every probe with `materialize=True` lands a
   permanent snapshot partition. Consumed snapshots are reclaimed by
   `prune_pairs(delta_ids)` (or wholesale by `compact()`, which folds
