@@ -62,17 +62,30 @@ Lifecycle (round-7 verdict asks 1a/6 + ADVICE):
   manifest (`_fold_intent.json` → `_fold_commit.json`): recovery rolls
   an unverified fold back (delete the gen partition) and rolls a
   committed one forward (finish the source deletions) — either way the
-  store holds each row exactly once. Still NOT fold-safe: re-inserting
-  a delta_id that is already in a running fold's set (coordinate
-  retries of pre-compaction batches externally), and probes/snapshot
-  read-backs overlapping the fold window (consume them first — the
-  fold re-keys their delta_id partitions to the generation). After a
-  CRASHED compact(), run compact() again (recovery heals the store)
-  BEFORE further probes: until then the gen partition coexists with
-  its un-deleted sources, and a probe over the duplicated rows sees
-  inflated bucket sizes (buckets pushed over the cap are
-  conservatively skipped) and can emit duplicate pair rows from the
-  doubled verification arrays.
+  store holds each row exactly once.
+
+  Probes are FOLD-SAFE (round-9): index reads resolve through the fold
+  manifests, not a bare directory glob (`_fold_read_exclusions`). An
+  intent-only fold's generation partition is invisible (unverified —
+  probes read the intact sources); once the commit manifest lands, the
+  folded SOURCES are invisible (probes read the verified generation,
+  whether or not the source deletions finished). A probe landing
+  between a compactor CRASH and the next compact() therefore sees each
+  row exactly once in BOTH crash branches — no inflated bucket sizes,
+  no duplicate pair rows, and no "re-run compact() before probing"
+  manual step (the round-8 accepted risk this closes). Still out of
+  scope: re-inserting a delta_id that is already in a RUNNING fold's
+  set (coordinate retries of pre-compaction batches externally), and a
+  lazy probe plan (`materialize=False`) held across a fold — its
+  pinned file listing goes stale and the read fails LOUDLY with
+  missing files, never silently wrong; consume it in-window.
+- Folded delta_ids are TOMBSTONED (`_folded/<id>`, written by the
+  fold's finish step before it deletes the sources): insert() promises
+  that re-landing the same delta_id REPLACES its rows, but once a fold
+  has re-keyed those rows into a generation a late retry would land a
+  silent second copy beside them. insert/probe fail fast on a
+  tombstoned delta_id instead (round-8 ADVICE, medium). Tombstones are
+  one empty file per folded delta, cleared by bootstrap().
 - `pairs/` retention: every probe with `materialize=True` lands a
   permanent snapshot partition. Consumed snapshots are reclaimed by
   `prune_pairs(delta_ids)` (or wholesale by `compact()`, which folds
@@ -232,6 +245,10 @@ class MinHashIndex:
         # insert's partitions are invisible to the fold by construction.
         self.landed_path = f"{self.base_path}/_landed"
         self.landed_pairs_path = f"{self.base_path}/_landed_pairs"
+        # tombstones: delta_ids whose rows a fold re-keyed into a
+        # generation — a late same-id retry must fail fast, not land a
+        # second copy beside the folded one
+        self.folded_path = f"{self.base_path}/_folded"
         # two-phase fold manifest (see compact())
         self.fold_intent_path = f"{self.base_path}/_fold_intent.json"
         self.fold_commit_path = f"{self.base_path}/_fold_commit.json"
@@ -302,6 +319,58 @@ class MinHashIndex:
             if st.isFile()
         }
 
+    def _require_not_folded(self, delta_id: str) -> None:
+        """Fail fast when `delta_id` was already folded into a
+        generation: insert()'s replace-on-retry promise is keyed on the
+        delta's OWN partitions, which the fold deleted — a retry would
+        silently land a second copy of rows the generation already
+        holds (duplicate arrays/postings, inflated buckets, duplicate
+        verified pairs). An external retry scheduler replaying a batch
+        across a nightly compact() hits exactly this; the loud error is
+        the contract (round-8 ADVICE, medium)."""
+        fs, HPath = self._fs()
+        if fs.exists(HPath(f"{self.folded_path}/{delta_id}")):
+            raise RuntimeError(
+                f"delta_id {delta_id!r} was already compacted into a "
+                f"generation of the index at {self.base_path}; "
+                "re-landing it would duplicate its rows beside the "
+                "folded copy. Use a fresh delta_id for genuinely new "
+                "content, or drop the retry — the original landed."
+            )
+
+    def _fold_read_exclusions(self) -> set:
+        """delta_ids a consistent reader must SKIP given the current
+        fold state — the manifest-resolved read view that makes probes
+        fold-safe (round-9; closes the crashed-fold duplicate window):
+
+        - commit manifest present: the generation verified row-exact
+          before the crash, so the gen partition is authoritative and
+          the (possibly partially deleted) folded SOURCES are excluded;
+        - intent only: the gen partition is unverified (possibly
+          partial) and excluded; the untouched sources serve;
+        - no manifest: nothing to exclude — the glob is the truth.
+
+        Readers apply this as a negative partition filter, so partition
+        pruning still applies and no excluded file is ever opened."""
+        commit = self._read_json(self.fold_commit_path)
+        if commit is not None:
+            return set(commit["folded"]["postings"]) | set(
+                commit["folded"]["arrays"]
+            )
+        intent = self._read_json(self.fold_intent_path)
+        if intent is not None:
+            return {intent["gen"]}
+        return set()
+
+    def _read_relation(self, path: str) -> DataFrame:
+        """Fold-consistent read of postings/ or arrays/: the directory
+        glob minus the manifest-excluded delta_ids."""
+        df = self.spark.read.parquet(path)
+        excl = self._fold_read_exclusions()
+        if excl:
+            df = df.filter(~F.col("delta_id").isin(sorted(excl)))
+        return df
+
     def _write_json(self, path: str, obj: dict) -> None:
         import json
 
@@ -362,9 +431,15 @@ class MinHashIndex:
             .withColumn("delta_id", did)
             .write.mode("overwrite")
         )
-        if not full:
-            arrays_w = arrays_w.option("partitionOverwriteMode", "dynamic")
-            postings_w = postings_w.option("partitionOverwriteMode", "dynamic")
+        # the overwrite mode is set EXPLICITLY per-write in both
+        # branches: the session default is dynamic (session.py), under
+        # which a bare mode("overwrite") would make the bootstrap path
+        # replace only the partitions the new content writes — leaving
+        # a previous generation's other delta partitions serving as
+        # unmarked zombies (found by the round-9 rebootstrap test)
+        mode = "dynamic" if not full else "static"
+        arrays_w = arrays_w.option("partitionOverwriteMode", mode)
+        postings_w = postings_w.option("partitionOverwriteMode", mode)
         arrays_w.partitionBy("delta_id").parquet(self.arrays_path)
         postings_w.partitionBy("band", "delta_id").parquet(self.postings_path)
 
@@ -393,6 +468,7 @@ class MinHashIndex:
         # previous generation's lifecycle metadata goes with it
         fs.delete(HPath(self.landed_path), True)
         fs.delete(HPath(self.landed_pairs_path), True)
+        fs.delete(HPath(self.folded_path), True)
         fs.delete(HPath(self.fold_intent_path), False)
         fs.delete(HPath(self.fold_commit_path), False)
         sigs = shingle_signatures(docs).persist()
@@ -406,8 +482,12 @@ class MinHashIndex:
     def insert(self, docs: DataFrame, delta_id: str) -> None:
         """Land a delta's postings and verification rows — the in-place
         index update: no existing delta's files are rewritten, and
-        re-landing the SAME delta_id replaces rather than duplicates."""
+        re-landing the SAME delta_id replaces rather than duplicates.
+        The replace guarantee holds until the delta is folded by
+        compact(); after that a same-id retry fails fast on the fold
+        tombstone (see _require_not_folded) instead of duplicating."""
         self._require_format()
+        self._require_not_folded(delta_id)
         sigs = shingle_signatures(docs).persist()
         try:
             self._write_sigs(sigs, delta_id, full=False)
@@ -451,6 +531,12 @@ class MinHashIndex:
         probe plan (for plan inspection / custom sinks): that plan
         re-reads the index at evaluation time, so it must be consumed
         before the next insert or it will see later deltas' postings.
+        The delta is NOT marked fold-landed on return — a compact()
+        running between return and consumption would otherwise re-key
+        the delta's partitions to the generation and silently evaluate
+        the outstanding plan to zero rows (round-8 ADVICE, low). Call
+        `finalize_delta(delta_id)` after consuming the plan so the
+        delta becomes foldable; until then compact() simply skips it.
 
         Pass a STABLE `delta_id` to make a retried probe idempotent
         (same partitions replaced); the default random id gives each
@@ -461,6 +547,7 @@ class MinHashIndex:
         self._require_format()
         if delta_id is None:
             delta_id = uuid.uuid4().hex
+        self._require_not_folded(delta_id)
         # one shingling pass feeds both index writes; the handle is
         # released as soon as the writes are done — the probe reads the
         # landed partitions back instead of holding the plan
@@ -469,7 +556,10 @@ class MinHashIndex:
             self._write_sigs(sigs, delta_id, full=False)
         finally:
             sigs.unpersist()
-        postings = spark.read.parquet(self.postings_path)
+        # fold-consistent read: a crashed (or mid-commit) compact()'s
+        # duplicated rows are invisible — the manifest decides whether
+        # the generation or its sources serve (see _fold_read_exclusions)
+        postings = self._read_relation(self.postings_path)
         dsig = postings.where(F.col("delta_id") == delta_id).select(
             F.col("band"), F.col("sig"), F.col("doc_id").alias("d_new")
         )
@@ -486,7 +576,7 @@ class MinHashIndex:
             )
             .distinct()
         )
-        arrs = spark.read.parquet(self.arrays_path)
+        arrs = self._read_relation(self.arrays_path)
         verified = (
             cand.join(
                 arrs.select(
@@ -522,10 +612,11 @@ class MinHashIndex:
             .filter(F.col("jaccard") >= 0.8)
         )
         if not materialize:
-            # the delta IS landed; marked foldable here because the
-            # lazy plan must anyway be consumed before the next
-            # insert/compact (docstring contract)
-            self._mark_landed(self.landed_path, delta_id)
+            # deliberately NOT marked fold-landed: the caller holds a
+            # lazy plan over this delta's partitions, and a fold that
+            # re-keyed them to the generation would invalidate it (the
+            # round-8 ADVICE silent-zero window). finalize_delta() is
+            # the consume-side handshake that makes the delta foldable.
             return verified
         # dynamic overwrite writes NOTHING when the result is empty, so
         # a retried probe whose delta now verifies zero pairs would
@@ -565,6 +656,14 @@ class MinHashIndex:
         )
 
     # -- lifecycle -------------------------------------------------------------
+
+    def finalize_delta(self, delta_id: str) -> None:
+        """Mark a `materialize=False` probe's delta fold-landed AFTER
+        its lazy plan has been consumed. Until this call the delta's
+        partitions are probe-visible but invisible to compact() — a
+        fold can therefore never invalidate an outstanding lazy plan.
+        Idempotent; a no-op burden of one empty marker file."""
+        self._mark_landed(self.landed_path, delta_id)
 
     def prune_pairs(self, delta_ids: list[str] | None = None) -> int:
         """Reclaim consumed probe snapshots: delete the given delta_ids'
@@ -746,6 +845,15 @@ class MinHashIndex:
         fs, HPath = self._fs()
         gen = plan["gen"]
         folded = plan["folded"]
+        # tombstone the folded index delta_ids BEFORE deleting their
+        # partitions: from the first deletion onward a same-id retry
+        # would duplicate rows the generation already holds, so the
+        # fail-fast gate must already be up (idempotent across the
+        # crash-recovery replay of this method). Generations themselves
+        # get tombstoned when a later fold consumes them — harmless,
+        # nothing ever re-inserts a gen id.
+        for did in set(folded["postings"]) | set(folded["arrays"]):
+            self._mark_landed(self.folded_path, did)
         for rel, land in folded.items():
             for did in land:
                 for d in self._delta_dirs(rel, did):
@@ -802,10 +910,13 @@ class MinHashIndex:
         which inserts write only AFTER their last relation write
         commits, so a concurrent insert's partitions are never read,
         never deleted, and never double-counted (pinned by test).
-        Two races remain out of scope and documented: RE-inserting a
-        delta_id that is already in the running fold's set, and
-        probes/snapshot read-backs overlapping the fold window (their
-        delta_id partitions re-key to the generation mid-plan) —
+        Probes launched after a fold COMMITS (or after a crash in
+        either phase) are consistent via the manifest-resolved read
+        view (`_fold_read_exclusions`); folded delta_ids are
+        tombstoned so a late same-id re-insert fails fast. The one
+        remaining race, documented and loud: a probe plan or snapshot
+        read-back ALREADY holding a file listing when the fold deletes
+        those files fails with missing-file errors mid-window —
         schedule those apart or take the lease.
 
         Crash safety is a two-phase manifest: `_fold_intent.json`

@@ -159,6 +159,10 @@ def foreach_batch_minhash_probe(
             .partitionBy("batch_id")
             .parquet(pairs_target)
         )
+        # the lazy plan is fully consumed by the write above — NOW the
+        # batch's index partitions may be folded by a later compact()
+        # (materialize=False defers the fold-landed marker; round-9)
+        index.finalize_delta(f"b{batch_id:06d}")
 
     return (
         stream_df.writeStream.foreachBatch(_probe)

@@ -387,3 +387,132 @@ def test_fold_crash_after_commit_rolls_forward(spark, tmp_path):
     only = idx._partition_ids("postings")
     assert len(only) == 1 and next(iter(only)).startswith("gen-")
     assert receipt["postings"]["compacted"] is False  # nothing left to fold
+
+
+def test_probe_fold_safe_after_precommit_crash_no_recovery(spark, tmp_path):
+    """Round-9 contract: a probe landing AFTER a fold crashed before its
+    commit manifest — and WITHOUT compact() running recovery first —
+    returns exactly the pre-fold pairs. The unverified gen partition
+    coexists with the intact sources on disk, but the manifest-resolved
+    read view excludes the gen, so the probe never sees a duplicated
+    row (previously: inflated buckets + duplicate pair rows until a
+    manual compact())."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.insert(docs.filter(F.col("doc_id") % 8 == 0), "crawl-0")
+    delta = docs.filter(F.col("doc_id") % 8 == 4)
+    before = _pairs(idx.probe_and_insert(delta, delta_id="pre"))
+    idx.prune_pairs(["pre"])  # consume the snapshot so the fold may eat it
+
+    real_write, real_rb = idx._fold_write, idx._rollback_fold
+
+    def boom(plan, target_bytes):
+        real_write(plan, target_bytes)  # gen fully written and verified
+        raise RuntimeError("simulated crash before commit manifest")
+
+    idx._fold_write = boom
+    idx._rollback_fold = lambda plan: None  # process death: no except path
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.compact()
+    idx._fold_write, idx._rollback_fold = real_write, real_rb
+    # crashed state: intent manifest + gen partitions + intact sources
+    assert idx._read_json(idx.fold_intent_path) is not None
+    assert any(d.startswith("gen-") for d in idx._partition_ids("postings"))
+
+    again = _pairs(idx.probe_and_insert(delta, delta_id="post-crash"))
+    assert again == before, "probe saw the unverified gen's duplicate rows"
+
+
+def test_probe_fold_safe_after_postcommit_crash_no_recovery(spark, tmp_path):
+    """The other crash branch: the fold COMMITTED (gen verified) but
+    died before deleting its sources — every folded row exists twice on
+    disk. A probe without recovery reads the generation and excludes
+    the dead sources via the commit manifest: pairs identical to
+    pre-fold, no duplicates."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.insert(docs.filter(F.col("doc_id") % 8 == 0), "crawl-0")
+    delta = docs.filter(F.col("doc_id") % 8 == 4)
+    before = _pairs(idx.probe_and_insert(delta, delta_id="pre"))
+    idx.prune_pairs(["pre"])
+
+    real_finish = idx._fold_finish
+
+    def dies(plan):
+        raise RuntimeError("simulated crash after commit manifest")
+
+    idx._fold_finish = dies
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.compact()
+    idx._fold_finish = real_finish
+    assert idx._read_json(idx.fold_commit_path) is not None
+    # duplicated on disk right now: verified gen + undeleted sources
+    glob_rows = spark.read.parquet(idx.postings_path).count()
+    view_rows = idx._read_relation(idx.postings_path).count()
+    assert glob_rows > view_rows, "fixture should hold duplicates on disk"
+
+    again = _pairs(idx.probe_and_insert(delta, delta_id="post-crash"))
+    assert again == before, "probe double-read folded source rows"
+
+
+def test_reinsert_of_folded_delta_id_fails_fast(spark, tmp_path):
+    """Once compact() folds a delta into a generation, re-landing the
+    same delta_id must raise — the delta's own partitions are gone, so
+    the dynamic-overwrite replace guarantee no longer holds and a retry
+    would land a silent second copy beside the folded rows (round-8
+    ADVICE, medium)."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    crawl = docs.filter(F.col("doc_id") % 8 == 0)
+    idx.insert(crawl, "crawl-0")
+    arrays_before = spark.read.parquet(idx.arrays_path).count()
+    assert idx.compact()["postings"]["compacted"] is True
+    with pytest.raises(RuntimeError, match="already compacted"):
+        idx.insert(crawl, "crawl-0")
+    with pytest.raises(RuntimeError, match="already compacted"):
+        idx.probe_and_insert(crawl, delta_id="crawl-0")
+    # nothing landed twice
+    assert spark.read.parquet(idx.arrays_path).count() == arrays_before
+    # a FRESH id still works, and rebootstrap clears the tombstones
+    idx.insert(crawl, "crawl-0-retry2")
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.insert(crawl, "crawl-0")
+
+
+def test_lazy_probe_delta_unfoldable_until_finalized(spark, tmp_path):
+    """materialize=False defers the fold-landed marker, so a compact()
+    overlapping the plan's lifetime can never EAT the unconsumed
+    delta: its partitions survive the fold intact, the overlapped plan
+    fails LOUDLY (the fold deleted other partitions its pinned file
+    listing joins against — missing-file error, never the silent zero
+    rows of round-8 ADVICE, low), and the documented same-delta_id
+    retry then returns the full expected pairs. finalize_delta() is
+    the consume-side handshake that makes the delta foldable."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.insert(docs.filter(F.col("doc_id") % 8 == 0), "crawl-0")
+    delta = docs.filter(F.col("doc_id") % 8 == 4)
+    expected = _pairs(idx.probe_and_insert(delta, delta_id="ref"))
+    idx.prune_pairs(["ref"])
+
+    # rebuild to the same pre-probe state, then take the lazy path
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.insert(docs.filter(F.col("doc_id") % 8 == 0), "crawl-0")
+    plan = idx.probe_and_insert(delta, delta_id="lazy", materialize=False)
+    receipt = idx.compact()  # folds bootstrap+crawl-0, must skip "lazy"
+    assert receipt["postings"]["compacted"] is True
+    assert "lazy" in idx._partition_ids("postings"), "fold ate the lazy delta"
+    with pytest.raises(Exception):
+        _pairs(plan)  # stale pinned listing: loud, not silently empty
+
+    retry = idx.probe_and_insert(delta, delta_id="lazy", materialize=False)
+    assert _pairs(retry) == expected, "retry after overlapped fold broke"
+
+    idx.finalize_delta("lazy")
+    receipt2 = idx.compact()
+    assert receipt2["postings"]["compacted"] is True
+    assert idx._partition_ids("postings") == {receipt2["generation"]}
