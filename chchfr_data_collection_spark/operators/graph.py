@@ -2,31 +2,55 @@
 
 Pairwise near-dup matches (from the Jaccard / MinHash / embedding joins)
 must be folded into clusters before survivorship ("keep one doc per
-component") — transitive closure that no single join can express. This
-is min-label propagation, the standard large-scale approach (GraphX/
-Pregel shape) as plain DataFrame iterations:
+component") — transitive closure that no single join can express.
 
-- each node starts labeled with itself;
-- every iteration, each node takes the min label among itself and its
-  neighbors (one join + one groupBy per iteration);
-- converges in O(diameter) iterations; each iteration is
-  localCheckpoint'ed so the lineage (and thus the plan) stays flat.
+The algorithm is ALTERNATING STAR CONTRACTION (large-star / small-star,
+Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14), replacing round-8's min-label propagation (round-9 verdict
+item 3). Both use the same join/groupBy primitives per round, but the
+round COUNTS differ fundamentally:
 
-Two costs the naive loop pays that this one does not (round-8 fix —
-the full-catalog sweep timed the CC entries at 10-17 s at sf0.1):
+- min-label propagation moves a label ONE HOP per round → O(diameter)
+  full-edge-shuffle rounds. A chain-shaped near-dup component (doc A ~
+  doc B ~ doc C ... — common when a document family drifts gradually)
+  of length d costs d rounds; at 100 TB that is the whole bill.
+- star contraction HALVES tree heights every round (each node hooks
+  directly onto a local minimum, then minima hook onto each other) →
+  O(log n) rounds on the same chain. Measured on a 64-node chain:
+  4 rounds vs 63 (pinned by test).
 
-- **The edge list is materialized ONCE** (localCheckpoint before the
-  loop). `pairs` is usually the OUTPUT OF A DEDUP JOIN (capped
-  Jaccard, MinHash verification) — left lazy, every iteration's join
-  re-executed that whole upstream plan, so a 10-iteration run paid the
-  pair generation ten times.
-- **The convergence signal rides inside the checkpointed frame** (a
-  per-node changed flag summed with a tiny agg over the cached RDD)
-  instead of a separate new-vs-old join + count job per iteration.
+Per round, on the current edge set E (kept oriented child > parent):
 
-The per-iteration driver loop with a convergence count is the idiomatic
-Spark pattern for iterative algorithms — state lives in DataFrames, the
-driver only steers.
+- large-star: every node's LARGER neighbors hook onto the minimum of
+  its neighborhood (incl. itself) — emit (v, min(Γ(u) ∪ {u})) for each
+  v ∈ Γ(u), v > u, over the symmetric view of E;
+- small-star: every node's smaller-or-equal neighbors (all of them, in
+  the oriented view) and the node itself hook onto its minimum
+  neighbor — emit (v, min(Γ⁻(u))) for v ∈ Γ⁻(u) ∪ {u}, self-loops
+  dropped.
+
+Every emitted edge has parent < child, both steps preserve nodes and
+connectivity, and the minimum of each component can never lose its
+place as a root — so the fixed point is one star per component
+centered at the component minimum. Convergence is checked
+STRUCTURALLY: the graph is a disjoint union of stars exactly when
+(a) no parent also appears as a child AND (b) every child has exactly
+one parent — (a) alone is not enough: small-star can emit a child
+under two different minima while neither is itself a child, a
+non-star state that needs more rounds. Both conditions reduce to one
+emptiness test per round on the materialized, shrinking edge set, and
+a structural check can never stop early on a non-star state.
+
+Each round materializes once so lineage (and the plan) stays flat. By
+default that is `localCheckpoint()` — right for local[...] and for
+clusters where a round is cheap to recompute. For long-running 100 TB
+jobs pass `checkpoint_dir`: rounds then round-trip through parquet at
+that path, so a lost executor replays from the last round's files
+instead of killing the job (localCheckpoint blocks die with their
+executor — round-9 verdict item 5; SCALE.md documents when to flip).
+The edge list is materialized ONCE up front either way: `pairs` is
+usually the OUTPUT of a dedup join, and a lazy edge list would re-run
+that whole upstream plan every round (the round-8 fix, kept).
 """
 
 from __future__ import annotations
@@ -35,56 +59,128 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def materialize(
+    df: DataFrame, checkpoint_dir: str | None, slot: str
+) -> DataFrame:
+    """Cut an iterative operator's lineage: `localCheckpoint()` when
+    `checkpoint_dir` is None (fast, executor-local blocks — lost with
+    the executor), else a parquet round-trip under
+    `checkpoint_dir/slot` (reliable — a recomputation after executor
+    loss replays from the files). Callers alternate two slot names so
+    a write never overwrites the files its own input is reading."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    path = f"{checkpoint_dir.rstrip('/')}/{slot}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star step over the oriented edge set (u=child >
+    v=parent): larger neighbors hook onto the neighborhood minimum."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star step: each node and its (all smaller, in the
+    oriented view) neighbors hook onto its minimum neighbor."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    hooked = e.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    return (
+        hooked.unionByName(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "da",
     dst: str = "db",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Cluster an undirected edge list into components.
 
     Returns (node, component) where component is the minimum node id in
     the component — a deterministic cluster representative, directly
-    usable as the dedup keeper id.
-    """
-    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = (
-        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        # materialize ONCE: pairs is typically a dedup join's output,
-        # and a lazy edge list would re-run that plan every iteration
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("node", "v"), "v")
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
+    usable as the dedup keeper id. Converges in O(log n) alternating
+    star-contraction rounds (module docstring); raises if `max_iter`
+    rounds don't reach the star fixed point (2^max_iter-node chains fit
+    under the default — a silent unconverged return would be a WRONG
+    dedup result, so the loud error is the contract). Pass
+    `checkpoint_dir` to make each round's materialization
+    executor-loss-proof (parquet round-trip instead of
+    localCheckpoint); append-only `rounds_out` receives the round
+    count (for tests/telemetry)."""
+    raw = pairs.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    ).distinct()
+    # materialize ONCE: pairs is typically a dedup join's output, and a
+    # lazy edge list would re-run that plan in every round (the node
+    # backfill at the end re-reads these blocks, not the upstream plan)
+    raw = materialize(raw, checkpoint_dir, "cc-init")
+    e = raw.where(F.col("u") != F.col("v"))
+    converged = False
+    rounds = 0
+    for i in range(max_iter):
+        stepped = _small_star(_large_star(e))
+        e = materialize(stepped, checkpoint_dir, f"cc-{i % 2}")
+        rounds += 1
+        # structural convergence: a union of stars ⟺ no parent is also
+        # a child AND no child has two parents (module docstring —
+        # the second clause is what makes the check sound). One
+        # emptiness job over the shrunk, materialized set.
+        parent_is_child = (
+            e.select("v")
+            .join(e.select(F.col("u").alias("v")), "v", "left_semi")
+            .select(F.col("v").alias("x"))
         )
-        stepped = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least("label", F.coalesce("nbr_label", "label")).alias(
-                    "new_label"
-                ),
-                (F.coalesce("nbr_label", "label") < F.col("label"))
-                .cast("long")
-                .alias("ch"),
-            )
-            # flat lineage AND the one materialization per iteration;
-            # the convergence sum below reads the cached RDD, not a
-            # second new-vs-old join job
-            .localCheckpoint()
+        dup_child = (
+            e.groupBy("u")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .select(F.col("u").alias("x"))
         )
-        changed = stepped.agg(F.sum("ch")).collect()[0][0] or 0
-        labels = stepped.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
+        if parent_is_child.unionByName(dup_child).isEmpty():
+            converged = True
             break
-    return labels.select("node", F.col("label").alias("component"))
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "star-contraction rounds — raise max_iter (each round "
+            "halves tree heights; 20 covers ~10^6-deep structures)"
+        )
+    labeled = e.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    ).unionByName(
+        e.select("v").distinct().select(
+            F.col("v").alias("node"), F.col("v").alias("component")
+        )
+    )
+    # nodes whose only edges were self-loops never enter the star
+    # rounds; they are their own singleton components (API parity with
+    # the original label propagation, which kept them)
+    all_nodes = (
+        raw.select("u").unionByName(raw.select(F.col("v").alias("u"))).distinct()
+    )
+    loners = all_nodes.join(
+        labeled.select(F.col("node").alias("u")), "u", "left_anti"
+    )
+    return labeled.unionByName(
+        loners.select(F.col("u").alias("node"), F.col("u").alias("component"))
+    )

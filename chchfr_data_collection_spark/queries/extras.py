@@ -658,18 +658,22 @@ def _cc_oracle_sql() -> str:
 
 
 @register("dedup_connected_components", sql=_cc_oracle_sql(), tags=("llm", "dedup", "iterative"))
-def dedup_connected_components(spark, sf_dir):
+def dedup_connected_components(spark, sf_dir, checkpoint_dir: str | None = None):
     """Near-dup clusters: exact Jaccard>=0.8 pairs folded into connected
-    components via iterative min-label propagation (driver loop steers,
-    state stays in DataFrames; also union-find-verified in tests). The
+    components via alternating large-star/small-star contraction —
+    O(log n) rounds vs min-label propagation's O(diameter), same
+    join/groupBy primitives (operators/graph.py; driver loop steers,
+    state stays in DataFrames; union-find-verified in tests). The
     component id doubles as the dedup keeper (min doc_id per cluster).
     Oracle: recursive-CTE transitive closure + min reachable node — an
-    exact cross-engine twin of label propagation's fixpoint."""
+    exact cross-engine twin of the contraction's fixpoint.
+    `checkpoint_dir` swaps per-round localCheckpoint for a parquet
+    round-trip (executor-loss-proof on long 100 TB runs)."""
     from ..operators.graph import connected_components
     from .llm import dedup_ngram_jaccard
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
-    return connected_components(pairs)
+    return connected_components(pairs, checkpoint_dir=checkpoint_dir)
 
 
 @register(

@@ -2188,7 +2188,9 @@ def _kmeans_iter_duck(n_iter: int = 2) -> str:
     sql=_kmeans_iter_duck(2),
     tags=("llm", "similarity", "kmeans", "iterative"),
 )
-def embedding_kmeans_iter(spark, sf_dir, n_iter: int = 2):
+def embedding_kmeans_iter(
+    spark, sf_dir, n_iter: int = 2, checkpoint_dir: str | None = None
+):
     """Lloyd's k-means, the IVF TRAINING loop run for real: starting
     from the fixed seed centroids (vec_id < 8, as similarity_ivf_ann
     probes them), run `n_iter` assign/update rounds and emit the final
@@ -2208,13 +2210,28 @@ def embedding_kmeans_iter(spark, sf_dir, n_iter: int = 2):
     reduce side is k*64 rows. At 100 TB this is exactly MLlib's k-means
     step shape (broadcast centroids, aggregate partials); n_iter more
     rounds = n_iter more passes over the data, no state on the driver
-    beyond the k*64 centroid relation."""
-    return _kmeans_centroids(spark, sf_dir, n_iter)
+    beyond the k*64 centroid relation. `checkpoint_dir` makes each
+    iteration's state executor-loss-proof (see _kmeans_centroids)."""
+    return _kmeans_centroids(spark, sf_dir, n_iter, checkpoint_dir)
 
 
-def _kmeans_centroids(spark, sf_dir, n_iter: int = 2):
+def _kmeans_centroids(
+    spark, sf_dir, n_iter: int = 2, checkpoint_dir: str | None = None
+):
     """The Lloyd loop shared by embedding_kmeans_iter (emits the
-    centroid table) and similarity_ivf_trained (serves ANN from it)."""
+    centroid table) and similarity_ivf_trained (serves ANN from it).
+
+    The per-iteration centroid state is k*64 rows, so by default the
+    loop stays LAZY (Catalyst replans the whole chain — cheap at
+    n_iter=2 and the state is trivially recomputable). Pass
+    `checkpoint_dir` for long training runs at scale: each iteration's
+    centroid table then round-trips through parquet, so executor or
+    stage loss replays from the last iteration's files rather than
+    re-running every assignment pass since the start (round-9 verdict
+    item 5). Values are identical either way — the state is integer
+    and the materialization is exact."""
+    from ..operators.graph import materialize
+
     emb = T(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", V.quantize("embedding").alias("qv")
     )
@@ -2232,7 +2249,7 @@ def _kmeans_centroids(spark, sf_dir, n_iter: int = 2):
         lambda acc, v: acc + v,
     )
     aw = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         cent_arr = cent_pos.groupBy("cent_id").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "c_val"))),
@@ -2264,6 +2281,10 @@ def _kmeans_centroids(spark, sf_dir, n_iter: int = 2):
                 F.coalesce("n", F.lit(0)).cast("bigint").alias("n_assigned"),
             )
         )
+        if checkpoint_dir is not None:
+            cent_pos = materialize(
+                cent_pos, checkpoint_dir, f"kmeans-cent-{it % 2}"
+            )
     return cent_pos.select("cent_id", "pos", "c_val", "n_assigned")
 
 

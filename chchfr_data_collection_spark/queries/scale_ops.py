@@ -463,7 +463,7 @@ SELECT node, CAST(rank_q AS BIGINT) AS rank_q FROM r{_PR_ITERS}
     sql=_PAGERANK_DUCK,
     tags=("graph", "iterative", "scale"),
 )
-def graph_pagerank_trade(spark, sf_dir):
+def graph_pagerank_trade(spark, sf_dir, checkpoint_dir: str | None = None):
     """PageRank over the nation-level trade graph (customer-nation →
     supplier-nation edges weighted by lineitem count), 3 power
     iterations at damping 0.85 — the canonical iterative-join workload
@@ -483,8 +483,16 @@ def graph_pagerank_trade(spark, sf_dir):
     both tiny and auto-broadcast; iterations never re-touch the fact
     table. The same loop at a billion-node grain is edges-partitioned
     with rank co-partitioned on src — shape unchanged, plus a
-    localCheckpoint per iteration to cut lineage (the
-    dedup_connected_components pattern)."""
+    materialization per iteration to cut lineage (the
+    dedup_connected_components pattern). Pass `checkpoint_dir` to make
+    the materializations executor-loss-proof: edges and each
+    iteration's ranks round-trip through parquet there instead of
+    localCheckpoint blocks, which die with their executor and would
+    kill a long 100 TB job mid-iteration (round-9 verdict item 5;
+    SCALE.md documents when to flip it). Oracle rows are identical
+    either way — materialization changes fault tolerance, never
+    values."""
+    from ..operators.graph import materialize
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
@@ -504,19 +512,19 @@ def graph_pagerank_trade(spark, sf_dir):
         .join(F.broadcast(sn), s.s_nationkey == F.col("snk"))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
-        # materialize the <=N^2-row edge relation ONCE: without this the
-        # whole fact join is re-planned under every iteration (verified
-        # in the physical plan), and post-checkpoint size stats let every
-        # per-iteration join auto-broadcast
-        .localCheckpoint(eager=True)
     )
+    # materialize the <=N^2-row edge relation ONCE: without this the
+    # whole fact join is re-planned under every iteration (verified
+    # in the physical plan), and post-materialization size stats let
+    # every per-iteration join auto-broadcast
+    edges = materialize(edges, checkpoint_dir, "pr-edges")
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     nodes = n.select(F.col("n_name").alias("node"))
     nn = nodes.agg(F.count("*").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", F.expr("1000000000 div n_nodes").alias("rank_q")
     )
-    for _ in range(_PR_ITERS):
+    for i in range(_PR_ITERS):
         contrib = (
             F.broadcast(ranks)
             .join(edges, ranks.node == edges.src)
@@ -536,6 +544,11 @@ def graph_pagerank_trade(spark, sf_dir):
                 ).alias("rank_q"),
             )
         )
+        if checkpoint_dir is not None:
+            # reliable per-iteration state: a billion-node rank relation
+            # replays from parquet after executor loss instead of
+            # re-deriving every prior iteration (and the fact join)
+            ranks = materialize(ranks, checkpoint_dir, f"pr-ranks-{i % 2}")
     return ranks
 
 
