@@ -114,6 +114,10 @@ HEADLINE = [
     "dedup_minhash_probe_only",
     "similarity_filtered_ann",
     "parquet_footer_audit",
+    # round 10
+    "similarity_filtered_ivf",
+    "dedup_semantic_probe_only",
+    "dedup_connected_components",
 ]
 
 

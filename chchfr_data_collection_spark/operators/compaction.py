@@ -149,13 +149,31 @@ def footer_row_count_distributed(
         import pyarrow.parquet as pq
         from pyarrow import fs as pafs
 
+        # resolve each remote FILESYSTEM once per (scheme, authority)
+        # and reuse it across the slice: from_uri() per file would pay
+        # credential/connection setup on every footer — on the
+        # million-file object-store path that setup dwarfs the ~2
+        # range-GETs the footer read itself costs (round-9 ADVICE).
+        # from_uri's in-filesystem path convention varies by scheme
+        # (s3 → "bucket/key", hdfs → "/key"), so the first file of each
+        # (scheme, authority) also records the prefix that from_uri
+        # prepends to the URI's unquoted path; later files reuse it.
+        fs_cache = {}
         total = 0
         for u in paths:
             parsed = urlparse(u)
             if parsed.scheme in ("", "file"):
                 total += pq.ParquetFile(unquote(parsed.path)).metadata.num_rows
             else:
-                fsys, rel = pafs.FileSystem.from_uri(u)
+                key = (parsed.scheme, parsed.netloc)
+                upath = unquote(parsed.path)
+                if key in fs_cache:
+                    fsys, prefix = fs_cache[key]
+                    rel = prefix + upath
+                else:
+                    fsys, rel = pafs.FileSystem.from_uri(u)
+                    assert rel.endswith(upath), (rel, u)
+                    fs_cache[key] = (fsys, rel[: len(rel) - len(upath)])
                 with fsys.open_input_file(rel) as fh:
                     total += pq.ParquetFile(fh).metadata.num_rows
         yield total

@@ -641,6 +641,46 @@ def similarity_threshold_pairs(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
     )
 
 
+def _twin_pairs_cached(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
+    """The bounded exact twin (va, vb, cos_sim >= 0.45), computed ONCE
+    per (session, sf_dir, sample_n) and persisted — the shared
+    reference relation for the whole recall-audit family
+    (ann_recall_audit, lsh_scaled_recall_audit, semdedup_recall_audit,
+    semdedup_trained_audit, semdedup_multiprobe_audit). Each audit used
+    to re-derive this O(n²) slice per entry, making the audits the two
+    most expensive rows in the full-catalog record (round-9 verdict
+    item 4); audits price the APPROXIMATE path, so the exact side is
+    computed once and ranked against.
+
+    The persisted plan carries a no-op guard filter (cos_sim > -2):
+    without it, Spark's CacheManager would canonically match the cached
+    relation against the identical subtree inside
+    similarity_threshold_pairs' / dedup_embedding_cosine's own catalog
+    plans and silently substitute InMemoryRelation for their pinned
+    pushed-filter parquet scans — the plan-shape tests (and the honest
+    claim they pin) must stay true whether or not an audit ran first.
+
+    Single-slot memo keyed on (application, sf_dir, sample_n): a key
+    change unpersists the previous slice, bounding the session cache to
+    one copy (the _swap_cached discipline)."""
+    key = (spark.sparkContext.applicationId, sf_dir, sample_n)
+    cached = getattr(_twin_pairs_cached, "_cached", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    df = (
+        similarity_threshold_pairs(spark, sf_dir, sample_n)
+        .filter(F.col("cos_sim") > F.lit(-2.0))
+        .persist()
+    )
+    if cached is not None:
+        try:
+            cached[1].unpersist()
+        except Exception:
+            pass  # previous session gone — nothing to release
+    _twin_pairs_cached._cached = (key, df)
+    return df
+
+
 @register(
     "embedding_norm_outliers",
     sql=f"""
@@ -1185,7 +1225,7 @@ def ann_recall_audit(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
             "ann_recall_audit's registered oracle SQL is bound to "
             f"sample_n={_TWIN_SAMPLE_N}; got {sample_n!r}"
         )
-    exact = similarity_threshold_pairs(spark, sf_dir, sample_n).select("va", "vb")
+    exact = _twin_pairs_cached(spark, sf_dir, sample_n).select("va", "vb")
     ann = (
         similarity_lsh_ann(spark, sf_dir)
         .filter((F.col("va") < sample_n) & (F.col("vb") < sample_n))
@@ -1257,9 +1297,7 @@ def lsh_scaled_recall_audit(spark, sf_dir):
     audit-row idiom as ann_recall_audit: the quadratic exact join runs
     only on the pushed-bound slice; both measured inputs are the
     shipping operators unchanged."""
-    exact = similarity_threshold_pairs(spark, sf_dir, _TWIN_SAMPLE_N).select(
-        "va", "vb"
-    )
+    exact = _twin_pairs_cached(spark, sf_dir, _TWIN_SAMPLE_N).select("va", "vb")
     sc = (
         similarity_lsh_scaled(spark, sf_dir)
         .filter((F.col("va") < _TWIN_SAMPLE_N) & (F.col("vb") < _TWIN_SAMPLE_N))
@@ -1345,11 +1383,16 @@ def similarity_filtered_topk(spark, sf_dir):
     the correct answer to a filtered vector search, against which the
     cheap post-filter shortcut is audited (filtered_topk_recall_audit).
 
-    Plan shape is the point: the predicate lands on the CANDIDATE
-    side's parquet scan (PushedFilters — the allowed corpus is never
-    wider than the scan), the per-pair work runs on the ~40% slice,
+    Plan shape is the point: the predicate sits DIRECTLY ABOVE the
+    candidate side's parquet scan — `label % 3 = 0` is not a
+    footer-pushable comparison, so the scan's PushedFilters carries
+    only the derived IsNotNull(label), and the modulo is evaluated
+    row-by-row before anything else touches the column — so the
+    allowed corpus is cut to the ~40% slice before any per-pair work,
     and ranking happens after filtering, so every query gets its full
-    k results. Same integer-quantized cosine + deterministic tiebreak
+    k results. (A range/equality metadata predicate would additionally
+    land in PushedFilters and skip whole row groups; the property this
+    entry pins is filter-before-pair-work, which holds either way.) Same integer-quantized cosine + deterministic tiebreak
     as similarity_topk_cosine, so scores and ranks are bit-identical
     cross-engine."""
     emb = T(spark, sf_dir, "embeddings", parallel=True)
@@ -1551,8 +1594,11 @@ def similarity_filtered_ann(spark, sf_dir):
     LSH family's 0.45 cosine threshold).
 
     This is the production composition of the two ideas above: the
-    predicate pushes into the allowed side's parquet scan BEFORE its
-    buckets are even computed — bucket work on that side, the bucket
+    predicate is applied directly above the allowed side's parquet
+    scan, BEFORE its buckets are even computed (the modulo itself is
+    not footer-pushable — see similarity_filtered_topk — but the
+    filter-before-bucket-work placement is what matters) — bucket
+    work on that side, the bucket
     equi-join's fan-out, verification pair volume, and (in an index
     deployment) the stored posting lists all shrink by the predicate's
     selectivity, while the probe side is untouched. Post-filtering the
@@ -1579,6 +1625,238 @@ def similarity_filtered_ann(spark, sf_dir):
     )
     return _lsh_verify(emb, cand).select(
         F.col("va").alias("qid"), F.col("vb").alias("cid"), "cos_sim"
+    )
+
+
+# Filtered IVF: the predicate is applied BEFORE cell assignment, so the
+# inverted lists themselves are allowed-only; an ADAPTIVE nprobe then
+# keeps filtered queries at their full k — each query probes its cells
+# in similarity rank order until the cells already probed hold at least
+# _FIVF_TARGET allowed candidates (include the first cell that crosses
+# the line: probe cell r iff the allowed count of cells ranked < r is
+# still below target). A fixed nprobe either starves selective filters
+# (< k allowed candidates reachable) or over-probes permissive ones;
+# driving the probe depth off the per-cell ALLOWED counts — k*8-row
+# metadata the query side broadcasts — adapts per query at no extra
+# data pass. When the whole allowed corpus is smaller than the target,
+# every cell is probed and the search degrades gracefully to the exact
+# filtered scan.
+_FIVF_TARGET = 3 * _FTK_K
+
+_FILTERED_IVF_DUCK = f"""
+WITH {_NORM2_DUCK},
+cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 8),
+avec AS (SELECT vec_id, embedding FROM embeddings WHERE {_FTK_PRED_SQL}),
+adot AS (
+  SELECT v.vec_id, c.cent_id,
+    SUM({_Q.format(e='v.embedding[i]')} * {_Q.format(e='c.embedding[i]')}) AS d
+  FROM avec v, cent c CROSS JOIN range(1, 65) t(i)
+  GROUP BY v.vec_id, c.cent_id),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT a.vec_id, a.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        CAST(a.d AS DOUBLE) / (SQRT(CAST(nv.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+        a.cent_id) AS rn
+    FROM adot a JOIN norms nv ON nv.vec_id = a.vec_id
+    JOIN norms nc ON nc.vec_id = a.cent_id) t
+  WHERE rn = 1),
+cellcnt AS (SELECT cent_id, COUNT(*) AS cnt FROM assign GROUP BY cent_id),
+qdot AS (
+  SELECT q.vec_id, c.cent_id,
+    SUM({_Q.format(e='q.embedding[i]')} * {_Q.format(e='c.embedding[i]')}) AS d
+  FROM embeddings q, cent c CROSS JOIN range(1, 65) t(i)
+  WHERE q.vec_id < {_FTK_QUERIES}
+  GROUP BY q.vec_id, c.cent_id),
+qrank AS (
+  SELECT qd.vec_id AS qid, qd.cent_id,
+    ROW_NUMBER() OVER (PARTITION BY qd.vec_id ORDER BY
+      CAST(qd.d AS DOUBLE) / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+      qd.cent_id) AS pr
+  FROM qdot qd JOIN norms nq ON nq.vec_id = qd.vec_id
+  JOIN norms nc ON nc.vec_id = qd.cent_id),
+probe AS (
+  SELECT qid, cent_id FROM (
+    SELECT qr.qid, qr.cent_id,
+      COALESCE(SUM(cc.cnt) OVER (PARTITION BY qr.qid ORDER BY qr.pr
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+    FROM qrank qr LEFT JOIN cellcnt cc ON cc.cent_id = qr.cent_id) t
+  WHERE prior < {_FIVF_TARGET}),
+pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+    SUM({_Q.format(e='q.embedding[i]')} * {_Q.format(e='c.embedding[i]')}) AS d
+  FROM embeddings q JOIN probe p ON p.qid = q.vec_id
+  JOIN assign a ON a.cent_id = p.cent_id
+  JOIN embeddings c ON c.vec_id = a.vec_id AND c.vec_id <> q.vec_id
+  CROSS JOIN range(1, 65) t(i)
+  GROUP BY q.vec_id, c.vec_id)
+SELECT qid, cid, cos_sim, rnk FROM (
+  SELECT p.qid, p.cid,
+    CAST(p.d AS DOUBLE) / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) AS cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+      CAST(p.d AS DOUBLE) / (SQRT(CAST(nq.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+      p.cid) AS rnk
+  FROM pairs p JOIN norms nq ON nq.vec_id = p.qid
+  JOIN norms nc ON nc.vec_id = p.cid) t
+WHERE rnk <= {_FTK_K}
+"""
+
+
+@register(
+    "similarity_filtered_ivf",
+    sql=_FILTERED_IVF_DUCK,
+    tags=("llm", "similarity", "ann", "filtered"),
+)
+def similarity_filtered_ivf(spark, sf_dir):
+    """Filtered vector search through an IVF index (round-9 verdict
+    item 7) — the third member of the filtered-search family, between
+    the exact pre-filtered scan (similarity_filtered_topk) and the
+    LSH-bucketed pair search (similarity_filtered_ann).
+
+    The predicate is applied BEFORE cell assignment, so only allowed
+    vectors are ever assigned, the inverted lists are allowed-only, and
+    list build work shrinks by the filter's selectivity. The probe
+    depth is ADAPTIVE per query (header comment at _FIVF_TARGET): the
+    query's cells are ranked by centroid similarity, the per-cell
+    ALLOWED counts (a k-row relation) are cumulated in rank order, and
+    cells are probed until the probed lists hold >= {_FIVF_TARGET}
+    allowed candidates — so selective filters automatically probe
+    deeper and every query keeps its full k. Probe metadata (queries ×
+    cells) is tiny and explicitly broadcast; the only large relation is
+    the allowed-side assignment, touched once by an equi-join on
+    cent_id — at 100 TB this is the IVF contract (hash join on cell
+    id), with the filter's selectivity already priced into every stage.
+    Recall vs the exact filtered twin is measured by
+    filtered_ivf_recall_audit."""
+    base = T(spark, sf_dir, "embeddings", parallel=True)
+    cent = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"),
+        V.quantize("embedding").alias("cv"),
+        V.dot_exact("embedding", "embedding").alias("cn2"),
+    )
+    allowed = base.filter(_ftk_pred()).select(
+        "vec_id",
+        V.quantize("embedding").alias("qv"),
+        V.dot_exact("embedding", "embedding").alias("n2"),
+    )
+    dotvc = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cosvc = dotvc.cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assign = (
+        allowed.crossJoin(F.broadcast(cent))
+        .select("vec_id", "qv", "n2", "cent_id", cosvc.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "n2", "cent_id")
+    )
+    cellcnt = assign.groupBy("cent_id").agg(F.count("*").alias("cnt"))
+    q = base.filter(F.col("vec_id") < _FTK_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        V.quantize("embedding").alias("qq"),
+        V.dot_exact("embedding", "embedding").alias("qn2"),
+    )
+    dotqc = F.aggregate(
+        F.zip_with("qq", "cv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cosqc = dotqc.cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    prw = W.partitionBy("qid").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    qrank = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "qq", "qn2", "cent_id", cosqc.alias("cos_c"))
+        .withColumn("pr", F.row_number().over(prw))
+        .select("qid", "qq", "qn2", "cent_id", "pr")
+    )
+    cumw = (
+        W.partitionBy("qid")
+        .orderBy("pr")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    probe = (
+        qrank.join(F.broadcast(cellcnt), "cent_id", "left")
+        .withColumn("prior", F.coalesce(F.sum("cnt").over(cumw), F.lit(0)))
+        .filter(F.col("prior") < _FIVF_TARGET)
+        .select("qid", "qq", "qn2", "cent_id")
+    )
+    c = assign.select(
+        F.col("vec_id").alias("cid"),
+        F.col("qv").alias("qc"),
+        F.col("n2").alias("cn2"),
+        "cent_id",
+    )
+    dotqq = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        F.broadcast(probe)
+        .join(c, "cent_id")
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                dotqq.cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(pw))
+        .filter(F.col("rnk") <= _FTK_K)
+    )
+
+
+@register(
+    "filtered_ivf_recall_audit",
+    sql=f"""
+    WITH exact AS (SELECT qid, cid FROM ({_FILTERED_TOPK_DUCK})),
+    ivf AS (SELECT qid, cid FROM ({_FILTERED_IVF_DUCK})),
+    j AS (
+      SELECT e.qid, e.cid, i.qid AS hit FROM exact e
+      LEFT JOIN ivf i ON i.qid = e.qid AND i.cid = e.cid)
+    SELECT COUNT(*) AS n_exact,
+           (SELECT COUNT(*) FROM ivf) AS n_ivf,
+           COUNT(hit) AS n_hit,
+           CAST(COUNT(hit) AS DOUBLE) / COUNT(*) AS recall
+    FROM j
+    """,
+    tags=("llm", "similarity", "ann", "filtered", "audit"),
+)
+def filtered_ivf_recall_audit(spark, sf_dir):
+    """Go/no-go row for the filtered IVF path: recall of
+    similarity_filtered_ivf's top-k against the EXACT pre-filtered
+    top-k (similarity_filtered_topk) — the filtered-family companion
+    to ivf_recall_audit. Both sides are the shipping catalog operators
+    unchanged; the exact side is O(|Q|·n_allowed), not the O(n²) twin,
+    so no session cache is needed. The row prices what the adaptive
+    probe rule (probe until >= {_FIVF_TARGET} allowed candidates) buys
+    vs a fixed nprobe: production asserts on this row before trusting
+    the index for filtered traffic, and re-tunes _FIVF_TARGET (or
+    retrains centroids) when it drops."""
+    exact = similarity_filtered_topk(spark, sf_dir).select("qid", "cid")
+    ivf = similarity_filtered_ivf(spark, sf_dir).select("qid", "cid")
+    marked = exact.join(ivf.withColumn("m", F.lit(1)), ["qid", "cid"], "left")
+    hits = marked.agg(
+        F.count("*").alias("n_exact"), F.count("m").alias("n_hit")
+    )
+    return hits.crossJoin(ivf.agg(F.count("*").alias("n_ivf"))).select(
+        "n_exact",
+        "n_ivf",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
     )
 
 
@@ -4601,6 +4879,25 @@ _SEMDEDUP_K = 8
 _SEMDEDUP_THRESHOLD = 0.45
 _SEMDEDUP_CLUSTER_CAP = 1024
 
+
+def _semdedup_exact_pairs(spark, sf_dir):
+    """Exact above-threshold pairs (va, vb) on the bounded twin slice —
+    the reference side shared by all three SemDeDup audits, served from
+    the session-shared persisted twin instead of re-deriving the O(n²)
+    slice per audit entry (round-9 verdict item 4). The shared twin is
+    thresholded at 0.45, so this filter can only narrow it — guarded
+    loudly because a looser SemDeDup threshold would silently lose the
+    pairs in [threshold, 0.45)."""
+    assert _SEMDEDUP_THRESHOLD >= 0.45, (
+        "_twin_pairs_cached is thresholded at 0.45; a looser SemDeDup "
+        "threshold needs its own exact relation"
+    )
+    return (
+        _twin_pairs_cached(spark, sf_dir, _TWIN_SAMPLE_N)
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
+        .select("va", "vb")
+    )
+
 _SEMDEDUP_ASSIGN_DUCK = f"""
 cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings
          WHERE vec_id < {_SEMDEDUP_K}),
@@ -5044,35 +5341,10 @@ def semdedup_recall_audit(spark, sf_dir):
     only if BOTH endpoints survive the member cap — a pair lost to cap
     eviction is a real miss for the pair join, so it must depress the
     metric, not vanish from it (round-5 advice). Excluded from the
-    bench HEADLINE like every oracle-twin."""
-    emb = _twin_sample(
-        T(spark, sf_dir, "embeddings", parallel=True), _TWIN_SAMPLE_N
-    )
-    a = emb.select(
-        F.col("vec_id").alias("va"),
-        V.quantize("embedding").alias("qa"),
-        V.dot_exact("embedding", "embedding").alias("na2"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vb"),
-        V.quantize("embedding").alias("qb"),
-        V.dot_exact("embedding", "embedding").alias("nb2"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    cos = dot.cast("double") / (
-        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
-    )
-    exact = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
-        .select("va", "vb")
-    )
+    bench HEADLINE like every oracle-twin. The exact side is the
+    SESSION-SHARED persisted twin (_twin_pairs_cached) — one O(n²)
+    computation serves the whole audit family."""
+    exact = _semdedup_exact_pairs(spark, sf_dir)
     assign = _semdedup_ranked(spark, sf_dir).select("vec_id", "cent_id", "mrank")
     ca = assign.select(
         F.col("vec_id").alias("va"), F.col("cent_id").alias("ca"),
@@ -5401,35 +5673,9 @@ def semdedup_trained_audit(spark, sf_dir):
     companion row to ivf_trained_recall_audit on the dedup side.
     SemDeDup's premise is that near-dups co-cluster; this measures how
     much a better clustering buys on this corpus, with both
-    assignments replayed bit-exactly by the oracle."""
-    emb = _twin_sample(
-        T(spark, sf_dir, "embeddings", parallel=True), _TWIN_SAMPLE_N
-    )
-    a = emb.select(
-        F.col("vec_id").alias("va"),
-        V.quantize("embedding").alias("qa"),
-        V.dot_exact("embedding", "embedding").alias("na2"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vb"),
-        V.quantize("embedding").alias("qb"),
-        V.dot_exact("embedding", "embedding").alias("nb2"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    cos = dot.cast("double") / (
-        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
-    )
-    exact = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
-        .select("va", "vb")
-    )
+    assignments replayed bit-exactly by the oracle. The exact side is
+    the session-shared persisted twin (_twin_pairs_cached)."""
+    exact = _semdedup_exact_pairs(spark, sf_dir)
     seed = _semdedup_ranked(spark, sf_dir).select("vec_id", "cent_id", "mrank")
     trained = _ivf_trained_assign(spark, sf_dir).select("vec_id", "cent_id")
     sa = seed.select(
@@ -5530,20 +5776,27 @@ def dedup_semantic_multiprobe(spark, sf_dir):
     return _semdedup_mp(spark, sf_dir)
 
 
-def _semdedup_mp(spark, sf_dir, vb_filter=None):
+def _semdedup_mp(spark, sf_dir, vb_filter=None, state=None):
     """Shared multiprobe SemDeDup pair pipeline. `vb_filter` restricts
     the DOMINATED side (vb) of the pair join — the incremental entry
     passes the delta predicate so only delta-touching pairs are ever
     generated; membership, caps, and ranking are computed corpus-wide
-    either way so restricted output == full output filtered."""
-    ranked = _ivf_trained_ranked(spark, sf_dir, _SEMDEDUP_PROBES)
-    mw = W.partitionBy("cent_id").orderBy("vec_id")
-    mm = (
-        ranked.select("vec_id", "cent_id")
-        .withColumn("mrank", F.row_number().over(mw))
-        .filter(F.col("mrank") <= _SEMDEDUP_CLUSTER_CAP)
-        .select("vec_id", "cent_id")
-    )
+    either way so restricted output == full output filtered. `state`
+    supplies a prebuilt (membership, vectors) pair — the probe-only
+    entry passes the session-cached serving state so clustering is
+    never recomputed on the serving path."""
+    if state is not None:
+        mm, vecs = state
+    else:
+        ranked = _ivf_trained_ranked(spark, sf_dir, _SEMDEDUP_PROBES)
+        mw = W.partitionBy("cent_id").orderBy("vec_id")
+        mm = (
+            ranked.select("vec_id", "cent_id")
+            .withColumn("mrank", F.row_number().over(mw))
+            .filter(F.col("mrank") <= _SEMDEDUP_CLUSTER_CAP)
+            .select("vec_id", "cent_id")
+        )
+        vecs = ranked.filter(F.col("arank") == 1).select("vec_id", "qv", "n2")
     a = mm.select(F.col("vec_id").alias("va"), "cent_id")
     bm = mm if vb_filter is None else mm.filter(vb_filter(F.col("vec_id")))
     b = bm.select(F.col("vec_id").alias("vb"), F.col("cent_id").alias("cent_b"))
@@ -5552,7 +5805,6 @@ def _semdedup_mp(spark, sf_dir, vb_filter=None):
         .groupBy("va", "vb")
         .agg(F.min("cent_id").alias("cent_id"))
     )
-    vecs = ranked.filter(F.col("arank") == 1).select("vec_id", "qv", "n2")
     dot = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y),
         F.lit(0).cast("bigint"),
@@ -5620,6 +5872,87 @@ def dedup_semantic_incremental(spark, sf_dir):
     )
 
 
+def _semdedup_serving_state(spark, sf_dir):
+    """The SemDeDup serving state — cap-limited multiprobe membership
+    (vec_id, cent_id) and verification vectors (vec_id, qv, n2) —
+    built ONCE per (session, fixture), persisted and eagerly
+    materialized, then reused by every dedup_semantic_probe_only
+    invocation. In production this state is the persisted assignment
+    store the streaming IVF path maintains (streaming/embeddings.py);
+    here the session cache stands in for it so the probe-only entry
+    prices exactly what a steady-state batch pays: the delta-side
+    join + exact verification, never training or corpus-wide ranking.
+
+    Both relations carry a no-op guard filter so their canonical plans
+    never equal subtrees of dedup_semantic_multiprobe /
+    dedup_semantic_incremental — without it, CacheManager would
+    substitute this cache into those entries' plans and their bench
+    rows would silently stop measuring the bootstrap they claim to
+    include (the _twin_pairs_cached discipline)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    holder = _semdedup_serving_state
+    cached = getattr(holder, "_cached", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    ranked = _ivf_trained_ranked(spark, sf_dir, _SEMDEDUP_PROBES)
+    mw = W.partitionBy("cent_id").orderBy("vec_id")
+    mm = (
+        ranked.select("vec_id", "cent_id")
+        .withColumn("mrank", F.row_number().over(mw))
+        .filter(F.col("mrank") <= _SEMDEDUP_CLUSTER_CAP)
+        .select("vec_id", "cent_id")
+        .filter(F.col("cent_id") >= F.lit(-1))
+        .persist()
+    )
+    vecs = (
+        ranked.filter(F.col("arank") == 1)
+        .select("vec_id", "qv", "n2")
+        .filter(F.col("n2") > F.lit(-1))
+        .persist()
+    )
+    mm.count(), vecs.count()  # materialize at build, not on first probe
+    if cached is not None:
+        for df in cached[1]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # previous session gone — nothing to release
+    holder._cached = (key, (mm, vecs))
+    return mm, vecs
+
+
+@register(
+    "dedup_semantic_probe_only",
+    sql=f"""
+    SELECT vec_id, cent_id, dup_of, cos_sim FROM ({_SEMDEDUP_MP_DUCK}) t
+    WHERE vec_id % 4 = 0
+    """,
+    tags=("llm", "dedup", "embedding", "semdedup", "incremental"),
+)
+def dedup_semantic_probe_only(spark, sf_dir):
+    """STEADY-STATE serving cost of the semantic dedup leg — the
+    SemDeDup twin of dedup_minhash_probe_only (round-9 verdict item 6).
+
+    dedup_semantic_incremental re-derives its clustering (2 Lloyd
+    iterations + corpus-wide multiprobe ranking) inside the entry for
+    catalog self-containment, so its bench row prices bootstrap +
+    probe; production's steady state is "the trained centroids and the
+    landed membership already exist, a batch of embeddings arrives" —
+    THIS entry. The serving state (capped membership + verification
+    vectors) is built and persisted once per (session, fixture) by
+    _semdedup_serving_state; each invocation pays only the delta-side
+    membership join, the exact-cosine verification of delta-touching
+    candidate pairs, and best-representative ranking. Same result
+    contract and oracle as dedup_semantic_incremental, so correctness
+    is pinned by the same cross-engine SQL."""
+    return _semdedup_mp(
+        spark,
+        sf_dir,
+        vb_filter=lambda v: v % 4 == 0,
+        state=_semdedup_serving_state(spark, sf_dir),
+    )
+
+
 @register(
     "semdedup_multiprobe_audit",
     sql=f"""
@@ -5675,35 +6008,9 @@ def semdedup_multiprobe_audit(spark, sf_dir):
     Measured at sf0.1: 0.46 -> 0.97 — the round-5 recall target met by
     probing, not by re-partitioning. Probe work is exact-pair-bounded
     (each side joins <= p membership rows), so the audit runs on the
-    twin slice at any scale."""
-    emb = _twin_sample(
-        T(spark, sf_dir, "embeddings", parallel=True), _TWIN_SAMPLE_N
-    )
-    a = emb.select(
-        F.col("vec_id").alias("va"),
-        V.quantize("embedding").alias("qa"),
-        V.dot_exact("embedding", "embedding").alias("na2"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vb"),
-        V.quantize("embedding").alias("qb"),
-        V.dot_exact("embedding", "embedding").alias("nb2"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    cos = dot.cast("double") / (
-        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
-    )
-    exact = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _SEMDEDUP_THRESHOLD)
-        .select("va", "vb")
-    )
+    twin slice at any scale. The exact side is the session-shared
+    persisted twin (_twin_pairs_cached)."""
+    exact = _semdedup_exact_pairs(spark, sf_dir)
     ranked = _ivf_trained_ranked(spark, sf_dir, _SEMDEDUP_PROBES).select(
         "vec_id", "cent_id", "arank"
     )

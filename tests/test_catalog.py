@@ -106,6 +106,43 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark, cat):
         assert len(mp & exact) / len(exact) >= len(lsh & exact) / len(exact)
 
 
+def test_semantic_probe_only_equals_incremental(spark, cat):
+    """The steady-state semantic entry (session-cached serving state)
+    must emit EXACTLY the bootstrap-inclusive incremental entry's rows
+    — the cache changes what is paid for, never what is returned. Run
+    at sf0.01 where the delta actually produces dup rows, twice, so
+    the second (cache-hit) invocation is pinned too."""
+    sf = "/root/testdata/sf0.01"
+    inc = {tuple(r) for r in cat["dedup_semantic_incremental"].fn(spark, sf).collect()}
+    po1 = {tuple(r) for r in cat["dedup_semantic_probe_only"].fn(spark, sf).collect()}
+    po2 = {tuple(r) for r in cat["dedup_semantic_probe_only"].fn(spark, sf).collect()}
+    assert inc, "fixture produced no semantic dups — test is vacuous"
+    assert po1 == inc and po2 == inc
+
+
+def test_filtered_ivf_adaptive_probe_keeps_k(spark, cat):
+    """Every filtered-IVF query must return its FULL k results (the
+    adaptive probe rule's whole point: a fixed shallow nprobe starves
+    selective filters), and every result must satisfy the predicate."""
+    sf = "/root/testdata/sf0.01"
+    rows = cat["similarity_filtered_ivf"].fn(spark, sf).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append(r)
+    assert len(per_q) == 16
+    assert all(len(v) == 5 for v in per_q.values())
+    import pyspark.sql.functions as _F
+
+    allowed = {
+        r.vec_id
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(_F.col("label") % 3 == 0)
+        .select("vec_id")
+        .collect()
+    }
+    assert all(r.cid in allowed for r in rows)
+
+
 def test_kmeans_iter_partition_and_determinism(spark, cat):
     """Lloyd loop invariants: 8x64 centroid rows, every vector assigned
     to exactly one cluster (n_assigned sums to the corpus size on every

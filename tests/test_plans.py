@@ -306,14 +306,55 @@ def test_r8_perf_fix_plan_shapes(spark, sf_small, cat):
 
 
 def test_filtered_search_pushdown_shapes(spark, sf_small, cat):
-    """Filtered vector search: the metadata predicate reaches the
-    ALLOWED side's parquet scan (PushedFilters on label) in both the
-    exact top-k and the LSH path, and the LSH path's candidate stage
-    stays an equi-join — never a cartesian. At 100 TB the pushed
-    predicate is what shrinks bucket work and pair volume by the
-    filter's selectivity before anything shuffles."""
-    topk = cat["similarity_filtered_topk"].fn(spark, sf_small)
-    assert_pushed_filter(topk, "embeddings", "label")
-    ann = cat["similarity_filtered_ann"].fn(spark, sf_small)
-    assert_pushed_filter(ann, "embeddings", "label")
-    assert count_nodes(ann, "CartesianProduct") == 0
+    """Filtered vector search: the metadata predicate is applied
+    DIRECTLY ABOVE the allowed side's parquet scan — before any
+    bucket/pair work — in both the exact top-k and the LSH path, and
+    the LSH path's candidate stage stays an equi-join, never a
+    cartesian. `label % 3 = 0` is not a footer-pushable comparison, so
+    the scan's PushedFilters carries only the derived IsNotNull(label)
+    (pinned exactly, so this test can't be satisfied by an unrelated
+    label filter); the modulo itself is pinned as a Filter node in the
+    plan. At 100 TB the filter-before-pair-work placement is what
+    shrinks bucket work and pair volume by the selectivity."""
+    from chchfr_data_collection_spark.plans.audit import formatted_plan
+
+    for name in ("similarity_filtered_topk", "similarity_filtered_ann"):
+        df = cat[name].fn(spark, sf_small)
+        assert_pushed_filter(df, "embeddings", "label")
+        plan = formatted_plan(df)
+        assert "% 3) = 0" in plan, (
+            f"{name}: modulo predicate not in any Filter node\n{plan}"
+        )
+        assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_filtered_ivf_shapes(spark, sf_small, cat):
+    """Filtered IVF: allowed-side predicate applied before cell
+    assignment (modulo Filter above the scan, IsNotNull pushed into
+    it), probe metadata broadcast, inverted-list probe an equi-join —
+    never a cartesian (the 8-row centroid cross joins broadcast as
+    BNLJ, which is the designed shape)."""
+    from chchfr_data_collection_spark.plans.audit import formatted_plan
+
+    df = cat["similarity_filtered_ivf"].fn(spark, sf_small)
+    assert_pushed_filter(df, "embeddings", "label")
+    plan = formatted_plan(df)
+    assert "% 3) = 0" in plan
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastHashJoin") >= 1  # probe ⋈ lists
+
+
+def test_twin_cache_does_not_contaminate_entry_plans(spark, sf_small, cat):
+    """The session-shared recall-audit twin (_twin_pairs_cached) is
+    persisted; Spark's CacheManager substitutes cached relations into
+    ANY query whose plan contains a canonically-equal subtree. The
+    cached twin carries a no-op guard filter precisely so the catalog
+    twins' own pinned plans (pushed vec_id bound on a real parquet
+    scan) stay intact while the cache is hot — pin that, with the
+    cache deliberately hot and materialized."""
+    from chchfr_data_collection_spark.queries.llm import _twin_pairs_cached
+
+    _twin_pairs_cached(spark, sf_small).count()
+    for name in ("similarity_threshold_pairs", "dedup_embedding_cosine"):
+        df = cat[name].fn(spark, sf_small)
+        assert_pushed_filter(df, "embeddings", "vec_id")
