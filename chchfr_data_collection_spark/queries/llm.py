@@ -1726,8 +1726,10 @@ def similarity_filtered_ivf(spark, sf_dir):
     the allowed-side assignment, touched once by an equi-join on
     cent_id — at 100 TB this is the IVF contract (hash join on cell
     id), with the filter's selectivity already priced into every stage.
-    Recall vs the exact filtered twin is measured by
-    filtered_ivf_recall_audit."""
+    Scale boundary: the broadcast probe rows carry the query vectors,
+    so past ~10^5 queries per batch drop the broadcast hint and let the
+    cent_id join shuffle (ADVICE r10). Recall vs the exact filtered
+    twin is measured by filtered_ivf_recall_audit."""
     base = T(spark, sf_dir, "embeddings", parallel=True)
     cent = base.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"),
