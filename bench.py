@@ -118,6 +118,7 @@ HEADLINE = [
     "similarity_filtered_ivf",
     "dedup_semantic_probe_only",
     "dedup_connected_components",
+    "dedup_cc_incremental",
 ]
 
 

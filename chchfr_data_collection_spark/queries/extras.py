@@ -676,6 +676,99 @@ def dedup_connected_components(spark, sf_dir, checkpoint_dir: str | None = None)
     return connected_components(pairs, checkpoint_dir=checkpoint_dir)
 
 
+def _cc_landed_labels(spark, sf_dir):
+    """Session-cached connected components of the LANDED corpus's
+    near-dup pairs (both endpoints doc_id % 4 != 0) — the cluster
+    state dedup_cc_incremental maintains. Built once per (session,
+    fixture), persisted and eagerly materialized; in production this is
+    the persisted (node, component) assignment table the clustering
+    pipeline keeps next to the MinHash index, and the incremental entry
+    reads it instead of re-clustering the corpus."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    holder = _cc_landed_labels
+    cached = getattr(holder, "_cached", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    from ..operators.graph import connected_components
+    from .llm import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db").filter(
+        (F.col("da") % 4 != 0) & (F.col("db") % 4 != 0)
+    )
+    labels = connected_components(pairs).persist()
+    labels.count()  # materialize at build, not on first probe
+    if cached is not None:
+        try:
+            cached[1].unpersist()
+        except Exception:
+            pass  # previous session gone — nothing to release
+    holder._cached = (key, labels)
+    return labels
+
+
+@register(
+    "dedup_cc_incremental",
+    sql=_cc_oracle_sql(),
+    tags=("llm", "dedup", "iterative", "incremental"),
+)
+def dedup_cc_incremental(spark, sf_dir):
+    """INCREMENTAL connected components — the cluster-MAINTENANCE leg
+    of the incremental dedup story (exact: bloom gate; fuzzy: the
+    MinHash index probe; semantic: the probe-only SemDeDup; and now
+    clustering: this). A delta batch's near-dup pairs are folded into
+    the EXISTING component assignment without re-clustering the landed
+    corpus: each delta-touching pair's endpoints are CONTRACTED through
+    the landed labels (node -> its component rep, itself if unlabeled),
+    star-contraction CC runs on that contracted graph only — its size
+    is O(components touched by the delta + delta nodes), not O(corpus)
+    — and the new labels are mapped back over the landed assignment.
+
+    The result is EXACTLY the batch CC over all pairs (which IS the
+    oracle): landed components are already labeled by their minimum
+    node id, so every contracted vertex is a real node id that is
+    minimal in its landed part, and the contracted CC's min-label is
+    the true min of each merged component; components the delta never
+    touches keep their labels through the left join. Fixture split as
+    everywhere: landed = doc_id % 4 != 0 (bootstraps the session-cached
+    state, _cc_landed_labels), delta = doc_id % 4 == 0. Pair GENERATION
+    for the delta is the MinHash index probe's job
+    (dedup_minhash_probe_only — already delta-bounded); this entry
+    prices what comes after: O(delta) contraction joins + CC on a graph
+    thousands of times smaller than the corpus at 100 TB."""
+    from ..operators.graph import connected_components
+    from .llm import dedup_ngram_jaccard
+
+    labels = _cc_landed_labels(spark, sf_dir)
+    delta_pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db").filter(
+        (F.col("da") % 4 == 0) | (F.col("db") % 4 == 0)
+    )
+    la = labels.select(
+        F.col("node").alias("da"), F.col("component").alias("ca")
+    )
+    lb = labels.select(
+        F.col("node").alias("db"), F.col("component").alias("cb")
+    )
+    contracted = (
+        delta_pairs.join(la, "da", "left")
+        .join(lb, "db", "left")
+        .select(
+            F.coalesce("ca", F.col("da")).alias("da"),
+            F.coalesce("cb", F.col("db")).alias("db"),
+        )
+    )
+    cc2 = connected_components(contracted)
+    merged = cc2.select(
+        F.col("node").alias("component"), F.col("component").alias("newc")
+    )
+    relabeled = labels.join(merged, "component", "left").select(
+        "node", F.coalesce("newc", F.col("component")).alias("component")
+    )
+    fresh = cc2.join(
+        labels.select("node"), "node", "left_anti"
+    ).select("node", "component")
+    return relabeled.unionByName(fresh)
+
+
 @register(
     "streaming_static_enrich_replay",
     sql="""
