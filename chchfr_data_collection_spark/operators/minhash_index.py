@@ -31,6 +31,10 @@ Index layout (two parquet relations under one base path):
 - `pairs/` — (da, db, jaccard), partitioned by delta_id: each probe's
   verified output, landed BEFORE probe_and_insert returns so the
   result is a stable snapshot (see that method's docstring).
+- `_deleted/` — (doc_id), partitioned by forget_id: the
+  right-to-be-forgotten tombstones (see forget()); probes exclude
+  these docs before bucket sizing, so results equal a from-scratch run
+  on the reduced corpus.
 
 Lifecycle (round-7 verdict asks 1a/6 + ADVICE):
 
@@ -252,6 +256,10 @@ class MinHashIndex:
         # two-phase fold manifest (see compact())
         self.fold_intent_path = f"{self.base_path}/_fold_intent.json"
         self.fold_commit_path = f"{self.base_path}/_fold_commit.json"
+        # forgotten doc_ids (right-to-be-forgotten, see forget()):
+        # parquet (doc_id) partitioned by forget_id; probes exclude
+        # these docs everywhere via a broadcast anti-join
+        self.deleted_path = f"{self.base_path}/_deleted"
 
     # -- format marker ---------------------------------------------------------
 
@@ -471,6 +479,8 @@ class MinHashIndex:
         fs.delete(HPath(self.folded_path), True)
         fs.delete(HPath(self.fold_intent_path), False)
         fs.delete(HPath(self.fold_commit_path), False)
+        # a new store serves a new corpus: previous tombstones go too
+        fs.delete(HPath(self.deleted_path), True)
         sigs = shingle_signatures(docs).persist()
         try:
             self._write_sigs(sigs, delta_id, full=True)
@@ -560,6 +570,14 @@ class MinHashIndex:
         # duplicated rows are invisible — the manifest decides whether
         # the generation or its sources serve (see _fold_read_exclusions)
         postings = self._read_relation(self.postings_path)
+        # forgotten docs are excluded BEFORE bucket sizing so the
+        # bucket-cap semantics match a from-scratch run on the reduced
+        # corpus (see forget()); applied to the probe reads only —
+        # compact() must keep folding the physical rows or its
+        # footer-exact verification breaks
+        deleted = self._deleted_docs()
+        if deleted is not None:
+            postings = postings.join(F.broadcast(deleted), "doc_id", "left_anti")
         dsig = postings.where(F.col("delta_id") == delta_id).select(
             F.col("band"), F.col("sig"), F.col("doc_id").alias("d_new")
         )
@@ -577,6 +595,8 @@ class MinHashIndex:
             .distinct()
         )
         arrs = self._read_relation(self.arrays_path)
+        if deleted is not None:
+            arrs = arrs.join(F.broadcast(deleted), "doc_id", "left_anti")
         verified = (
             cand.join(
                 arrs.select(
@@ -653,6 +673,72 @@ class MinHashIndex:
             .parquet(self.pairs_path)
             .where(F.col("delta_id") == delta_id)
             .drop("delta_id")
+        )
+
+    # -- forget (right-to-be-forgotten) ---------------------------------------
+
+    def forget(self, doc_ids: DataFrame, forget_id: str) -> None:
+        """Tombstone documents OUT of the index — the
+        right-to-be-forgotten operation a training-data store needs
+        (takedowns, opt-outs, license revocations) without re-signing
+        the corpus.
+
+        `doc_ids` (one `doc_id` column) lands as a parquet partition
+        under `_deleted/forget_id=<id>`; every subsequent probe
+        excludes the union of tombstoned docs BEFORE bucket sizing,
+        candidate generation, and verification (broadcast anti-join in
+        probe_and_insert), so probe results are exactly a from-scratch
+        banded run over the corpus WITHOUT the forgotten docs — the
+        bucket-cap semantics shrink with the corpus, the same contract
+        every other read has. A forgotten doc that re-arrives in a
+        later delta stays hidden (its rows land, the anti-join masks
+        them) until the tombstones are cleared by bootstrap().
+
+        Semantics are RESULT-LEVEL erasure with an auditable tombstone
+        list: the doc's posting/array bytes remain in the partition
+        files until the store is re-bootstrapped (physical purge inside
+        compact() would break the fold's footer-exact row-count verify;
+        a filtering purge fold is the documented follow-up for
+        byte-level erasure mandates). Retry-idempotent: re-landing the
+        same forget_id replaces its own partition (pre-delete +
+        dynamic overwrite, the delta-landing discipline)."""
+        self._require_format()
+        fs, HPath = self._fs()
+        fs.delete(HPath(f"{self.deleted_path}/forget_id={forget_id}"), True)
+        (
+            doc_ids.select("doc_id")
+            .distinct()
+            .withColumn("forget_id", F.lit(forget_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("forget_id")
+            .parquet(self.deleted_path)
+        )
+
+    def _deleted_docs(self) -> DataFrame | None:
+        """The distinct tombstoned doc_ids, or None when nothing was
+        ever forgotten (the common case pays one existence check)."""
+        fs, HPath = self._fs()
+        if not fs.exists(HPath(self.deleted_path)):
+            return None
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("forget_id", StringType()),
+            ]
+        )
+        return (
+            self.spark.read.schema(schema)
+            .parquet(self.deleted_path)
+            .select("doc_id")
+            .distinct()
         )
 
     # -- lifecycle -------------------------------------------------------------

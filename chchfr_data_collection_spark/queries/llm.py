@@ -2837,7 +2837,11 @@ from ..operators.minhash_index import (  # noqa: E402
 )
 
 
-def _minhash_banded_duck() -> str:
+def _minhash_banded_duck(corpus_pred: str | None = None) -> str:
+    """The banded-MinHash oracle SQL; `corpus_pred` restricts the
+    corpus (used by the forget/right-to-be-forgotten twin — the reduced
+    corpus changes shingles, signatures, AND bucket sizes, exactly what
+    the index's probe-side tombstone exclusion reproduces)."""
     mins = ",\n      ".join(
         f"MIN(({_MH_A[i]} * x + {_MH_B[i]}) % {_MH_P}) AS h{i}" for i in range(_MH_K)
     )
@@ -2850,8 +2854,9 @@ def _minhash_banded_duck() -> str:
         )
         for j in range(_MH_BANDS)
     )
+    where = f" WHERE {corpus_pred}" if corpus_pred else ""
     return f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents{where}),
     sh AS (
       SELECT doc_id, unnest(list_distinct([ws[i] || '_' || ws[i+1] || '_' || ws[i+2]
              for i in range(1, len(ws)-1)])) AS s
@@ -3176,6 +3181,49 @@ def dedup_minhash_probe_only(spark, sf_dir):
         holder._cached_idx = (key, idx)
     return holder._cached_idx[1].probe_and_insert(
         docs.filter(F.col("doc_id") % 4 == 0), delta_id="steady-state-probe"
+    )
+
+
+@register(
+    "dedup_minhash_forget_probe",
+    sql=f"""
+    SELECT da, db, jaccard
+    FROM ({_minhash_banded_duck("NOT (doc_id % 16 = 1)")}) t
+    WHERE da % 4 = 0 OR db % 4 = 0
+    """,
+    tags=("llm", "dedup", "fuzzy", "minhash", "incremental", "forget"),
+)
+def dedup_minhash_forget_probe(spark, sf_dir):
+    """RIGHT-TO-BE-FORGOTTEN through the persisted index: bootstrap
+    from the landed corpus, tombstone a takedown batch
+    (doc_id % 16 == 1 — a slice of the LANDED docs), then probe the
+    arriving delta. The forgotten docs must be gone at RESULT level —
+    no pair may involve them, and bucket-cap semantics must be those of
+    the reduced corpus (a tombstoned doc can't keep inflating a bucket
+    toward the cap) — without re-signing anything: forget() lands a
+    tombstone partition and the probe's broadcast anti-join does the
+    rest (operators/minhash_index.py).
+
+    Oracle: the from-scratch banded run over `documents` WITHOUT the
+    forgotten slice, restricted to delta-touching pairs — the exact
+    cross-engine statement of "as if those docs never existed". At
+    100 TB this is the takedown path that doesn't reprocess the corpus:
+    O(|takedown list|) writes, probe cost unchanged."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.minhash_index import MinHashIndex
+
+    docs = T(spark, sf_dir, "documents", parallel=True)
+    base = tempfile.mkdtemp(prefix=f"mh_forget_{_uuid.uuid4().hex[:8]}_")
+    idx = MinHashIndex(spark, base)
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.forget(
+        docs.filter(F.col("doc_id") % 16 == 1).select("doc_id"),
+        forget_id="takedown-1",
+    )
+    return idx.probe_and_insert(
+        docs.filter(F.col("doc_id") % 4 == 0), delta_id="post-forget-probe"
     )
 
 

@@ -516,3 +516,53 @@ def test_lazy_probe_delta_unfoldable_until_finalized(spark, tmp_path):
     receipt2 = idx.compact()
     assert receipt2["postings"]["compacted"] is True
     assert idx._partition_ids("postings") == {receipt2["generation"]}
+
+
+def test_forget_equals_reduced_corpus_bootstrap(spark, tmp_path):
+    """forget() must be RESULT-equivalent to never having indexed the
+    forgotten docs: tombstone-then-probe == bootstrap-without-them-
+    then-probe, exact jaccard and all (bucket caps included — the
+    tombstoned docs may not keep inflating buckets toward the cap)."""
+    docs = _docs(spark)
+    landed = docs.filter(F.col("doc_id") % 4 != 0)
+    gone = F.col("doc_id") % 16 == 1
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(landed)
+    idx.forget(docs.filter(gone).select("doc_id"), forget_id="t1")
+    got = _pairs(idx.probe_and_insert(delta, delta_id="d1"))
+
+    ref = MinHashIndex(spark, str(tmp_path / "ref"))
+    ref.bootstrap(landed.filter(~gone))
+    want = _pairs(ref.probe_and_insert(delta, delta_id="d1"))
+
+    assert got == want
+    assert all(
+        da % 16 != 1 and db % 16 != 1 for da, db, _ in got
+    ), "a forgotten doc appeared in a verified pair"
+
+
+def test_forget_retry_idempotent_and_rearrival_stays_hidden(spark, tmp_path):
+    """Re-landing the same forget_id replaces its tombstone partition
+    (no duplicate-row side effects), and a forgotten doc that
+    RE-ARRIVES in a later delta stays result-invisible — takedown
+    outlives re-crawls until the store is re-bootstrapped."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    takedown = docs.filter(F.col("doc_id") % 16 == 1).select("doc_id")
+    idx.forget(takedown, forget_id="t1")
+    idx.forget(takedown, forget_id="t1")  # retry replaces, not appends
+    p1 = _pairs(idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), delta_id="d1"))
+    # the takedown docs re-arrive as their own delta: every pair they
+    # would form must stay suppressed (empty probe result)
+    p2 = _pairs(idx.probe_and_insert(docs.filter(F.col("doc_id") % 16 == 1), delta_id="d2"))
+    assert not p2, "re-arrived forgotten docs produced pairs"
+    assert all(da % 16 != 1 and db % 16 != 1 for da, db, _ in p1)
+    # bootstrap clears tombstones: a fresh store on the same base path
+    # serves the full corpus again
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    p3 = _pairs(idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), delta_id="d3"))
+    inc = _pairs(dedup_minhash_incremental(spark, SF_DIR))
+    assert p3 == inc
