@@ -695,13 +695,13 @@ class MinHashIndex:
         them) until the tombstones are cleared by bootstrap().
 
         Semantics are RESULT-LEVEL erasure with an auditable tombstone
-        list: the doc's posting/array bytes remain in the partition
-        files until the store is re-bootstrapped (physical purge inside
-        compact() would break the fold's footer-exact row-count verify;
-        a filtering purge fold is the documented follow-up for
-        byte-level erasure mandates). Retry-idempotent: re-landing the
-        same forget_id replaces its own partition (pre-delete +
-        dynamic overwrite, the delta-landing discipline)."""
+        list; for byte-level mandates run `compact(purge_forgotten=
+        True)` — the fold then drops tombstoned rows during its
+        rewrite (verified against a counted expectation instead of the
+        source footer sum) and clears the tombstones it planned
+        against. Retry-idempotent: re-landing the same forget_id
+        replaces its own partition (pre-delete + dynamic overwrite,
+        the delta-landing discipline)."""
         self._require_format()
         fs, HPath = self._fs()
         fs.delete(HPath(f"{self.deleted_path}/forget_id={forget_id}"), True)
@@ -716,10 +716,17 @@ class MinHashIndex:
         )
 
     def _deleted_docs(self) -> DataFrame | None:
-        """The distinct tombstoned doc_ids, or None when nothing was
-        ever forgotten (the common case pays one existence check)."""
+        """The distinct tombstoned doc_ids, or None when no ACTIVE
+        tombstone partition exists (the common case pays one listing;
+        the root dir itself survives a purge — parquet writes leave
+        `_SUCCESS` markers — so presence is judged by `forget_id=`
+        partitions, not by the directory)."""
         fs, HPath = self._fs()
-        if not fs.exists(HPath(self.deleted_path)):
+        root = HPath(self.deleted_path)
+        if not fs.exists(root) or not any(
+            st.isDirectory() and st.getPath().getName().startswith("forget_id=")
+            for st in fs.listStatus(root)
+        ):
             return None
         from pyspark.sql.types import (
             LongType,
@@ -836,23 +843,38 @@ class MinHashIndex:
             dirs = [f"{path}/delta_id={delta_id}"]
         return [d for d in dirs if fs.exists(HPath(d))]
 
-    def _fold_plan(self) -> dict:
+    def _fold_plan(self, purge: bool = False) -> dict:
         """Decide what this fold touches: per relation, the delta_ids
         that are BOTH marker-landed and present as partitions. Unmarked
         partitions (an insert mid-flight, or one that crashed before
         its marker) are left alone — that is the whole concurrency
         story. A relation with < 2 foldable deltas has no sprawl to
-        fold and is skipped."""
+        fold and is skipped — EXCEPT under a purge, where even one
+        landed delta owes the erasure rewrite. A purge plan also pins
+        the forget_ids whose tombstones the commit's finish step will
+        clear (only those present NOW — one landed mid-fold stays
+        active)."""
         idx_marked = self._landed_ids(self.landed_path)
+        floor = 1 if purge else 2
         folded = {}
         for rel in ("postings", "arrays"):
             land = sorted(idx_marked & self._partition_ids(rel))
-            folded[rel] = land if len(land) >= 2 else []
+            folded[rel] = land if len(land) >= floor else []
         pl = sorted(
             self._landed_ids(self.landed_pairs_path) & self._partition_ids("pairs")
         )
-        folded["pairs"] = pl if len(pl) >= 2 else []
-        return {"gen": f"gen-{uuid.uuid4().hex[:8]}", "folded": folded}
+        folded["pairs"] = pl if len(pl) >= floor else []
+        plan = {"gen": f"gen-{uuid.uuid4().hex[:8]}", "folded": folded}
+        if purge:
+            fs, HPath = self._fs()
+            ids = []
+            if fs.exists(HPath(self.deleted_path)):
+                for st in fs.listStatus(HPath(self.deleted_path)):
+                    name = st.getPath().getName()
+                    if st.isDirectory() and name.startswith("forget_id="):
+                        ids.append(name[len("forget_id="):])
+            plan["purge"] = sorted(ids)
+        return plan
 
     def _fold_write(self, plan: dict, target_bytes: int) -> dict:
         """Land each folded relation's rows as ONE delta_id=<gen>
@@ -866,47 +888,81 @@ class MinHashIndex:
         spark = self.spark
         fs, HPath = self._fs()
         gen = plan["gen"]
+        purging = bool(plan.get("purge"))
+        deleted = self._deleted_docs() if purging else None
+        if deleted is not None:
+            # pin the tombstone set for this fold: every relation must
+            # be filtered against the SAME doc_ids even if forget()s
+            # land mid-write
+            deleted = deleted.persist()
         rows = {}
-        for rel, land in plan["folded"].items():
-            if not land:
-                continue
-            path = self._rel_path(rel)
-            src_dirs = [d for did in land for d in self._delta_dirs(rel, did)]
-            rows_before = sum(footer_row_count(spark, d) for d in src_dirs)
-            total_bytes = sum(
-                st.getLen()
-                for d in src_dirs
-                for st in _iter_files(fs, HPath, d)
-            )
-            floor = MH_BANDS if rel == "postings" else 1
-            n_out = max(floor, math.ceil(total_bytes / float(target_bytes)))
-            df = (
-                spark.read.parquet(path)
-                .where(F.col("delta_id").isin(land))
-                .drop("delta_id")
-            )
-            shuffled = (
-                df.repartition(n_out, "band")
-                if rel == "postings"
-                else df.repartition(n_out)
-            )
-            parts = ("band", "delta_id") if rel == "postings" else ("delta_id",)
-            (
-                shuffled.withColumn("delta_id", F.lit(gen))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*parts)
-                .parquet(path)
-            )
-            rows_gen = sum(
-                footer_row_count(spark, d) for d in self._delta_dirs(rel, gen)
-            )
-            if rows_gen != rows_before:
-                raise IOError(
-                    f"index fold row mismatch on {path}: "
-                    f"{rows_before} -> {rows_gen}; sources untouched"
+        try:
+            for rel, land in plan["folded"].items():
+                if not land:
+                    continue
+                path = self._rel_path(rel)
+                src_dirs = [d for did in land for d in self._delta_dirs(rel, did)]
+                rows_before = sum(footer_row_count(spark, d) for d in src_dirs)
+                total_bytes = sum(
+                    st.getLen()
+                    for d in src_dirs
+                    for st in _iter_files(fs, HPath, d)
                 )
-            rows[rel] = rows_before
+                floor = MH_BANDS if rel == "postings" else 1
+                n_out = max(floor, math.ceil(total_bytes / float(target_bytes)))
+                df = (
+                    spark.read.parquet(path)
+                    .where(F.col("delta_id").isin(land))
+                    .drop("delta_id")
+                )
+                if deleted is not None:
+                    # byte-level erasure: drop tombstoned docs' rows
+                    # (pairs rows touching one on EITHER side)
+                    if rel == "pairs":
+                        df = df.join(
+                            F.broadcast(deleted.select(F.col("doc_id").alias("da"))),
+                            "da",
+                            "left_anti",
+                        ).join(
+                            F.broadcast(deleted.select(F.col("doc_id").alias("db"))),
+                            "db",
+                            "left_anti",
+                        )
+                    else:
+                        df = df.join(F.broadcast(deleted), "doc_id", "left_anti")
+                    # a lossy rewrite can't verify against the source
+                    # footer sum — count the kept rows explicitly (the
+                    # one extra pass an erasure op pays for its verify)
+                    expected = df.count()
+                else:
+                    expected = rows_before
+                shuffled = (
+                    df.repartition(n_out, "band")
+                    if rel == "postings"
+                    else df.repartition(n_out)
+                )
+                parts = ("band", "delta_id") if rel == "postings" else ("delta_id",)
+                (
+                    shuffled.withColumn("delta_id", F.lit(gen))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*parts)
+                    .parquet(path)
+                )
+                rows_gen = sum(
+                    footer_row_count(spark, d) for d in self._delta_dirs(rel, gen)
+                )
+                if rows_gen != expected:
+                    raise IOError(
+                        f"index fold row mismatch on {path}: "
+                        f"expected {expected} (sources {rows_before}"
+                        f"{', post-purge' if purging else ''}) -> {rows_gen}; "
+                        "sources untouched"
+                    )
+                rows[rel] = rows_gen
+        finally:
+            if deleted is not None:
+                deleted.unpersist()
         return rows
 
     def _rollback_fold(self, plan: dict) -> None:
@@ -954,6 +1010,12 @@ class MinHashIndex:
             self._mark_landed(self.landed_path, gen)
         if folded["pairs"]:
             self._mark_landed(self.landed_pairs_path, gen)
+        # a purge fold clears exactly the tombstones it planned against
+        # (recorded in the manifest, so crash recovery replays this);
+        # forget()s landed mid-fold keep their partitions and stay
+        # active until the next purge
+        for fid in plan.get("purge", []):
+            fs.delete(HPath(f"{self.deleted_path}/forget_id={fid}"), True)
         fs.delete(HPath(self.fold_intent_path), False)
         fs.delete(HPath(self.fold_commit_path), False)
 
@@ -971,7 +1033,11 @@ class MinHashIndex:
         if intent is not None:
             self._rollback_fold(intent)
 
-    def compact(self, target_bytes: int = 128 * 1024 * 1024) -> dict:
+    def compact(
+        self,
+        target_bytes: int = 128 * 1024 * 1024,
+        purge_forgotten: bool = False,
+    ) -> dict:
         """Fold the per-delta partition sprawl into ONE consolidated
         generation per relation — IN PLACE, concurrent-insert-safe.
 
@@ -1012,6 +1078,24 @@ class MinHashIndex:
         compact() rolls an intent-only fold back and a committed fold
         forward before planning its own (`_recover_fold`).
 
+        `purge_forgotten=True` upgrades the fold to BYTE-LEVEL erasure
+        of forget() tombstones (the follow-up forget()'s docstring
+        promises): the rewrite drops tombstoned docs' rows from
+        postings/arrays (and pairs rows touching them), verification
+        switches from source-footer-sum to a counted expectation (one
+        extra pass over the fold set — the price of verifying an
+        intentionally lossy rewrite), and the tombstone partitions that
+        existed at PLAN time are cleared by the commit's finish step
+        (recorded in the manifest, so crash recovery replays the
+        clearing). A purge folds even a single landed delta (a no-sprawl
+        store still owes the erasure). Caveats, both documented loud:
+        tombstones landed DURING the fold purge rows opportunistically
+        but stay active (cleared by the next purge); rows of a
+        forgotten doc inside a delta whose insert commits during the
+        fold window are NOT purged this pass and would serve once the
+        tombstones clear — quiesce ingestion of taken-down docs across
+        a purge, or re-land the forget (cheap) after it.
+
         Returns a receipt: per relation {compacted, leaf_partitions
         before/after, rows}."""
         from .lease import WriterLease
@@ -1020,7 +1104,7 @@ class MinHashIndex:
         self._require_format()
         with WriterLease(spark, self.base_path):
             self._recover_fold()
-            plan = self._fold_plan()
+            plan = self._fold_plan(purge=purge_forgotten)
             receipt: dict = {"generation": plan["gen"]}
             before = {
                 rel: self._leaf_partition_count(self._rel_path(rel), depth)

@@ -566,3 +566,41 @@ def test_forget_retry_idempotent_and_rearrival_stays_hidden(spark, tmp_path):
     p3 = _pairs(idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), delta_id="d3"))
     inc = _pairs(dedup_minhash_incremental(spark, SF_DIR))
     assert p3 == inc
+
+
+def test_compact_purge_forgotten_erases_bytes(spark, tmp_path):
+    """compact(purge_forgotten=True) upgrades result-level erasure to
+    BYTE-level: after the purge fold, no tombstoned doc_id remains in
+    any relation's files (pairs rows touching one on either side
+    included), the tombstone partitions are cleared, and a fresh probe
+    still returns exactly the reduced-corpus result."""
+    docs = _docs(spark)
+    landed = docs.filter(F.col("doc_id") % 4 != 0)
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    gone = F.col("doc_id") % 16 == 1
+
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(landed)
+    # a pre-forget probe lands pairs/ rows that may TOUCH the takedown
+    # docs — the purge must scrub those snapshots too
+    idx.probe_and_insert(delta, delta_id="d1")
+    idx.forget(docs.filter(gone).select("doc_id"), forget_id="t1")
+    want = _pairs(idx.probe_and_insert(delta, delta_id="d2"))
+
+    receipt = idx.compact(purge_forgotten=True)
+    assert receipt["postings"]["compacted"]
+
+    assert idx._deleted_docs() is None, "tombstones not cleared"
+    arrs = spark.read.parquet(idx.arrays_path)
+    assert arrs.filter(F.col("doc_id") % 16 == 1).count() == 0
+    posts = spark.read.parquet(idx.postings_path)
+    assert posts.filter(F.col("doc_id") % 16 == 1).count() == 0
+    pairs = spark.read.parquet(idx.pairs_path)
+    assert (
+        pairs.filter((F.col("da") % 16 == 1) | (F.col("db") % 16 == 1)).count()
+        == 0
+    )
+    # the read view is unchanged by the purge: same reduced-corpus
+    # pairs from a fresh probe of the same delta content
+    got = _pairs(idx.probe_and_insert(delta, delta_id="d3"))
+    assert got == want
