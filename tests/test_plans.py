@@ -344,6 +344,16 @@ def test_filtered_ivf_shapes(spark, sf_small, cat):
     assert count_nodes(df, "BroadcastHashJoin") >= 1  # probe ⋈ lists
 
 
+def test_cc_incremental_contraction_plan_shape(spark, sf_small, cat):
+    """Incremental CC's contraction joins (delta pairs through the
+    cached landed labels, then the relabel/fresh split) must stay
+    hash/broadcast equi-joins — a cartesian anywhere in the maintenance
+    path would scale with corpus × delta instead of delta."""
+    df = cat["dedup_cc_incremental"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+
+
 def test_twin_cache_does_not_contaminate_entry_plans(spark, sf_small, cat):
     """The session-shared recall-audit twin (_twin_pairs_cached) is
     persisted; Spark's CacheManager substitutes cached relations into
