@@ -167,13 +167,22 @@ def footer_row_count_distributed(
             else:
                 key = (parsed.scheme, parsed.netloc)
                 upath = unquote(parsed.path)
-                if key in fs_cache:
-                    fsys, prefix = fs_cache[key]
+                cached = fs_cache.get(key)
+                if cached is not None:
+                    fsys, prefix = cached
                     rel = prefix + upath
                 else:
                     fsys, rel = pafs.FileSystem.from_uri(u)
-                    assert rel.endswith(upath), (rel, u)
-                    fs_cache[key] = (fsys, rel[: len(rel) - len(upath)])
+                    if rel.endswith(upath):
+                        fs_cache[key] = (fsys, rel[: len(rel) - len(upath)])
+                    # else: this store's from_uri path convention does
+                    # not end with the URI's unquoted path (query
+                    # strings / divergent percent-decoding) — the
+                    # prefix splice would open a WRONG path for later
+                    # files, so fall back to per-file from_uri for this
+                    # (scheme, authority). Explicit branch, not an
+                    # assert: the guard must survive `python -O`
+                    # (round-10 ADVICE, low).
                 with fsys.open_input_file(rel) as fh:
                     total += pq.ParquetFile(fh).metadata.num_rows
         yield total

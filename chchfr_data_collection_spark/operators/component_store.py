@@ -1,0 +1,501 @@
+"""Persisted component-assignment store: incremental CC's serving state.
+
+`queries.extras.dedup_cc_incremental` folds a delta batch's near-dup
+pairs into an EXISTING (node, component) assignment without
+re-clustering the landed corpus — but until round 11 that landed
+assignment lived in a session cache, explicitly documented as the
+stand-in for "the persisted assignment table the clustering pipeline
+keeps next to the MinHash index". This module is that table (round-10
+verdict, next #1): the MinHash index's productization arc (persisted
+store → idempotent delta landing → lifecycle → takedowns) applied to
+the clustering leg, so a crawl loop can maintain dedup clusters ACROSS
+sessions, not just within one.
+
+Layout (one parquet relation plus metadata under a base path):
+
+- `assignments/` — (node, component), partitioned by `seq` (a
+  zero-padded store-assigned sequence number): the bootstrap base plus
+  one PATCH partition per applied delta. A patch holds ONLY the rows
+  that changed — landed nodes whose component was merged into a
+  smaller-id component, plus first-seen nodes — so a delta's write is
+  O(delta + touched components), never O(corpus).
+- `_landed/<seq>.<delta_id>` — empty marker, written AFTER a
+  partition's write commits. The read view resolves through these:
+  `labels()` reads only marked partitions and keeps, per node, the row
+  from the HIGHEST marked seq (last-writer-wins). A crashed or
+  mid-flight write's partition has no marker and is invisible — the
+  same probe-visibility discipline as the MinHash index's fold
+  manifests, but last-writer-wins makes it sufficient on its own: no
+  two-phase fold manifest is needed anywhere in this store (see
+  compact()).
+- `_intent/<delta_id>` — records the seq an apply() attempt took,
+  BEFORE it writes. A retry of a crashed apply finds the intent, wipes
+  the orphaned unmarked partition, and lands under a FRESH seq — fresh
+  rather than reused, because the retry recomputes its patch against
+  the CURRENT resolved view (which may include deltas landed after the
+  crash), and re-using the old, lower seq would let those newer
+  deltas' rows win last-writer-wins over rows computed from a strictly
+  newer view.
+- `_deleted/` — (node), partitioned by forget_id: right-to-be-
+  forgotten tombstones, anti-joined by every read (the MinHash index's
+  forget() contract: result-level erasure now, byte-level at the next
+  `compact(purge_forgotten=True)`). A forgotten node that re-enters
+  via a later delta's pairs stays hidden until the tombstones clear.
+- `_schema.json` — pinned read schema (node keeps the bootstrap
+  caller's type), written at bootstrap: reads never pay footer
+  inference and an emptied store reads as empty.
+
+Why last-writer-wins needs no fold manifest: applying a pair batch is
+a MONOTONE merge (components only ever coalesce toward smaller
+representative ids), so re-applying an already-applied delta computes
+an EMPTY patch against the current view — apply() is naturally
+idempotent under at-least-once delivery (a foreachBatch replay after
+checkpoint loss re-applies and lands nothing). compact() exploits the
+same property: it writes the fully-resolved view as one fresh highest-
+seq partition (marker after write), then deletes the folded sources —
+a crash at ANY point between leaves a view that resolves identically
+(the gen partition supersedes every source row it duplicates), so
+recovery is simply "retry compact()".
+
+Correctness of the incremental fold (the dedup_cc_incremental
+argument, now load-bearing for the store): landed components are
+labeled by their MINIMUM node id, so every contracted vertex is a real
+node id minimal in its landed part; star-contraction CC over the
+contracted delta graph therefore yields the true minimum of each
+merged component, and components the delta never touches keep their
+labels because no patch row names them. The fixed point after any
+sequence of apply() calls equals batch CC over the union of all pairs
+ever applied — which is the registered oracle.
+
+At 100 TB: `labels()` is one shuffle on node over base + patches
+(steady-state patches are delta-sized; compact() folds them back into
+one base, keeping the resolve cheap); apply() is two delta-sided
+equi-joins, CC on a graph of size O(delta + touched components), and a
+patch-sized write. Nothing in the loop scans the corpus.
+
+Concurrent WRITERS on one store need the WriterLease fence
+(operators/lease.py), exactly as for the MinHash index; forget() is
+lock-free (a takedown must not queue behind maintenance) and safe
+against a racing purge via the same content-fingerprint guard the
+MinHash index uses.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph import connected_components
+from .minhash_index import _iter_files
+
+# same bound and rationale as MH_TOMBSTONE_BROADCAST_BYTES
+CS_TOMBSTONE_BROADCAST_BYTES = 32 * 1024 * 1024
+
+_UNSET = object()
+
+
+class ComponentStore:
+    """A persisted, incrementally-maintained (node, component) table.
+
+    Usage (the production clustering loop)::
+
+        store = ComponentStore(spark, store_path)
+        store.bootstrap(initial_pairs)        # once: batch CC
+        store.apply_pairs(delta_pairs, "b1")  # per arriving pair batch
+        labels = store.labels()               # the serving view
+    """
+
+    def __init__(self, spark: SparkSession, base_path: str) -> None:
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.assign_path = f"{self.base_path}/assignments"
+        self.landed_path = f"{self.base_path}/_landed"
+        self.intent_path = f"{self.base_path}/_intent"
+        self.deleted_path = f"{self.base_path}/_deleted"
+        self.schema_path = f"{self.base_path}/_schema.json"
+        self._schema = None
+        self._deleted_cache = _UNSET
+        self._deleted_listings = 0  # instrumentation for the cache test
+
+    # -- filesystem plumbing (the MinHashIndex idioms) -----------------------
+
+    def _fs(self):
+        jvm = self.spark._jvm
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(self.base_path).getFileSystem(
+            self.spark._jsc.hadoopConfiguration()
+        )
+        return fs, HPath
+
+    def _write_json(self, path: str, obj) -> None:
+        import json
+
+        fs, HPath = self._fs()
+        out = fs.create(HPath(path), True)
+        try:
+            out.write(bytearray(json.dumps(obj).encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_json(self, path: str):
+        import json
+
+        fs, HPath = self._fs()
+        p = HPath(path)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            txt = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(str(txt))
+
+    # -- markers -------------------------------------------------------------
+
+    def _marked(self) -> dict[int, str]:
+        """{seq: delta_id} of partitions whose write COMMITTED — the
+        resolve view's allow-list."""
+        fs, HPath = self._fs()
+        if not fs.exists(HPath(self.landed_path)):
+            return {}
+        out = {}
+        for st in fs.listStatus(HPath(self.landed_path)):
+            name = st.getPath().getName()
+            if st.isFile() and len(name) > 9 and name[:8].isdigit():
+                out[int(name[:8])] = name[9:]
+        return out
+
+    def _mark(self, seq: int, delta_id: str) -> None:
+        fs, HPath = self._fs()
+        fs.create(HPath(f"{self.landed_path}/{seq:08d}.{delta_id}"), True).close()
+
+    def _unmark(self, seq: int, delta_id: str) -> None:
+        fs, HPath = self._fs()
+        fs.delete(HPath(f"{self.landed_path}/{seq:08d}.{delta_id}"), False)
+
+    def _max_seq(self) -> int:
+        """Highest seq any attempt ever RESERVED (intents included, so
+        a crashed attempt's number is never re-issued to a different
+        delta while its orphan partition may still exist)."""
+        fs, HPath = self._fs()
+        mx = max(self._marked(), default=0)
+        if fs.exists(HPath(self.intent_path)):
+            for st in fs.listStatus(HPath(self.intent_path)):
+                obj = self._read_json(st.getPath().toString())
+                if isinstance(obj, dict) and "seq" in obj:
+                    mx = max(mx, int(obj["seq"]))
+        return mx
+
+    def _require_bootstrapped(self) -> None:
+        if self._read_json(self.schema_path) is None:
+            raise RuntimeError(
+                f"ComponentStore at {self.base_path} has no schema "
+                "sidecar — bootstrap() it before applying deltas or "
+                "reading labels (a crashed bootstrap leaves the same "
+                "state: rebootstrap)."
+            )
+
+    def _read_schema(self):
+        from pyspark.sql.types import StructType
+
+        if self._schema is None:
+            self._require_bootstrapped()
+            self._schema = StructType.fromJson(self._read_json(self.schema_path))
+        return self._schema
+
+    # -- tombstones (right-to-be-forgotten) ----------------------------------
+
+    def forget(self, node_ids: DataFrame, forget_id: str) -> None:
+        """Tombstone nodes out of the assignment — every subsequent
+        `labels()` excludes them, so a takedown disappears from
+        survivorship decisions immediately; byte-level erasure happens
+        at the next `compact(purge_forgotten=True)`. Lock-free and
+        retry-idempotent (pre-delete + dynamic overwrite of the
+        forget_id's own partition); a single-column input is accepted
+        under any column name. The node ids are cast to the store's
+        pinned node type; a cast that nulls any id fails loudly."""
+        self._require_bootstrapped()
+        cols = node_ids.columns
+        ids = node_ids.select(F.col(cols[0]).alias("node")).distinct()
+        target = self._read_schema()["node"].dataType
+        if ids.schema["node"].dataType != target:
+            ids = ids.select(F.col("node").cast(target).alias("node"))
+            if ids.filter(F.col("node").isNull()).limit(1).count():
+                raise TypeError(
+                    "forget(): node ids could not be cast losslessly "
+                    f"to the store's node type {target.simpleString()} "
+                    f"({self.base_path})"
+                )
+        fs, HPath = self._fs()
+        fs.delete(HPath(f"{self.deleted_path}/forget_id={forget_id}"), True)
+        (
+            ids.withColumn("forget_id", F.lit(forget_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("forget_id")
+            .parquet(self.deleted_path)
+        )
+        self._deleted_cache = _UNSET
+
+    def _deleted_nodes(self) -> tuple[DataFrame | None, bool]:
+        """(distinct tombstoned nodes | None, fits-a-broadcast); one
+        listing per instance, invalidated by forget/compact/bootstrap
+        (the MinHash index's cached-tombstone discipline)."""
+        if self._deleted_cache is not _UNSET:
+            return self._deleted_cache
+        fs, HPath = self._fs()
+        self._deleted_listings += 1
+        root = HPath(self.deleted_path)
+        if not fs.exists(root) or not any(
+            st.isDirectory() and st.getPath().getName().startswith("forget_id=")
+            for st in fs.listStatus(root)
+        ):
+            self._deleted_cache = (None, True)
+            return self._deleted_cache
+        total = sum(
+            st.getLen() for st in _iter_files(fs, HPath, self.deleted_path)
+        )
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType(
+            [
+                self._read_schema()["node"],
+                StructField("forget_id", StringType()),
+            ]
+        )
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(self.deleted_path)
+            .select("node")
+            .distinct()
+        )
+        self._deleted_cache = (df, total <= CS_TOMBSTONE_BROADCAST_BYTES)
+        return self._deleted_cache
+
+    def _partition_fingerprint(self, path: str) -> list:
+        fs, HPath = self._fs()
+        return sorted(
+            [st.getPath().getName(), int(st.getModificationTime()), int(st.getLen())]
+            for st in _iter_files(fs, HPath, path)
+        )
+
+    # -- read ----------------------------------------------------------------
+
+    def labels(self) -> DataFrame:
+        """The resolved (node, component) view: marked partitions only,
+        per-node last-writer-wins on seq, tombstoned nodes excluded.
+        One shuffle on node over base + patches — `compact()` keeps the
+        patch count small."""
+        self._require_bootstrapped()
+        marked = sorted(self._marked())
+        df = self.spark.read.schema(self._read_schema()).parquet(self.assign_path)
+        if marked:
+            df = df.filter(F.col("seq").isin([f"{s:08d}" for s in marked]))
+        else:
+            df = df.filter(F.lit(False))
+        resolved = df.groupBy("node").agg(
+            F.max_by("component", "seq").alias("component")
+        )
+        deleted, small = self._deleted_nodes()
+        if deleted is not None:
+            excl = F.broadcast(deleted) if small else deleted
+            resolved = resolved.join(excl, "node", "left_anti")
+        return resolved
+
+    # -- write ---------------------------------------------------------------
+
+    def _land_patch(self, patch: DataFrame, delta_id: str) -> int:
+        """Crash-safe landing of one partition: record intent (seq
+        reservation), wipe any prior crashed attempt's orphan, write,
+        mark landed, clear intent. Returns the seq used."""
+        fs, HPath = self._fs()
+        prior = self._read_json(f"{self.intent_path}/{delta_id}")
+        if prior is not None:
+            # crashed attempt: its unmarked partition is invisible but
+            # must not linger as unreadable bytes — wipe it, land fresh
+            old = int(prior["seq"])
+            fs.delete(HPath(f"{self.assign_path}/seq={old:08d}"), True)
+        seq = self._max_seq() + 1
+        self._write_json(f"{self.intent_path}/{delta_id}", {"seq": seq})
+        (
+            patch.withColumn("seq", F.lit(f"{seq:08d}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seq")
+            .parquet(self.assign_path)
+        )
+        self._mark(seq, delta_id)
+        fs.delete(HPath(f"{self.intent_path}/{delta_id}"), False)
+        return seq
+
+    def bootstrap(
+        self, pairs: DataFrame, src: str = "da", dst: str = "db"
+    ) -> None:
+        """Build the store from the landed corpus's near-dup pairs (one
+        batch CC). Clears any previous generation FIRST and writes the
+        schema sidecar LAST — it doubles as the format marker, so a
+        crash anywhere in between leaves a store every other method
+        refuses with 'rebootstrap required' (the MinHash index's
+        marker-last bootstrap discipline)."""
+        fs, HPath = self._fs()
+        fs.delete(HPath(self.schema_path), False)
+        for p in (
+            self.assign_path,
+            self.landed_path,
+            self.intent_path,
+            self.deleted_path,
+        ):
+            fs.delete(HPath(p), True)
+        self._schema = None
+        self._deleted_cache = _UNSET
+        labels = connected_components(pairs, src=src, dst=dst)
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType(
+            [
+                labels.schema["node"],
+                labels.schema["component"],
+                StructField("seq", StringType()),
+            ]
+        )
+        self._schema = schema
+        self._land_patch(labels, "bootstrap")
+        self._write_json(self.schema_path, schema.jsonValue())
+
+    def apply_pairs(
+        self, delta_pairs: DataFrame, delta_id: str, src: str = "da", dst: str = "db"
+    ) -> int:
+        """Fold a delta batch's near-dup pairs into the assignment —
+        the dedup_cc_incremental algorithm, landed as a crash-safe
+        PATCH write instead of returned: contract the delta pairs
+        through the current labels, run star-contraction CC on the
+        contracted (delta-sized) graph, and write only the rows whose
+        label changed plus first-seen nodes. Idempotent under replay
+        (an already-applied delta computes an empty patch — still
+        landed, so the marker records the delivery) and safe to retry
+        after a crash (see _land_patch). Returns the seq landed.
+
+        Tombstoned nodes never re-enter: labels() excludes them, so a
+        forgotten node arriving in `delta_pairs` is treated as fresh,
+        written, and then masked again by the read-side anti-join —
+        exactly the MinHash index's re-arrival contract."""
+        self._require_bootstrapped()
+        labels = self.labels().persist()
+        try:
+            dp = delta_pairs.select(
+                F.col(src).alias("da"), F.col(dst).alias("db")
+            )
+            la = labels.select(F.col("node").alias("da"), F.col("component").alias("ca"))
+            lb = labels.select(F.col("node").alias("db"), F.col("component").alias("cb"))
+            contracted = (
+                dp.join(la, "da", "left")
+                .join(lb, "db", "left")
+                .select(
+                    F.coalesce("ca", F.col("da")).alias("da"),
+                    F.coalesce("cb", F.col("db")).alias("db"),
+                )
+            )
+            cc2 = connected_components(contracted)
+            merged = cc2.select(
+                F.col("node").alias("component"), F.col("component").alias("newc")
+            )
+            changed = (
+                labels.join(merged, "component")
+                .where(F.col("newc") != F.col("component"))
+                .select("node", F.col("newc").alias("component"))
+            )
+            fresh = cc2.join(
+                labels.select("node"), "node", "left_anti"
+            ).select("node", "component")
+            return self._land_patch(changed.unionByName(fresh), delta_id)
+        finally:
+            labels.unpersist()
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def compact(self, purge_forgotten: bool = False) -> dict:
+        """Fold base + patches into ONE partition holding the resolved
+        view, then delete the folded sources. No two-phase manifest:
+        the gen partition lands under the highest seq with its marker
+        written after the write, so last-writer-wins resolves
+        identically whether a crash strikes before the gen marker (gen
+        invisible, sources serve), between marker and source deletion
+        (gen supersedes every duplicated row), or mid-deletion — retry
+        compact() to finish.
+
+        `purge_forgotten=True` additionally byte-erases tombstoned
+        nodes (the resolved view already excludes them, so the gen
+        write IS the erasure of every FOLDED partition) and clears the
+        tombstone partitions that existed at plan time — guarded the
+        same two ways as the MinHash index purge: a tombstone re-landed
+        mid-compact keeps its (fingerprint-changed) partition, and if
+        any UNMARKED partition exists (a crashed apply not yet
+        retried), tombstones are retained entirely — those orphan bytes
+        were not rewritten, so clearing would be a false erasure claim;
+        the receipt surfaces the deferral."""
+        from .lease import WriterLease
+
+        self._require_bootstrapped()
+        fs, HPath = self._fs()
+        with WriterLease(self.spark, self.base_path):
+            # recover a compact() that crashed between its gen write and
+            # its gen marker: the orphan is invisible to reads but would
+            # defer purges forever. Only gen-* intents are wiped here —
+            # a crashed apply()'s intent belongs to ITS retry — and the
+            # lease guarantees no live compactor owns these. A gen that
+            # crashed AFTER its marker needs no recovery: it is simply
+            # one more marked partition this fold consumes.
+            if fs.exists(HPath(self.intent_path)):
+                for st in fs.listStatus(HPath(self.intent_path)):
+                    did = st.getPath().getName()
+                    if did.startswith("gen-"):
+                        obj = self._read_json(st.getPath().toString())
+                        if isinstance(obj, dict) and "seq" in obj:
+                            fs.delete(
+                                HPath(
+                                    f"{self.assign_path}/seq={int(obj['seq']):08d}"
+                                ),
+                                True,
+                            )
+                        fs.delete(st.getPath(), False)
+            marked = self._marked()
+            receipt: dict = {
+                "folded": sorted(f"{s:08d}.{d}" for s, d in marked.items())
+            }
+            purge_clear: dict = {}
+            if purge_forgotten:
+                on_disk = set()
+                if fs.exists(HPath(self.assign_path)):
+                    for st in fs.listStatus(HPath(self.assign_path)):
+                        name = st.getPath().getName()
+                        if st.isDirectory() and name.startswith("seq="):
+                            on_disk.add(name[len("seq="):])
+                unmarked = on_disk - {f"{s:08d}" for s in marked}
+                receipt["purge_deferred"] = sorted(unmarked)
+                if not unmarked and fs.exists(HPath(self.deleted_path)):
+                    for st in fs.listStatus(HPath(self.deleted_path)):
+                        name = st.getPath().getName()
+                        if st.isDirectory() and name.startswith("forget_id="):
+                            fid = name[len("forget_id="):]
+                            purge_clear[fid] = self._partition_fingerprint(
+                                f"{self.deleted_path}/forget_id={fid}"
+                            )
+            if len(marked) >= (1 if purge_forgotten else 2):
+                resolved = self.labels()
+                gen = self._land_patch(resolved, f"gen-{uuid.uuid4().hex[:8]}")
+                for s, d in marked.items():
+                    fs.delete(HPath(f"{self.assign_path}/seq={s:08d}"), True)
+                    self._unmark(s, d)
+                receipt["generation"] = gen
+            for fid, fp in purge_clear.items():
+                part = f"{self.deleted_path}/forget_id={fid}"
+                if self._partition_fingerprint(part) == fp:
+                    fs.delete(HPath(part), True)
+            if purge_clear:
+                self._deleted_cache = _UNSET
+        return receipt

@@ -779,6 +779,133 @@ def dedup_cc_incremental(spark, sf_dir):
     return relabeled.unionByName(fresh)
 
 
+def _cc_store_bootstrapped(spark, sf_dir):
+    """A ComponentStore bootstrapped from the LANDED corpus's near-dup
+    pairs, built once per (session, fixture) and reused — the
+    dedup_minhash_probe_only cache pattern: the bootstrap (one batch CC)
+    is paid once, every invocation prices the steady-state apply+read.
+    Unlike _cc_landed_labels (the session-cache stand-in this
+    PERSISTED store retires, round-10 verdict item 1), the state lives
+    on disk: any fresh ComponentStore instance — a later session —
+    resolves the same labels from the parquet partitions."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.component_store import ComponentStore
+    from .llm import dedup_ngram_jaccard
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    holder = _cc_store_bootstrapped
+    cached = getattr(holder, "_cached", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    base = tempfile.mkdtemp(prefix=f"cc_store_{_uuid.uuid4().hex[:8]}_")
+    store = ComponentStore(spark, base)
+    landed_pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db").filter(
+        (F.col("da") % 4 != 0) & (F.col("db") % 4 != 0)
+    )
+    store.bootstrap(landed_pairs)
+    holder._cached = (key, store)
+    return store
+
+
+@register(
+    "dedup_cc_incremental_persisted",
+    sql=_cc_oracle_sql(),
+    tags=("llm", "dedup", "iterative", "incremental", "store"),
+)
+def dedup_cc_incremental_persisted(spark, sf_dir):
+    """dedup_cc_incremental, PRODUCTIZED: the landed (node, component)
+    assignment lives in a persisted ComponentStore
+    (operators/component_store.py) instead of a session cache, the
+    delta fold lands as a crash-safe marker-gated PATCH partition
+    (only changed + first-seen rows — O(delta + touched components)
+    bytes), and the result is read back through a FRESH store instance,
+    so what this entry certifies round-trips disk exactly as a later
+    session would see it. Same contract and oracle as the in-session
+    entry: the resolved labels equal batch CC over ALL pairs.
+
+    Each invocation applies the delta under a fresh delta_id — a
+    re-delivery in store terms — and lands an EMPTY patch after the
+    first (component merging is monotone), which doubles as the
+    idempotence story a replaying crawl loop relies on. At 100 TB the
+    loop never scans the corpus: labels() is one shuffle over base +
+    delta-sized patches (compact() folds them back), apply is two
+    delta-sided joins plus CC on the contracted graph."""
+    import uuid as _uuid
+
+    from ..operators.component_store import ComponentStore
+    from .llm import dedup_ngram_jaccard
+
+    store = _cc_store_bootstrapped(spark, sf_dir)
+    delta_pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db").filter(
+        (F.col("da") % 4 == 0) | (F.col("db") % 4 == 0)
+    )
+    store.apply_pairs(delta_pairs, delta_id=f"delta-{_uuid.uuid4().hex[:8]}")
+    # a FRESH instance: the cross-session read path, nothing reused
+    return ComponentStore(spark, store.base_path).labels()
+
+
+@register(
+    "streaming_cc_store_replay",
+    sql=_cc_oracle_sql(),
+    tags=("streaming", "llm", "dedup", "iterative", "incremental", "store"),
+)
+def streaming_cc_store_replay(spark, sf_dir):
+    """The ComponentStore's STREAMING maintenance leg, replayed
+    end-to-end (mirroring streaming_minhash_index_replay): the landed
+    corpus's pairs bootstrap the persisted store, then the delta
+    pair feed streams through foreachBatch in multiple micro-batches
+    (maxFilesPerTrigger=1 over a multi-file landing), each batch folded
+    in by apply_pairs under a batch_id-derived delta_id. Because the
+    fold is a monotone, order-insensitive merge, the final resolved
+    labels equal batch CC over ALL pairs for ANY chunking of the feed —
+    which is the oracle. This is the crawl loop's clustering half at
+    100 TB: per-batch work is bounded by the batch's pairs and the
+    components they touch, the store grows by patch partitions, and
+    at-least-once redelivery lands empty patches."""
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import types as PT
+
+    from ..operators.component_store import ComponentStore
+    from ..streaming.documents import foreach_batch_cc_apply
+    from .llm import dedup_ngram_jaccard
+
+    base = tempfile.mkdtemp(prefix=f"cc_sstore_{_uuid.uuid4().hex[:8]}_")
+    all_pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db").persist()
+    try:
+        store = ComponentStore(spark, f"{base}/store")
+        store.bootstrap(
+            all_pairs.filter((F.col("da") % 4 != 0) & (F.col("db") % 4 != 0))
+        )
+        feed = f"{base}/feed"
+        (
+            all_pairs.filter((F.col("da") % 4 == 0) | (F.col("db") % 4 == 0))
+            .repartition(3)
+            .write.mode("overwrite")
+            .parquet(feed)
+        )
+    finally:
+        all_pairs.unpersist()
+    pairs_schema = PT.StructType(
+        [
+            PT.StructField("da", PT.LongType()),
+            PT.StructField("db", PT.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(pairs_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(feed)
+    )
+    q = foreach_batch_cc_apply(stream, store, f"{base}/ck")
+    q.awaitTermination()
+    return ComponentStore(spark, store.base_path).labels()
+
+
 @register(
     "streaming_static_enrich_replay",
     sql="""

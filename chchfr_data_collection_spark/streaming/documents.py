@@ -170,3 +170,33 @@ def foreach_batch_minhash_probe(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_cc_apply(pairs_stream: DataFrame, store, checkpoint: str):
+    """Streaming cluster maintenance — the ComponentStore twin of the
+    MinHash index's streaming leg above: each arriving micro-batch of
+    near-dup PAIRS (in production: the per-batch output of
+    foreach_batch_minhash_probe) is folded into the persisted
+    (node, component) assignment via
+    operators/component_store.ComponentStore.apply_pairs, under a
+    batch_id-derived delta_id.
+
+    Replay-safe twice over: apply_pairs lands crash-safe patch
+    partitions (marker-gated, retry wipes the orphan), and the fold
+    itself is a MONOTONE merge — a foreachBatch redelivery of an
+    already-applied batch computes an empty patch, so at-least-once
+    delivery can never corrupt the assignment. Because component
+    merging is order-insensitive (the fixed point is batch CC over the
+    UNION of all pairs ever applied), the final labels are identical
+    for any chunking of the pair feed — pinned by the oracle of
+    streaming_cc_store_replay and by tests/test_component_store.py."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        store.apply_pairs(batch, delta_id=f"b{batch_id:06d}")
+
+    return (
+        pairs_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -450,7 +450,7 @@ def test_probe_fold_safe_after_postcommit_crash_no_recovery(spark, tmp_path):
     assert idx._read_json(idx.fold_commit_path) is not None
     # duplicated on disk right now: verified gen + undeleted sources
     glob_rows = spark.read.parquet(idx.postings_path).count()
-    view_rows = idx._read_relation(idx.postings_path).count()
+    view_rows = idx._read_relation("postings").count()
     assert glob_rows > view_rows, "fixture should hold duplicates on disk"
 
     again = _pairs(idx.probe_and_insert(delta, delta_id="post-crash"))
