@@ -224,7 +224,9 @@ class ComponentStore:
         ids = node_ids.select(F.col(cols[0]).alias("node")).distinct()
         target = self._read_schema()["node"].dataType
         if ids.schema["node"].dataType != target:
-            ids = ids.select(F.col("node").cast(target).alias("node"))
+            # try_cast: ANSI cast would abort the job instead of
+            # letting the null check below fail loudly pre-write
+            ids = ids.select(F.col("node").try_cast(target).alias("node"))
             if ids.filter(F.col("node").isNull()).limit(1).count():
                 raise TypeError(
                     "forget(): node ids could not be cast losslessly "

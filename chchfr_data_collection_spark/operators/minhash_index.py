@@ -811,9 +811,17 @@ class MinHashIndex:
         then choke on (round-10 ADVICE, low #1)."""
         self._require_format()
         target = self._rel_schema("arrays")["doc_id"].dataType
-        ids = doc_ids.select("doc_id").distinct()
+        cols = doc_ids.columns
+        ids = (
+            doc_ids.select("doc_id")
+            if "doc_id" in cols
+            else doc_ids.select(F.col(cols[0]).alias("doc_id"))
+        ).distinct()
         if ids.schema["doc_id"].dataType != target:
-            ids = ids.select(F.col("doc_id").cast(target).alias("doc_id"))
+            # try_cast, not cast: under ANSI (the session default) a
+            # malformed value would ABORT the job mid-write — the null
+            # check below is the loud, pre-write failure we want
+            ids = ids.select(F.col("doc_id").try_cast(target).alias("doc_id"))
             if ids.filter(F.col("doc_id").isNull()).limit(1).count():
                 raise TypeError(
                     "forget(): doc_ids could not be cast losslessly to "

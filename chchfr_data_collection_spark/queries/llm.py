@@ -2415,6 +2415,123 @@ def similarity_ivf_pruned_probe(spark, sf_dir):
     )
 
 
+def _ivf_duck_forget(pred: str) -> str:
+    """_IVF_DUCK with ANN candidates matching `pred` excluded — the
+    cross-engine statement of 'as if those vectors were never indexed'
+    (assignments of the SURVIVORS are per-row argmaxes, unaffected by
+    removals, so only the candidate side changes). A targeted splice
+    keeps one source of truth for the 40-line pipeline; the guard fails
+    at import if the template drifts."""
+    anchor = "JOIN embeddings c ON c.vec_id = ac.vec_id AND c.vec_id <> q.vec_id"
+    if anchor not in _IVF_DUCK:
+        raise RuntimeError("_IVF_DUCK drifted; fix _ivf_duck_forget's anchor")
+    return _IVF_DUCK.replace(anchor, f"{anchor} AND NOT ({pred})")
+
+
+def _ivf_store_cached(spark, sf_dir):
+    """A persisted IvfAssignmentStore over the full embeddings fixture,
+    built once per (session, fixture) — the batch twin of the layout
+    the streaming maintenance leg appends to (same ivf_assign
+    arithmetic, pinned by streaming_ivf_assign_replay's oracle)."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming.embeddings import (
+        IvfAssignmentStore,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    holder = _ivf_store_cached
+    cached = getattr(holder, "_cached", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    base = tempfile.mkdtemp(prefix=f"ivf_store_{_uuid.uuid4().hex[:8]}_")
+    store = IvfAssignmentStore(spark, base)
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    (
+        ivf_assign(emb, ivf_centroids(spark, sf_dir))
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(store.assign_path)
+    )
+    holder._cached = (key, store)
+    return store
+
+
+@register(
+    "similarity_ivf_forget_probe",
+    sql=_ivf_duck_forget("c.vec_id % 16 = 9"),
+    tags=("llm", "similarity", "ann", "ivf", "forget", "incremental"),
+)
+def similarity_ivf_forget_probe(spark, sf_dir):
+    """RIGHT-TO-BE-FORGOTTEN on the SEMANTIC serving index (round-10
+    verdict item 3 — takedowns previously existed only on the MinHash
+    modality): the persisted IVF-assignment store (the layout the
+    streaming maintenance leg appends to) tombstones a takedown slice
+    (vec_id % 16 == 9), and the ANN probe served FROM the store no
+    longer surfaces those vectors as candidates — exactly the top-3
+    result of an index that never held them, which IS the oracle (the
+    IVF SQL with the slice excluded from the candidate side; survivor
+    assignments are per-row argmaxes, unaffected by removals).
+
+    Shape: the store read anti-joins the (broadcast-bounded) tombstone
+    set once; the probe is the usual cell equi-join + exact quantized
+    cosine + per-query window top-3. O(|takedown|) writes, probe cost
+    unchanged — the MinHash forget contract, now on the semantic leg.
+    Byte-level erasure is the store's purge_forgotten(): only the cells
+    holding tombstoned rows are rewritten (tests/test_ivf_store.py)."""
+    store = _ivf_store_cached(spark, sf_dir)
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    store.forget(
+        emb.filter(F.col("vec_id") % 16 == 9).select("vec_id"),
+        forget_id="takedown-9",
+    )
+    view = store.read()
+    qcells = view.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "cent_id"
+    )
+    cand = (
+        view.join(F.broadcast(qcells), "cent_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"))
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("qid"),
+        V.quantize("embedding").alias("qq"),
+        V.dot_exact("embedding", "embedding").alias("qn2"),
+    )
+    ce = emb.select(
+        F.col("vec_id").alias("cid"),
+        V.quantize("embedding").alias("qc"),
+        V.dot_exact("embedding", "embedding").alias("cn2"),
+    )
+    dotqc = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        cand.join(F.broadcast(qe), "qid")
+        .join(ce, "cid")
+        .select(
+            "qid",
+            "cid",
+            (
+                dotqc.cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(pw))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 def _kmeans_iter_duck(n_iter: int = 2) -> str:
     """Unrolled Lloyd iterations as DuckDB CTEs, integer-exact: squared-L2
     over int64-quantized vectors, centroid update re-quantized via

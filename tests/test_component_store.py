@@ -1,0 +1,294 @@
+"""Persisted component-assignment store (round-10 verdict item 1): the
+incremental-CC serving state as a crash-safe on-disk table. Pins the
+store's four contracts: (1) bootstrap+apply == batch CC over the union
+of all pairs, read back through a FRESH instance; (2) idempotence under
+re-delivery and chunking-insensitivity (monotone merge); (3) crash
+safety of apply and compact at every window (marker-gated visibility,
+orphan wipe on retry, LWW resolve across a half-finished fold); (4)
+right-to-be-forgotten with re-arrival masking, fingerprint-guarded
+purge, and purge deferral while unmarked orphans exist."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chchfr_data_collection_spark.operators.component_store import ComponentStore
+from chchfr_data_collection_spark.operators.graph import connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "da: bigint, db: bigint"
+    )
+
+
+def _labels(df):
+    return {(r.node, r.component) for r in df.collect()}
+
+
+LANDED = [(1, 2), (2, 3), (5, 6), (10, 11)]
+DELTA = [(3, 4), (6, 10), (20, 21), (4, 100)]
+
+
+def _batch_cc(spark, pairs):
+    return _labels(connected_components(_edges(spark, pairs)))
+
+
+def test_bootstrap_apply_equals_batch_cc_across_instances(spark, tmp_path):
+    """The store's resolved labels after bootstrap(landed) +
+    apply(delta) equal batch CC over landed ∪ delta — including a
+    delta edge that MERGES two landed components (6-10) and one that
+    extends a component through a fresh node chain (3-4-100) — and a
+    fresh instance on the same path (a later session) resolves
+    identically from disk."""
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, LANDED))
+    store.apply_pairs(_edges(spark, DELTA), "d1")
+    want = _batch_cc(spark, LANDED + DELTA)
+    assert _labels(store.labels()) == want
+    fresh = ComponentStore(spark, str(tmp_path / "cs"))
+    assert _labels(fresh.labels()) == want
+
+
+def test_patch_is_delta_sized(spark, tmp_path):
+    """The apply writes ONLY changed + first-seen rows: untouched
+    components (1-2-3 stays 1-2-3 if the delta never names it) leave
+    no row in the patch partition — the O(delta) write contract."""
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, LANDED))
+    seq = store.apply_pairs(_edges(spark, [(6, 10), (20, 21)]), "d1")
+    patch = spark.read.schema(store._read_schema()).parquet(
+        store.assign_path
+    ).filter(F.col("seq") == f"{seq:08d}")
+    rows = {(r.node, r.component) for r in patch.select("node", "component").collect()}
+    # merged: component 10's nodes relabel to 5; fresh: 20, 21
+    assert rows == {(10, 5), (11, 5), (20, 20), (21, 20)}
+
+
+def test_reapply_and_chunking_insensitive(spark, tmp_path):
+    """Re-delivering an applied delta lands an EMPTY patch (labels
+    unchanged), and applying the delta in chunks — in either order —
+    resolves to the same labels as one apply: the fold is a monotone,
+    order-insensitive merge."""
+    want = _batch_cc(spark, LANDED + DELTA)
+    a = ComponentStore(spark, str(tmp_path / "a"))
+    a.bootstrap(_edges(spark, LANDED))
+    a.apply_pairs(_edges(spark, DELTA), "d1")
+    seq = a.apply_pairs(_edges(spark, DELTA), "d1-redelivery")
+    assert _labels(a.labels()) == want
+    redo = spark.read.schema(a._read_schema()).parquet(a.assign_path).filter(
+        F.col("seq") == f"{seq:08d}"
+    )
+    assert redo.count() == 0, "re-delivery landed a non-empty patch"
+
+    for order in (0, 1):
+        s = ComponentStore(spark, str(tmp_path / f"chunk{order}"))
+        s.bootstrap(_edges(spark, LANDED))
+        chunks = [DELTA[:2], DELTA[2:]]
+        if order:
+            chunks.reverse()
+        for i, ch in enumerate(chunks):
+            s.apply_pairs(_edges(spark, ch), f"c{i}")
+        assert _labels(s.labels()) == want, f"chunk order {order} diverged"
+
+
+def test_crashed_apply_invisible_then_retry_recovers(spark, tmp_path):
+    """An apply that dies after writing its partition but BEFORE its
+    landed marker is invisible to labels(); the same-delta_id retry
+    wipes the orphan (fresh seq — the old one may predate concurrent
+    folds) and lands correctly."""
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, LANDED))
+    before = _labels(store.labels())
+
+    real_mark = store._mark
+
+    def boom(seq, delta_id):
+        raise RuntimeError("simulated crash before landed marker")
+
+    store._mark = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.apply_pairs(_edges(spark, DELTA), "d1")
+    store._mark = real_mark
+
+    # crashed state: orphan partition + intent on disk, view unchanged
+    assert store._read_json(f"{store.intent_path}/d1") is not None
+    assert _labels(store.labels()) == before
+    assert _labels(ComponentStore(spark, store.base_path).labels()) == before
+
+    old_seq = int(store._read_json(f"{store.intent_path}/d1")["seq"])
+    new_seq = store.apply_pairs(_edges(spark, DELTA), "d1")
+    assert new_seq > old_seq, "retry reused the crashed attempt's seq"
+    fs, HPath = store._fs()
+    assert not fs.exists(
+        HPath(f"{store.assign_path}/seq={old_seq:08d}")
+    ), "orphan partition not wiped by the retry"
+    assert _labels(store.labels()) == _batch_cc(spark, LANDED + DELTA)
+
+
+def test_compact_folds_and_survives_both_crash_windows(spark, tmp_path):
+    """compact() folds base + patches into one resolved partition with
+    labels unchanged; a crash BEFORE the gen marker leaves the view on
+    the sources (orphan wiped by the retry), and a crash AFTER the gen
+    marker but mid-source-deletion resolves identically (LWW: the gen
+    supersedes every duplicated row) — retrying compact() finishes."""
+    want = _batch_cc(spark, LANDED + DELTA)
+
+    def build(name):
+        s = ComponentStore(spark, str(tmp_path / name))
+        s.bootstrap(_edges(spark, LANDED))
+        for i, ch in enumerate([DELTA[:2], DELTA[2:]]):
+            s.apply_pairs(_edges(spark, ch), f"c{i}")
+        return s
+
+    # clean fold
+    s = build("clean")
+    s.compact()
+    assert _labels(s.labels()) == want
+    fs, HPath = s._fs()
+    parts = [
+        st.getPath().getName()
+        for st in fs.listStatus(HPath(s.assign_path))
+        if st.getPath().getName().startswith("seq=")
+    ]
+    assert len(parts) == 1, f"fold left {parts}"
+
+    # crash window A: gen written, marker never lands
+    s = build("crash-pre-marker")
+    real_mark = s._mark
+
+    def boom(seq, delta_id):
+        if delta_id.startswith("gen-"):
+            raise RuntimeError("simulated crash before gen marker")
+        real_mark(seq, delta_id)
+
+    s._mark = boom
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        s.compact()
+    s._mark = real_mark
+    assert _labels(s.labels()) == want
+    assert _labels(ComponentStore(spark, s.base_path).labels()) == want
+    s.compact()  # retry wipes the orphan gen and folds cleanly
+    assert _labels(s.labels()) == want
+
+    # crash window B: gen marked, source deletion half-finished
+    s = build("crash-mid-delete")
+    real_unmark = s._unmark
+    calls = {"n": 0}
+
+    def die_second(seq, delta_id):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid source deletion")
+        real_unmark(seq, delta_id)
+
+    s._unmark = die_second
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        s.compact()
+    s._unmark = real_unmark
+    # rows duplicated on disk right now; the resolve is unaffected
+    assert _labels(s.labels()) == want
+    assert _labels(ComponentStore(spark, s.base_path).labels()) == want
+    s.compact()  # finishes the cleanup
+    assert _labels(s.labels()) == want
+
+
+def test_forget_masks_rearrival_and_purge(spark, tmp_path):
+    """forget() removes nodes from every subsequent labels() read; a
+    forgotten node RE-ARRIVING via a later delta's pairs stays hidden;
+    compact(purge_forgotten=True) byte-erases the nodes and clears the
+    tombstones; and a purge with an unmarked orphan partition on disk
+    DEFERS the clearing (result-level erasure preserved)."""
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, LANDED))
+    store.apply_pairs(_edges(spark, DELTA), "d1")
+    gone = spark.createDataFrame([(4,), (11,)], "node: bigint")
+    store.forget(gone, "t1")
+    got = _labels(store.labels())
+    assert not {n for n, _ in got} & {4, 11}
+    assert _labels(ComponentStore(spark, store.base_path).labels()) == got
+
+    # re-arrival: node 4 comes back in a later pair batch — masked
+    store.apply_pairs(_edges(spark, [(4, 200)]), "d2")
+    after = _labels(store.labels())
+    assert not {n for n, _ in after} & {4, 11}
+    assert (200, 4) in after or any(n == 200 for n, _ in after)
+
+    # deferred purge: an unmarked orphan (crashed apply) blocks clearing
+    real_mark = store._mark
+
+    def boom(seq, delta_id):
+        raise RuntimeError("crash")
+
+    store._mark = boom
+    with pytest.raises(RuntimeError):
+        store.apply_pairs(_edges(spark, [(300, 301)]), "d3")
+    store._mark = real_mark
+    receipt = store.compact(purge_forgotten=True)
+    assert receipt["purge_deferred"], "orphan did not defer the purge"
+    assert store._deleted_nodes()[0] is not None, "tombstones cleared unsafely"
+
+    # retry the crashed apply (wipes the orphan), then purge for real
+    store.apply_pairs(_edges(spark, [(300, 301)]), "d3")
+    receipt = store.compact(purge_forgotten=True)
+    assert receipt["purge_deferred"] == []
+    assert store._deleted_nodes()[0] is None, "clean purge did not clear"
+    raw = spark.read.schema(store._read_schema()).parquet(store.assign_path)
+    assert raw.filter(F.col("node").isin(4, 11)).count() == 0, (
+        "purge left forgotten nodes' bytes"
+    )
+    # and the labels still resolve (without the forgotten nodes)
+    assert not {n for n, _ in _labels(store.labels())} & {4, 11}
+
+
+def test_forget_casts_node_type_and_caches_listing(spark, tmp_path):
+    """forget() accepts any single-column id frame, casting to the
+    store's pinned node type and failing loudly on lossy casts; the
+    tombstone listing runs once per instance and is invalidated by
+    forget()."""
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, LANDED))
+    store.forget(spark.createDataFrame([("11",)], "anything: string"), "t1")
+    assert store._deleted_listings == 0
+    for _ in range(3):
+        assert not {n for n, _ in _labels(store.labels())} & {11}
+    assert store._deleted_listings == 1, "labels() re-listed tombstones"
+    with pytest.raises(TypeError, match="cast losslessly"):
+        store.forget(spark.createDataFrame([("nope",)], "x: string"), "t2")
+    store.forget(spark.createDataFrame([(5,)], "node: bigint"), "t3")
+    assert not {n for n, _ in _labels(store.labels())} & {5, 11}
+    assert store._deleted_listings == 2, "forget() did not invalidate cache"
+
+
+def test_streaming_foreach_batch_apply(spark, tmp_path):
+    """The streaming maintenance leg: the delta pair feed replayed in
+    one-file micro-batches through foreach_batch_cc_apply resolves to
+    batch CC over all pairs — and a second replay from a fresh
+    checkpoint (an at-least-once redelivery of every batch) changes
+    nothing."""
+    from chchfr_data_collection_spark.streaming.documents import (
+        foreach_batch_cc_apply,
+    )
+
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, LANDED))
+    feed = str(tmp_path / "feed")
+    _edges(spark, DELTA).repartition(2).write.mode("overwrite").parquet(feed)
+    want = _batch_cc(spark, LANDED + DELTA)
+
+    def replay(ck):
+        stream = (
+            spark.readStream.schema("da bigint, db bigint")
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(feed)
+        )
+        q = foreach_batch_cc_apply(stream, store, str(tmp_path / ck))
+        q.awaitTermination()
+
+    replay("ck1")
+    assert _labels(store.labels()) == want
+    replay("ck2")  # full redelivery: monotone merge, no corruption
+    assert _labels(store.labels()) == want
+    assert _labels(ComponentStore(spark, store.base_path).labels()) == want

@@ -590,7 +590,7 @@ def test_compact_purge_forgotten_erases_bytes(spark, tmp_path):
     receipt = idx.compact(purge_forgotten=True)
     assert receipt["postings"]["compacted"]
 
-    assert idx._deleted_docs() is None, "tombstones not cleared"
+    assert idx._deleted_docs()[0] is None, "tombstones not cleared"
     arrs = spark.read.parquet(idx.arrays_path)
     assert arrs.filter(F.col("doc_id") % 16 == 1).count() == 0
     posts = spark.read.parquet(idx.postings_path)
@@ -603,4 +603,234 @@ def test_compact_purge_forgotten_erases_bytes(spark, tmp_path):
     # the read view is unchanged by the purge: same reduced-corpus
     # pairs from a fresh probe of the same delta content
     got = _pairs(idx.probe_and_insert(delta, delta_id="d3"))
+    assert got == want
+
+def test_purge_deferred_while_unmarked_partition_exists(spark, tmp_path):
+    """Round-10 ADVICE (high), sequential repro: a materialize=False
+    probe's delta is probe-visible but unmarked (finalize_delta not yet
+    called). A purge fold cannot rewrite it, so clearing the tombstones
+    would let the forgotten docs' surviving rows re-enter results.
+    Contract: the purge DEFERS — tombstones stay active (receipt says
+    so), the next probe still excludes the docs — and once the delta is
+    finalized, a second purge clears them for real."""
+    docs = _docs(spark)
+    landed = docs.filter(F.col("doc_id") % 4 != 0)
+    gone = F.col("doc_id") % 16 == 1
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(landed)
+    # lazy probe over a delta CONTAINING takedown docs; consumed, but
+    # deliberately not finalized yet
+    lazy = idx.probe_and_insert(
+        docs.filter(F.col("doc_id") % 8 == 1), delta_id="lazy", materialize=False
+    )
+    lazy.count()
+    idx.forget(docs.filter(gone).select("doc_id"), forget_id="t1")
+
+    receipt = idx.compact(purge_forgotten=True)
+    assert "lazy" in receipt["purge_deferred"], receipt
+    assert idx._deleted_docs()[0] is not None, (
+        "tombstones were cleared while an unmarked partition held "
+        "forgotten docs' rows"
+    )
+    # the unfoldable delta's bytes still hold the docs — result level
+    # must keep masking them
+    p = _pairs(idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), "d1"))
+    assert all(da % 16 != 1 and db % 16 != 1 for da, db, _ in p)
+
+    idx.finalize_delta("lazy")
+    receipt2 = idx.compact(purge_forgotten=True)
+    assert receipt2["purge_deferred"] == []
+    assert idx._deleted_docs()[0] is None, "clean purge did not clear"
+    for rel, path in (("arrays", idx.arrays_path), ("postings", idx.postings_path)):
+        left = spark.read.parquet(path).filter(F.col("doc_id") % 16 == 1).count()
+        assert left == 0, f"{rel} kept {left} forgotten rows after clean purge"
+
+
+def test_late_forget_survives_purge_fold(spark, tmp_path):
+    """Round-10 verdict item 6: a forget() re-landing (extending) a
+    PLANNED forget_id between the fold's tombstone snapshot and its
+    finish step keeps its partition (content fingerprint changed), so
+    the late takedown still masks reads and is byte-erased by the NEXT
+    purge — no silent un-forgetting under the forget/compact race."""
+    docs = _docs(spark)
+    landed = docs.filter(F.col("doc_id") % 4 != 0)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(landed)
+    idx.forget(docs.filter(F.col("doc_id") % 16 == 1).select("doc_id"), "t1")
+
+    other = MinHashIndex(spark, str(tmp_path / "idx"))
+    real_write = idx._fold_write
+
+    def write_then_late_forget(plan, target_bytes):
+        out = real_write(plan, target_bytes)
+        # mid-fold, after the purge filter snapshot: the takedown for
+        # t1 is EXTENDED to a second slice via another writer
+        other.forget(
+            docs.filter(
+                (F.col("doc_id") % 16 == 1) | (F.col("doc_id") % 16 == 3)
+            ).select("doc_id"),
+            "t1",
+        )
+        return out
+
+    idx._fold_write = write_then_late_forget
+    receipt = idx.compact(purge_forgotten=True)
+    idx._fold_write = real_write
+    assert receipt["purge_deferred"] == []
+
+    # the re-landed tombstones survived the fold's clearing step
+    deleted = idx._deleted_docs()[0]
+    assert deleted is not None, "late forget was silently un-forgotten"
+    got = {r.doc_id for r in deleted.collect()}
+    assert got == {
+        r.doc_id
+        for r in docs.filter(
+            (F.col("doc_id") % 16 == 1) | (F.col("doc_id") % 16 == 3)
+        ).select("doc_id").distinct().collect()
+    }
+    # and they mask reads: no pair touches either slice
+    p = _pairs(idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), "d1"))
+    assert all(
+        da % 16 not in (1, 3) and db % 16 not in (1, 3) for da, db, _ in p
+    )
+    # the NEXT purge erases both slices' bytes and clears the tombstones
+    receipt2 = idx.compact(purge_forgotten=True)
+    assert receipt2["purge_deferred"] == []
+    assert idx._deleted_docs()[0] is None
+    left = (
+        spark.read.parquet(idx.arrays_path)
+        .filter((F.col("doc_id") % 16 == 1) | (F.col("doc_id") % 16 == 3))
+        .count()
+    )
+    assert left == 0
+
+
+def test_late_forget_survives_purge_fold_crash_branches(spark, tmp_path):
+    """The same race pinned through BOTH crash branches: the fold dies
+    (a) before its commit manifest and (b) after it, a forget re-lands
+    the planned forget_id in the window, and after recovery the late
+    tombstones are still active in both worlds."""
+    docs = _docs(spark)
+    extended = docs.filter(
+        (F.col("doc_id") % 16 == 1) | (F.col("doc_id") % 16 == 3)
+    ).select("doc_id")
+    want = {r.doc_id for r in extended.distinct().collect()}
+
+    for branch in ("precommit", "postcommit"):
+        base = str(tmp_path / branch)
+        idx = MinHashIndex(spark, base)
+        idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+        idx.forget(
+            docs.filter(F.col("doc_id") % 16 == 1).select("doc_id"), "t1"
+        )
+        other = MinHashIndex(spark, base)
+        real_write, real_finish = idx._fold_write, idx._fold_finish
+        real_rb = idx._rollback_fold
+
+        if branch == "precommit":
+
+            def boom(plan, target_bytes, _rw=real_write, _o=other):
+                _rw(plan, target_bytes)
+                _o.forget(extended, "t1")  # lands inside the window
+                raise RuntimeError("simulated crash before commit")
+
+            idx._fold_write = boom
+            idx._rollback_fold = lambda plan: None  # process death
+        else:
+
+            def dies(plan, _o=other):
+                _o.forget(extended, "t1")  # lands inside the window
+                raise RuntimeError("simulated crash after commit")
+
+            idx._fold_finish = dies
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            idx.compact(purge_forgotten=True)
+        idx._fold_write, idx._fold_finish = real_write, real_finish
+        idx._rollback_fold = real_rb
+
+        # recovery (rollback or roll-forward) runs inside this compact;
+        # the late tombstones must survive it in both branches
+        idx.compact()
+        survivor = MinHashIndex(spark, base)
+        deleted = survivor._deleted_docs()[0]
+        assert deleted is not None, f"{branch}: late forget lost in recovery"
+        assert {r.doc_id for r in deleted.collect()} == want, branch
+        p = _pairs(
+            survivor.probe_and_insert(
+                docs.filter(F.col("doc_id") % 4 == 0), "d1"
+            )
+        )
+        assert all(
+            da % 16 not in (1, 3) and db % 16 not in (1, 3) for da, db, _ in p
+        ), branch
+
+
+def test_tombstone_listing_cached_per_instance(spark, tmp_path):
+    """The tombstone-presence listing runs ONCE per index instance and
+    is reused across probes (on an object store it is a hot-path LIST
+    round-trip); forget() invalidates it so new takedowns are seen
+    immediately (round-10 verdict, wrong #2)."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.forget(docs.filter(F.col("doc_id") % 16 == 1).select("doc_id"), "t1")
+    assert idx._deleted_listings == 0
+    for i in range(3):
+        idx.probe_and_insert(
+            docs.filter(F.col("doc_id") % 8 == 0), delta_id="p"
+        ).count()
+    assert idx._deleted_listings == 1, "probe re-listed cached tombstones"
+    idx.forget(docs.filter(F.col("doc_id") % 16 == 3).select("doc_id"), "t2")
+    p = _pairs(idx.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 4), "p2"))
+    assert idx._deleted_listings == 2, "forget() did not invalidate the cache"
+    assert all(da % 16 not in (1, 3) and db % 16 not in (1, 3) for da, db, _ in p)
+
+
+def test_forget_casts_doc_id_type_and_rejects_lossy(spark, tmp_path):
+    """forget() casts the takedown list to the index's pinned doc_id
+    type (a numeric-string list against a long-keyed store works) and
+    fails LOUDLY when the cast nulls an id — the alternative is a
+    tombstone partition every later probe read chokes on (round-10
+    ADVICE, low #1)."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    str_ids = (
+        docs.filter(F.col("doc_id") % 16 == 1)
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+    idx.forget(str_ids, forget_id="t1")  # faithful cast: accepted
+    p = _pairs(idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), "d1"))
+    assert all(da % 16 != 1 and db % 16 != 1 for da, db, _ in p)
+    bad = spark.createDataFrame([("not-a-number",)], ["doc_id"])
+    with pytest.raises(TypeError, match="cast losslessly"):
+        idx.forget(bad, forget_id="t2")
+
+
+def test_full_purge_empties_store_and_serves_new_deltas(spark, tmp_path):
+    """Forgetting EVERY landed doc and purging leaves a store whose
+    relations read back EMPTY (pinned-schema reads — previously an
+    unable-to-infer-schema error) with no phantom gen marker, and the
+    store keeps working: a new delta lands and probes cleanly against
+    the emptied index (round-10 ADVICE, low #2)."""
+    docs = _docs(spark)
+    landed = docs.filter(F.col("doc_id") % 4 != 0)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(landed)
+    idx.forget(landed.select("doc_id"), forget_id="all")
+    receipt = idx.compact(purge_forgotten=True)
+    assert receipt["purge_deferred"] == []
+    assert receipt["arrays"]["rows"] == 0
+    assert idx._read_relation("arrays").count() == 0
+    assert idx._read_relation("postings").count() == 0
+    assert not any(
+        d.startswith("gen-") for d in idx._landed_ids(idx.landed_path)
+    ), "an empty (never-written) generation was marked landed"
+    # the emptied store still serves: the delta pairs equal a
+    # fresh-store run over the delta alone
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    got = _pairs(idx.probe_and_insert(delta, delta_id="d1"))
+    ref = MinHashIndex(spark, str(tmp_path / "ref"))
+    ref.bootstrap(docs.filter(F.lit(False)))
+    want = _pairs(ref.probe_and_insert(delta, delta_id="d1"))
     assert got == want
