@@ -119,6 +119,9 @@ HEADLINE = [
     "dedup_semantic_probe_only",
     "dedup_connected_components",
     "dedup_cc_incremental",
+    # round 11
+    "dedup_cc_incremental_persisted",
+    "similarity_ivf_forget_probe",
 ]
 
 

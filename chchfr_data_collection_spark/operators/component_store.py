@@ -318,10 +318,17 @@ class ComponentStore:
         fs, HPath = self._fs()
         prior = self._read_json(f"{self.intent_path}/{delta_id}")
         if prior is not None:
-            # crashed attempt: its unmarked partition is invisible but
-            # must not linger as unreadable bytes — wipe it, land fresh
             old = int(prior["seq"])
-            fs.delete(HPath(f"{self.assign_path}/seq={old:08d}"), True)
+            if old not in self._marked():
+                # crashed BEFORE the marker: the partition is invisible
+                # but must not linger as unreadable bytes — wipe it
+                fs.delete(HPath(f"{self.assign_path}/seq={old:08d}"), True)
+            # else: crashed AFTER the marker (before the intent
+            # cleanup) — the prior attempt COMMITTED and its partition
+            # is serving; wiping it would lose landed rows. The stale
+            # intent is dropped and this (re)delivery lands as its own
+            # fresh — typically empty — patch.
+            fs.delete(HPath(f"{self.intent_path}/{delta_id}"), False)
         seq = self._max_seq() + 1
         self._write_json(f"{self.intent_path}/{delta_id}", {"seq": seq})
         (
@@ -385,8 +392,23 @@ class ComponentStore:
         Tombstoned nodes never re-enter: labels() excludes them, so a
         forgotten node arriving in `delta_pairs` is treated as fresh,
         written, and then masked again by the read-side anti-join —
-        exactly the MinHash index's re-arrival contract."""
+        exactly the MinHash index's re-arrival contract.
+
+        Takes the WriterLease: an apply racing a compact() would have
+        its patch computed against the pre-fold view but land BELOW
+        the fold's generation seq, and last-writer-wins would silently
+        discard its relabels. The lease serializes the two (and any
+        two concurrent appliers — same fence as every non-transactional
+        writer in this repo); forget() alone stays lock-free."""
+        from .lease import WriterLease
+
         self._require_bootstrapped()
+        with WriterLease(self.spark, self.base_path):
+            return self._apply_pairs_locked(delta_pairs, delta_id, src, dst)
+
+    def _apply_pairs_locked(
+        self, delta_pairs: DataFrame, delta_id: str, src: str, dst: str
+    ) -> int:
         labels = self.labels().persist()
         try:
             dp = delta_pairs.select(

@@ -118,13 +118,23 @@ def test_crashed_apply_invisible_then_retry_recovers(spark, tmp_path):
     assert _labels(ComponentStore(spark, store.base_path).labels()) == before
 
     old_seq = int(store._read_json(f"{store.intent_path}/d1")["seq"])
+    # another delta lands WHILE d1's crash is unrepaired: its seq must
+    # clear d1's reserved number (the intent holds the reservation)...
+    mid_seq = store.apply_pairs(_edges(spark, [(50, 51)]), "d2")
+    assert mid_seq > old_seq, "intent reservation was not honored"
+    # ...and d1's retry lands ABOVE it: the retried patch is computed
+    # against the CURRENT view (d2 included), so re-using the old,
+    # lower seq would let d2's rows win last-writer-wins over rows
+    # derived from a strictly newer view
     new_seq = store.apply_pairs(_edges(spark, DELTA), "d1")
-    assert new_seq > old_seq, "retry reused the crashed attempt's seq"
+    assert new_seq > mid_seq, "retry landed below a later delta"
     fs, HPath = store._fs()
     assert not fs.exists(
         HPath(f"{store.assign_path}/seq={old_seq:08d}")
     ), "orphan partition not wiped by the retry"
-    assert _labels(store.labels()) == _batch_cc(spark, LANDED + DELTA)
+    assert _labels(store.labels()) == _batch_cc(
+        spark, LANDED + DELTA + [(50, 51)]
+    )
 
 
 def test_compact_folds_and_survives_both_crash_windows(spark, tmp_path):
@@ -292,3 +302,30 @@ def test_streaming_foreach_batch_apply(spark, tmp_path):
     replay("ck2")  # full redelivery: monotone merge, no corruption
     assert _labels(store.labels()) == want
     assert _labels(ComponentStore(spark, store.base_path).labels()) == want
+
+
+def test_crash_after_marker_before_intent_cleanup_keeps_rows(spark, tmp_path):
+    """The narrowest apply crash window: the partition landed AND its
+    marker committed, but the intent file survived (death between the
+    two deletes). A redelivery of the same delta_id must NOT wipe the
+    committed, serving partition — it drops the stale intent and lands
+    its own (empty) patch."""
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, LANDED))
+    real_read = store._read_json
+    # simulate: land d1 fully, then resurrect its intent as if the
+    # cleanup never ran
+    seq = store.apply_pairs(_edges(spark, DELTA), "d1")
+    store._write_json(f"{store.intent_path}/d1", {"seq": seq})
+    want = _batch_cc(spark, LANDED + DELTA)
+    assert _labels(store.labels()) == want
+
+    store.apply_pairs(_edges(spark, DELTA), "d1")  # redelivery
+    assert _labels(store.labels()) == want, (
+        "redelivery after a post-marker crash lost the committed patch"
+    )
+    fs, HPath = store._fs()
+    assert fs.exists(
+        HPath(f"{store.assign_path}/seq={seq:08d}")
+    ), "the committed partition was wiped"
+    assert real_read(f"{store.intent_path}/d1") is None
