@@ -170,6 +170,18 @@ class IvfAssignmentStore:
     MinHash purge, quiesce ingestion of taken-down ids across a purge
     or re-land the forget after it."""
 
+    # pinned read schema (vec_id/cos_c from ivf_assign, cent_id the
+    # partition column): no per-read footer inference, and a store
+    # whose every cell was purged reads back EMPTY instead of failing
+    # schema inference
+    ASSIGN_SCHEMA = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cos_c", T.DoubleType()),
+            T.StructField("cent_id", T.IntegerType()),
+        ]
+    )
+
     def __init__(self, spark: SparkSession, base_path: str) -> None:
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -177,6 +189,15 @@ class IvfAssignmentStore:
         self.deleted_path = f"{self.base_path}/_deleted"
         self._deleted_cache = _UNSET
         self._deleted_listings = 0
+
+    def _assign_read(self) -> DataFrame:
+        return (
+            self.spark.read.schema(self.ASSIGN_SCHEMA)
+            .parquet(self.assign_path)
+            .select(
+                "vec_id", "cos_c", F.col("cent_id").cast("long").alias("cent_id")
+            )
+        )
 
     def _fs(self):
         jvm = self.spark._jvm
@@ -223,9 +244,7 @@ class IvfAssignmentStore:
         """The serving view of the inverted file: assignments minus
         tombstoned vec_ids. cent_id remains the partition column, so a
         downstream cell filter still prunes directories."""
-        df = self.spark.read.parquet(self.assign_path).select(
-            "vec_id", "cos_c", F.col("cent_id").cast("long").alias("cent_id")
-        )
+        df = self._assign_read()
         deleted, small = self._deleted_vecs()
         if deleted is not None:
             excl = F.broadcast(deleted) if small else deleted
@@ -287,10 +306,7 @@ class IvfAssignmentStore:
                     )
             deleted = deleted.persist()
             try:
-                full = self.spark.read.parquet(self.assign_path).select(
-                    "vec_id", "cos_c",
-                    F.col("cent_id").cast("long").alias("cent_id"),
-                )
+                full = self._assign_read()
                 # the one assignment scan a purge pays: which cells
                 # hold tombstoned rows, and how many rows go
                 hit = (
@@ -310,9 +326,16 @@ class IvfAssignmentStore:
                     return {"cells_rewritten": 0, "rows_removed": 0,
                             "tombstones_cleared": sorted(fids)}
                 cells = [int(r.cent_id) for r in hit]
-                rows_removed = sum(int(r.drop_n) for r in hit)
+                drops = {int(r.cent_id): int(r.drop_n) for r in hit}
+                rows_removed = sum(drops.values())
                 cell_rows = full.filter(F.col("cent_id").isin(cells))
-                expected = cell_rows.count() - rows_removed
+                totals = {
+                    int(r.cent_id): int(r.n)
+                    for r in cell_rows.groupBy("cent_id")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                expected = sum(totals.values()) - rows_removed
                 kept = cell_rows.join(F.broadcast(deleted), "vec_id", "left_anti")
                 (
                     kept.write.mode("overwrite")
@@ -320,9 +343,18 @@ class IvfAssignmentStore:
                     .partitionBy("cent_id")
                     .parquet(self.assign_path)
                 )
+                # a cell whose EVERY row is tombstoned produces no rows
+                # for the dynamic overwrite to land, so its partition —
+                # and the tombstoned bytes in it — would survive the
+                # rewrite untouched; delete those partitions explicitly
+                for c in cells:
+                    if drops[c] == totals[c]:
+                        fs.delete(
+                            HPath(f"{self.assign_path}/cent_id={c}"), True
+                        )
                 got = (
-                    self.spark.read.parquet(self.assign_path)
-                    .filter(F.col("cent_id").cast("long").isin(cells))
+                    self._assign_read()
+                    .filter(F.col("cent_id").isin(cells))
                     .count()
                 )
                 if got != expected:

@@ -220,3 +220,46 @@ def test_forget_everywhere_erases_from_all_stores(spark, tmp_path):
     assert not {
         n for n, _ in ((r.node, r.component) for r in cs.labels().collect())
     } & {9, 25, 41}
+
+
+def test_purge_erases_fully_tombstoned_cell_and_empty_store_reads(spark, tmp_path):
+    """A cell whose EVERY vector is tombstoned has no kept rows for the
+    dynamic overwrite to land, so its partition must be deleted
+    explicitly — and a store whose every cell is purged still reads
+    back EMPTY (pinned schema) instead of failing inference."""
+    store = _build_store(spark, tmp_path / "ivf")
+    import pathlib
+
+    cells = (
+        spark.read.parquet(store.assign_path)
+        .groupBy("cent_id")
+        .count()
+        .collect()
+    )
+    cell = min(cells, key=lambda r: r["count"]).cent_id
+    in_cell = (
+        spark.read.parquet(store.assign_path)
+        .filter(F.col("cent_id") == cell)
+        .select("vec_id")
+    )
+    store.forget(in_cell, "t1")
+    receipt = store.purge_forgotten()
+    assert receipt["tombstones_cleared"] == ["t1"]
+    assert not pathlib.Path(
+        f"{store.assign_path}/cent_id={int(cell)}"
+    ).exists(), "fully-tombstoned cell's partition survived the purge"
+    assert store.read().filter(F.col("cent_id") == cell).count() == 0
+    assert store._deleted_vecs()[0] is None
+
+    # total purge: every vector tombstoned -> empty store, working reads
+    total = IvfAssignmentStore(spark, str(tmp_path / "ivf2"))
+    cent = ivf_centroids(spark, SF_DIR)
+    (
+        ivf_assign(_emb(spark), cent)
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(total.assign_path)
+    )
+    total.forget(_emb(spark).select("vec_id"), "all")
+    total.purge_forgotten()
+    assert total.read().count() == 0
