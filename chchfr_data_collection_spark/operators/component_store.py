@@ -67,11 +67,17 @@ labels because no patch row names them. The fixed point after any
 sequence of apply() calls equals batch CC over the union of all pairs
 ever applied — which is the registered oracle.
 
-At 100 TB: `labels()` is one shuffle on node over base + patches
-(steady-state patches are delta-sized; compact() folds them back into
-one base, keeping the resolve cheap); apply() is two delta-sided
-equi-joins, CC on a graph of size O(delta + touched components), and a
-patch-sized write. Nothing in the loop scans the corpus.
+At 100 TB: `labels()` (the serving read) is one shuffle on node over
+base + patches (steady-state patches are delta-sized; compact() folds
+them back into one base, keeping the resolve cheap). `apply_pairs` is
+stricter — nothing in it shuffles the corpus assignment: endpoint
+labels resolve through a broadcast semi-join + delta-sized groupBy,
+CC runs on the contracted O(delta + touched components) graph, and
+the relabel of touched components is a MAP-ONLY scan of the
+assignment against a broadcast (old label -> new label) map — sound
+because labels only ever decrease, so stale patch rows can never
+match a current label (see _apply_pairs_locked). The one full pass
+apply pays is that map-side scan; its shuffle volume is zero.
 
 Concurrent WRITERS on one store need the WriterLease fence
 (operators/lease.py), exactly as for the MinHash index; forget() is
@@ -87,7 +93,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .graph import connected_components
+from .graph import connected_components, materialize
 from .minhash_index import _iter_files
 
 # same bound and rationale as MH_TOMBSTONE_BROADCAST_BYTES
@@ -288,26 +294,32 @@ class ComponentStore:
 
     # -- read ----------------------------------------------------------------
 
+    def _assign_marked(self) -> DataFrame:
+        """The raw (node, component, seq) rows of COMMITTED partitions —
+        the pre-resolve read every view builds on."""
+        self._require_bootstrapped()
+        marked = sorted(self._marked())
+        df = self.spark.read.schema(self._read_schema()).parquet(self.assign_path)
+        if marked:
+            return df.filter(F.col("seq").isin([f"{s:08d}" for s in marked]))
+        return df.filter(F.lit(False))
+
+    def _excl_deleted(self, df: DataFrame) -> DataFrame:
+        deleted, small = self._deleted_nodes()
+        if deleted is not None:
+            excl = F.broadcast(deleted) if small else deleted
+            df = df.join(excl, "node", "left_anti")
+        return df
+
     def labels(self) -> DataFrame:
         """The resolved (node, component) view: marked partitions only,
         per-node last-writer-wins on seq, tombstoned nodes excluded.
         One shuffle on node over base + patches — `compact()` keeps the
         patch count small."""
-        self._require_bootstrapped()
-        marked = sorted(self._marked())
-        df = self.spark.read.schema(self._read_schema()).parquet(self.assign_path)
-        if marked:
-            df = df.filter(F.col("seq").isin([f"{s:08d}" for s in marked]))
-        else:
-            df = df.filter(F.lit(False))
-        resolved = df.groupBy("node").agg(
+        resolved = self._assign_marked().groupBy("node").agg(
             F.max_by("component", "seq").alias("component")
         )
-        deleted, small = self._deleted_nodes()
-        if deleted is not None:
-            excl = F.broadcast(deleted) if small else deleted
-            resolved = resolved.join(excl, "node", "left_anti")
-        return resolved
+        return self._excl_deleted(resolved)
 
     # -- write ---------------------------------------------------------------
 
@@ -409,13 +421,37 @@ class ComponentStore:
     def _apply_pairs_locked(
         self, delta_pairs: DataFrame, delta_id: str, src: str, dst: str
     ) -> int:
-        labels = self.labels().persist()
+        # DELTA-BOUNDED shapes throughout (the 100 TB contract): the
+        # corpus assignment is never resolved corpus-wide here — labels
+        # are resolved ONLY for the delta's endpoints (broadcast
+        # semi-join into the marked partitions, then a delta-sized
+        # groupBy), and the relabel of touched components is a MAP-ONLY
+        # scan of the assignment against a broadcast (old label -> new
+        # label) map. The label-match is sound because labels only ever
+        # DECREASE (components merge toward their minimum id): a node's
+        # stale patch rows carry strictly larger, no-longer-current
+        # labels, and the map's keys are current labels — so exactly
+        # the newest row of each touched node matches, once.
+        dp = delta_pairs.select(F.col(src).alias("da"), F.col(dst).alias("db"))
+        dp = materialize(dp, None, "")
+        nodes = (
+            dp.select(F.col("da").alias("node"))
+            .unionByName(dp.select(F.col("db").alias("node")))
+            .distinct()
+        )
+        assign = self._assign_marked()
+        labels_sub = self._excl_deleted(
+            assign.join(F.broadcast(nodes), "node", "left_semi")
+            .groupBy("node")
+            .agg(F.max_by("component", "seq").alias("component"))
+        ).persist()
         try:
-            dp = delta_pairs.select(
-                F.col(src).alias("da"), F.col(dst).alias("db")
+            la = labels_sub.select(
+                F.col("node").alias("da"), F.col("component").alias("ca")
             )
-            la = labels.select(F.col("node").alias("da"), F.col("component").alias("ca"))
-            lb = labels.select(F.col("node").alias("db"), F.col("component").alias("cb"))
+            lb = labels_sub.select(
+                F.col("node").alias("db"), F.col("component").alias("cb")
+            )
             contracted = (
                 dp.join(la, "da", "left")
                 .join(lb, "db", "left")
@@ -424,21 +460,30 @@ class ComponentStore:
                     F.coalesce("cb", F.col("db")).alias("db"),
                 )
             )
-            cc2 = connected_components(contracted)
-            merged = cc2.select(
+            cc2 = materialize(connected_components(contracted), None, "")
+            # current labels touched by the delta, and where they move
+            changed_map = cc2.select(
                 F.col("node").alias("component"), F.col("component").alias("newc")
+            ).where(F.col("newc") != F.col("component"))
+            # map-only relabel scan: every row whose CURRENT label is in
+            # the map emits its new assignment (stale rows can't match —
+            # see above); tombstoned nodes' rows relabel too, staying
+            # read-masked
+            changed = assign.join(F.broadcast(changed_map), "component").select(
+                "node", F.col("newc").alias("component")
             )
-            changed = (
-                labels.join(merged, "component")
-                .where(F.col("newc") != F.col("component"))
-                .select("node", F.col("newc").alias("component"))
+            # a contracted vertex is landed iff it arrived via a label
+            # (it is some labels_sub component); everything else in cc2
+            # is a first-seen delta node
+            reps = (
+                labels_sub.select(F.col("component").alias("node")).distinct()
             )
-            fresh = cc2.join(
-                labels.select("node"), "node", "left_anti"
-            ).select("node", "component")
+            fresh = cc2.join(F.broadcast(reps), "node", "left_anti").select(
+                "node", "component"
+            )
             return self._land_patch(changed.unionByName(fresh), delta_id)
         finally:
-            labels.unpersist()
+            labels_sub.unpersist()
 
     # -- lifecycle -----------------------------------------------------------
 
