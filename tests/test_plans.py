@@ -368,3 +368,50 @@ def test_twin_cache_does_not_contaminate_entry_plans(spark, sf_small, cat):
     for name in ("similarity_threshold_pairs", "dedup_embedding_cosine"):
         df = cat[name].fn(spark, sf_small)
         assert_pushed_filter(df, "embeddings", "vec_id")
+
+
+def test_r11_store_plan_shapes(spark, sf_small, cat, tmp_path):
+    """Round-11 persisted-store shapes:
+
+    - similarity_ivf_forget_probe: the probe is broadcast-driven end to
+      end — the tombstone anti-join, the query-cell join, and the query
+      vector fetch all broadcast; no cartesian anywhere.
+    - ComponentStore.apply_pairs: the landed PATCH plan (captured just
+      before the write) relabels touched components through a
+      BroadcastHashJoin over the assignment scan — the map-only
+      contract; no cartesian. The corpus assignment must never be
+      re-resolved corpus-wide inside apply: the only groupBy over the
+      assignment is the endpoint-restricted (semi-joined) resolve."""
+    from pyspark.sql import functions as F
+
+    from chchfr_data_collection_spark.operators.component_store import (
+        ComponentStore,
+    )
+
+    df = cat["similarity_ivf_forget_probe"].fn(spark, sf_small)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastHashJoin") >= 3
+
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (10, 11)], "da: bigint, db: bigint"
+        )
+    )
+    captured = {}
+    real_land = store._land_patch
+
+    def capture(patch, delta_id):
+        captured["patch"] = patch
+        return real_land(patch, delta_id)
+
+    store._land_patch = capture
+    store.apply_pairs(
+        spark.createDataFrame([(3, 4), (6, 10)], "da: bigint, db: bigint"),
+        "d1",
+    )
+    patch = captured["patch"]
+    assert count_nodes(patch, "CartesianProduct") == 0
+    assert count_nodes(patch, "BroadcastHashJoin") >= 2, (
+        "relabel/fresh joins are not broadcast-driven"
+    )
