@@ -62,6 +62,12 @@ SHOWCASE = [
     ("similarity_filtered_topk", "label predicate pushed into the candidate scan; 16-row query side broadcast"),
     ("similarity_filtered_ann", "allowed side filtered BEFORE bucketing; equi-join candidates, no cartesian"),
     ("parquet_footer_audit", "metadata-only: a parallelize job of footer reads, zero table scans"),
+    # round 10
+    ("similarity_filtered_ivf", "allowed-only inverted lists; adaptive probe metadata broadcast; one cent_id equi-join"),
+    ("dedup_connected_components", "star-contraction round: sym-edge groupBy mins + hook join, flat lineage via localCheckpoint"),
+    # round 11
+    ("similarity_ivf_forget_probe", "tombstone anti-join + query cells + query vectors all broadcast; cell equi-join candidates, no cartesian"),
+    ("dedup_cc_incremental_persisted", "store read: marked-partition scan, per-node max_by resolve, tombstone anti-join"),
 ]
 
 
