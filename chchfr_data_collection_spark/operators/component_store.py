@@ -311,12 +311,43 @@ class ComponentStore:
             df = df.join(excl, "node", "left_anti")
         return df
 
-    def labels(self) -> DataFrame:
+    def history(self) -> list:
+        """The committed write log, oldest first: [(seq, delta_id)].
+        Each entry is a point `labels(as_of_seq=seq)` can read — the
+        audit surface for "which delivery changed this cluster"."""
+        return sorted(self._marked().items())
+
+    def labels(self, as_of_seq: int | None = None) -> DataFrame:
         """The resolved (node, component) view: marked partitions only,
         per-node last-writer-wins on seq, tombstoned nodes excluded.
         One shuffle on node over base + patches — `compact()` keeps the
-        patch count small."""
-        resolved = self._assign_marked().groupBy("node").agg(
+        patch count small.
+
+        `as_of_seq` is the TIME-TRAVEL read: resolve only partitions
+        with seq <= as_of_seq, i.e. the assignment exactly as it stood
+        after that delivery committed (patches are append-only, so any
+        marked prefix is a consistent historical state — the audit
+        read behind "what did this cluster look like before batch X").
+        Two deliberate bounds: current tombstones apply to EVERY read,
+        historical included (a takedown outranks an audit — a
+        forgotten node must not resurface through time travel), and
+        compact() collapses history into its generation (VACUUM
+        semantics) — an as_of_seq older than the oldest surviving
+        partition raises instead of silently resolving a partial
+        state."""
+        self._require_bootstrapped()
+        df = self._assign_marked()
+        if as_of_seq is not None:
+            eligible = [s for s in self._marked() if s <= as_of_seq]
+            if not eligible:
+                raise ValueError(
+                    f"no committed state at or before seq {as_of_seq} in "
+                    f"{self.base_path} — it predates the store, or "
+                    "compact() folded that history into a newer "
+                    "generation"
+                )
+            df = df.filter(F.col("seq") <= f"{as_of_seq:08d}")
+        resolved = df.groupBy("node").agg(
             F.max_by("component", "seq").alias("component")
         )
         return self._excl_deleted(resolved)

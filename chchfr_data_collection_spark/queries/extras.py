@@ -846,6 +846,58 @@ def dedup_cc_incremental_persisted(spark, sf_dir):
     return ComponentStore(spark, store.base_path).labels()
 
 
+def _cc_landed_oracle_sql() -> str:
+    # batch CC restricted to LANDED pairs (both endpoints doc_id%4!=0).
+    # The df-cap stays corpus-wide — the filter applies to the pair
+    # OUTPUT, exactly like the Spark side's filter on the full capped
+    # relation — so this is the assignment as it stood at bootstrap.
+    from .llm import _JACCARD_CAPPED_DUCK
+
+    return f"""
+    WITH RECURSIVE
+    jp AS ({_JACCARD_CAPPED_DUCK}),
+    lp AS (SELECT da, db FROM jp WHERE da % 4 <> 0 AND db % 4 <> 0),
+    edges AS (SELECT da AS u, db AS v FROM lp
+              UNION SELECT db AS u, da AS v FROM lp),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
+    SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u
+    """
+
+
+@register(
+    "dedup_cc_store_time_travel",
+    sql=_cc_landed_oracle_sql(),
+    tags=("llm", "dedup", "iterative", "incremental", "store", "timetravel"),
+)
+def dedup_cc_store_time_travel(spark, sf_dir):
+    """TIME-TRAVEL read of the persisted component store: after the
+    delta batch has been folded in, `labels(as_of_seq=<bootstrap>)`
+    resolves the assignment exactly as it stood when the landed corpus
+    was first clustered — the audit query behind "what did this
+    cluster look like before batch X merged it" and the verification
+    read a takedown review runs before approving a purge. Works
+    because patches are append-only and resolve is last-writer-wins
+    over a seq prefix: any committed prefix is a consistent historical
+    state, at zero storage cost beyond the patches themselves
+    (compact() collapses history — VACUUM semantics, and the read
+    fails loudly past it). Oracle: batch CC over the LANDED pairs only
+    — the pre-delta state recomputed from scratch by DuckDB."""
+    import uuid as _uuid
+
+    store = _cc_store_bootstrapped(spark, sf_dir)
+    bootstrap_seq = store.history()[0][0]
+    from .llm import dedup_ngram_jaccard
+
+    delta_pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db").filter(
+        (F.col("da") % 4 == 0) | (F.col("db") % 4 == 0)
+    )
+    store.apply_pairs(delta_pairs, delta_id=f"tt-{_uuid.uuid4().hex[:8]}")
+    return store.labels(as_of_seq=bootstrap_seq)
+
+
 @register(
     "streaming_cc_store_replay",
     sql=_cc_oracle_sql(),

@@ -329,3 +329,35 @@ def test_crash_after_marker_before_intent_cleanup_keeps_rows(spark, tmp_path):
         HPath(f"{store.assign_path}/seq={seq:08d}")
     ), "the committed partition was wiped"
     assert real_read(f"{store.intent_path}/d1") is None
+
+
+def test_time_travel_reads_and_history(spark, tmp_path):
+    """labels(as_of_seq=s) resolves the assignment exactly as it stood
+    after delivery s (any marked prefix is a consistent state); current
+    tombstones mask EVERY read, historical included; compact() folds
+    history away and an as-of read past it fails loudly; history()
+    lists the committed write log."""
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, LANDED))
+    s1 = store.history()[0][0]
+    s2 = store.apply_pairs(_edges(spark, DELTA[:2]), "d1")
+    s3 = store.apply_pairs(_edges(spark, DELTA[2:]), "d2")
+    assert [d for _, d in store.history()] == ["bootstrap", "d1", "d2"]
+
+    assert _labels(store.labels(as_of_seq=s1)) == _batch_cc(spark, LANDED)
+    assert _labels(store.labels(as_of_seq=s2)) == _batch_cc(
+        spark, LANDED + DELTA[:2]
+    )
+    assert _labels(store.labels(as_of_seq=s3)) == _labels(store.labels())
+
+    # a takedown outranks an audit: the forgotten node is masked even
+    # in historical reads
+    store.forget(spark.createDataFrame([(11,)], "node: bigint"), "t1")
+    assert not {n for n, _ in _labels(store.labels(as_of_seq=s1))} & {11}
+
+    # VACUUM semantics: compact folds the history; pre-fold reads raise
+    store.compact()
+    with pytest.raises(ValueError, match="folded|predates"):
+        store.labels(as_of_seq=s1).collect()
+    gen_seq = store.history()[-1][0]
+    assert not {n for n, _ in _labels(store.labels(as_of_seq=gen_seq))} & {11}
