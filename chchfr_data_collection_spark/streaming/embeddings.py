@@ -95,6 +95,7 @@ def foreach_batch_ivf_assign(
     cent: DataFrame,
     target_path: str,
     checkpoint: str,
+    lease: bool = False,
 ):
     """Run the IVF insert path over a stream: per micro-batch, assign
     vectors to centroids and append to the index, partitioned by cell.
@@ -102,15 +103,34 @@ def foreach_batch_ivf_assign(
     Append is safe under replay at the file level (a re-delivered batch
     re-appends; production pairs this with the export sink's batch-id
     manifest or an upsert target — here the AvailableNow replay delivers
-    each batch once and the equivalence test pins the result)."""
+    each batch once and the equivalence test pins the result).
+
+    `lease=True` fences each micro-batch append with the WriterLease on
+    `target_path`'s store root — required when IvfAssignmentStore.
+    purge_forgotten() (which rewrites whole cell partitions under the
+    same lease) can run CONCURRENTLY with this stream: an unfenced
+    append racing a cell rewrite is replaced by it and silently lost.
+    Default off: the lease costs a claim round-trip per micro-batch,
+    and most deployments schedule purges while ingest is quiesced."""
 
     def _assign_and_append(batch: DataFrame, batch_id: int) -> None:
-        (
-            ivf_assign(batch, cent)
-            .write.mode("append")
-            .partitionBy("cent_id")
-            .parquet(target_path)
-        )
+        def _write() -> None:
+            (
+                ivf_assign(batch, cent)
+                .write.mode("append")
+                .partitionBy("cent_id")
+                .parquet(target_path)
+            )
+
+        if lease:
+            from ..operators.lease import WriterLease
+
+            base = target_path.rstrip("/")
+            base = base.rsplit("/", 1)[0] if base.endswith("/assignments") else base
+            with WriterLease(batch.sparkSession, base):
+                _write()
+        else:
+            _write()
 
     return (
         stream_df.writeStream.foreachBatch(_assign_and_append)

@@ -263,3 +263,38 @@ def test_purge_erases_fully_tombstoned_cell_and_empty_store_reads(spark, tmp_pat
     total.forget(_emb(spark).select("vec_id"), "all")
     total.purge_forgotten()
     assert total.read().count() == 0
+
+
+def test_streaming_append_with_lease_fences_and_matches(spark, tmp_path):
+    """The lease-fenced variant of the IVF maintenance stream (the
+    append-vs-purge fence): results identical to the unfenced append,
+    and the claims land under the STORE ROOT's lease dir — the same
+    lock purge_forgotten() takes, so the two actually exclude each
+    other."""
+    import pathlib
+
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        foreach_batch_ivf_assign,
+        read_embeddings_stream,
+    )
+
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    q = foreach_batch_ivf_assign(
+        read_embeddings_stream(spark, SF_DIR),
+        cent,
+        store.assign_path,
+        str(tmp_path / "ck"),
+        lease=True,
+    )
+    q.awaitTermination()
+    got = {(r.vec_id, r.cent_id) for r in store.read().collect()}
+    want = {
+        (r.vec_id, r.cent_id)
+        for r in ivf_assign(_emb(spark), cent).collect()
+    }
+    assert got == want
+    # the fence is real only if it keyed on the store ROOT (what
+    # purge_forgotten() locks), not on the assignments subdir
+    assert pathlib.Path(f"{store.base_path}__lease").exists()
+    assert not pathlib.Path(f"{store.assign_path}__lease").exists()
