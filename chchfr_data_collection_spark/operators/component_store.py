@@ -65,7 +65,11 @@ contracted delta graph therefore yields the true minimum of each
 merged component, and components the delta never touches keep their
 labels because no patch row names them. The fixed point after any
 sequence of apply() calls equals batch CC over the union of all pairs
-ever applied — which is the registered oracle.
+ever applied — which is the registered oracle — with one carve-out:
+pairs are SEVERED at endpoints tombstoned at apply time (forgotten
+nodes never bridge components; the surviving endpoint still enters as
+a singleton), so under takedowns the fixed point is batch CC over the
+union of the per-apply SEVERED pair batches.
 
 At 100 TB: `labels()` (the serving read) is one shuffle on node over
 base + patches (steady-state patches are delta-sized; compact() folds
@@ -373,6 +377,18 @@ class ComponentStore:
             # fresh — typically empty — patch.
             fs.delete(HPath(f"{self.intent_path}/{delta_id}"), False)
         seq = self._max_seq() + 1
+        if seq > 99_999_999:
+            # the marker name is `{seq:08d}.{delta_id}` and resolve
+            # compares the zero-padded strings lexicographically — a
+            # 9-digit seq would widen past the fixed field, misparse in
+            # _marked()'s name[:8] and silently break the ordering
+            # (round-11 ADVICE, low). 10^8 deliveries on ONE store is a
+            # compact()-starved pathology, not a capacity target.
+            raise RuntimeError(
+                f"ComponentStore at {self.base_path} exhausted its "
+                "8-digit seq space — compact() folds history and keeps "
+                "seq growth bounded; this store never was."
+            )
         self._write_json(f"{self.intent_path}/{delta_id}", {"seq": seq})
         (
             patch.withColumn("seq", F.lit(f"{seq:08d}"))
@@ -432,10 +448,14 @@ class ComponentStore:
         landed, so the marker records the delivery) and safe to retry
         after a crash (see _land_patch). Returns the seq landed.
 
-        Tombstoned nodes never re-enter: labels() excludes them, so a
-        forgotten node arriving in `delta_pairs` is treated as fresh,
-        written, and then masked again by the read-side anti-join —
-        exactly the MinHash index's re-arrival contract.
+        Tombstoned nodes never re-enter AND never bridge: every pair is
+        severed at a tombstoned endpoint before contraction (the
+        surviving endpoint keeps a self-edge, so it still registers as
+        first-seen), so a forgotten node arriving in `delta_pairs`
+        neither lands rows nor merges its old component with anything —
+        in both the was-the-component-minimum and was-not cases
+        (round-11 ADVICE, medium). The read-side anti-join stays as the
+        mask for rows landed BEFORE the forget.
 
         Takes the WriterLease: an apply racing a compact() would have
         its patch computed against the pre-fold view but land BELOW
@@ -464,6 +484,44 @@ class ComponentStore:
         # labels, and the map's keys are current labels — so exactly
         # the newest row of each touched node matches, once.
         dp = delta_pairs.select(F.col(src).alias("da"), F.col(dst).alias("db"))
+        # SEVER tombstoned endpoints (round-11 ADVICE, medium — the one
+        # chosen semantic): a forgotten node must not BRIDGE components
+        # through its edges, in either direction and regardless of
+        # whether its id happens to be its old component's minimum
+        # (pre-fix, a tombstoned min-node re-arriving merged its whole
+        # old component with the delta cluster while a non-min one did
+        # not — behavior hung on an id accident). An edge touching a
+        # tombstoned node on ONE side keeps its surviving endpoint as a
+        # self-edge (the survivor still registers as first-seen); both
+        # sides tombstoned drops the edge entirely. The severed rows
+        # still LAND nothing for the forgotten node, so there is no row
+        # to mask — stronger than the read-side anti-join alone.
+        deleted, small = self._deleted_nodes()
+        if deleted is not None:
+            excl = F.broadcast(deleted) if small else deleted
+            flagged = dp.join(
+                excl.select(F.col("node").alias("da"), F.lit(True).alias("_ta")),
+                "da",
+                "left",
+            ).join(
+                excl.select(F.col("node").alias("db"), F.lit(True).alias("_tb")),
+                "db",
+                "left",
+            )
+            dp = (
+                flagged.filter(F.col("_ta").isNull() & F.col("_tb").isNull())
+                .select("da", "db")
+                .unionByName(
+                    flagged.filter(
+                        F.col("_ta").isNotNull() & F.col("_tb").isNull()
+                    ).select(F.col("db").alias("da"), "db")
+                )
+                .unionByName(
+                    flagged.filter(
+                        F.col("_ta").isNull() & F.col("_tb").isNotNull()
+                    ).select("da", F.col("da").alias("db"))
+                )
+            )
         dp = materialize(dp, None, "")
         nodes = (
             dp.select(F.col("da").alias("node"))
@@ -471,7 +529,11 @@ class ComponentStore:
             .distinct()
         )
         assign = self._assign_marked()
-        labels_sub = self._excl_deleted(
+        # no _excl_deleted here: tombstoned ids cannot be endpoints
+        # after the sever, so the anti-join would be dead weight — and
+        # excluding them from the RESOLVE was exactly the bug (a
+        # tombstoned endpoint contracting as a raw vertex).
+        labels_sub = (
             assign.join(F.broadcast(nodes), "node", "left_semi")
             .groupBy("node")
             .agg(F.max_by("component", "seq").alias("component"))
@@ -543,6 +605,14 @@ class ComponentStore:
         self._require_bootstrapped()
         fs, HPath = self._fs()
         with WriterLease(self.spark, self.base_path):
+            # re-list tombstones UNDER the lease (round-11 ADVICE,
+            # high): labels() below must resolve through the CURRENT
+            # tombstone set, not one this instance cached before a
+            # cross-process forget() landed — the purge fingerprints
+            # are taken from a fresh listing, so a stale cache would
+            # write the forgotten rows into the gen partition and then
+            # clear their tombstones: a false erasure.
+            self._deleted_cache = _UNSET
             # recover a compact() that crashed between its gen write and
             # its gen marker: the orphan is invisible to reads but would
             # defer purges forever. Only gen-* intents are wiped here —

@@ -1308,6 +1308,16 @@ class MinHashIndex:
         spark = self.spark
         self._require_format()
         with WriterLease(spark, self.base_path):
+            # re-list tombstones UNDER the lease (round-11 ADVICE,
+            # high): this instance's cache may predate a forget()
+            # landed by another process/instance — _fold_plan pins
+            # tombstone fingerprints from a FRESH listing, so filtering
+            # rows through the stale cached set would skip that
+            # forget's docs during the rewrite while _fold_finish still
+            # clears its (fingerprint-unchanged) partition: a false
+            # erasure. IvfAssignmentStore.purge_forgotten already
+            # re-lists under its lease; same discipline here.
+            self._deleted_cache = _UNSET
             self._recover_fold()
             plan = self._fold_plan(purge=purge_forgotten)
             receipt: dict = {"generation": plan["gen"]}

@@ -49,13 +49,21 @@ def forget_everywhere(
     Each element of `stores` is either a store object exposing
     `forget(ids_df, forget_id)` or a `(store, mapper)` pair where
     `mapper(ids) -> DataFrame` translates the request ids into that
-    store's id space (None = identity). Returns {store_class_name:
-    "ok"} for the audit trail; raises on the FIRST store failure so a
-    retry (same forget_id) completes the remainder idempotently."""
+    store's id space (None = identity). Returns an audit dict keyed by
+    `"<StoreClass>@<base_path>"` — the base path disambiguates two
+    stores of the SAME class (e.g. two MinHash indexes over different
+    corpora), which a class-name key would collapse into one entry,
+    under-reporting which stores acknowledged the takedown (round-11
+    ADVICE, low). Raises on the FIRST store failure so a retry (same
+    forget_id) completes the remainder idempotently."""
     done: dict = {}
     for entry in stores:
         store, mapper = entry if isinstance(entry, tuple) else (entry, None)
         mapped: DataFrame = ids if mapper is None else mapper(ids)
         store.forget(mapped, forget_id)
-        done[type(store).__name__] = "ok"
+        base = getattr(store, "base_path", None)
+        key = type(store).__name__ if base is None else (
+            f"{type(store).__name__}@{base}"
+        )
+        done[key] = "ok"
     return done

@@ -361,3 +361,88 @@ def test_time_travel_reads_and_history(spark, tmp_path):
         store.labels(as_of_seq=s1).collect()
     gen_seq = store.history()[-1][0]
     assert not {n for n, _ in _labels(store.labels(as_of_seq=gen_seq))} & {11}
+
+
+def test_cross_process_forget_lands_in_compact_purge(spark, tmp_path):
+    """A forget() landed by ANOTHER instance after this instance's
+    tombstone cache was populated must still be byte-erased by this
+    instance's compact(purge_forgotten=True) — the cache is re-listed
+    under the WriterLease (round-11 ADVICE, high). Pre-fix, the stale
+    cache wrote the forgotten rows into the gen partition while the
+    fresh-listed fingerprints cleared their tombstones: a false
+    erasure, with the docs fully serving again afterwards."""
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, LANDED))
+    store.apply_pairs(_edges(spark, DELTA), "d1")
+    # populate THIS instance's tombstone cache (empty at this point)
+    assert store._deleted_nodes()[0] is None
+    # a takedown lands through a different process/instance
+    other = ComponentStore(spark, store.base_path)
+    other.forget(spark.createDataFrame([(4,), (11,)], "node: bigint"), "t1")
+    receipt = store.compact(purge_forgotten=True)
+    assert receipt["purge_deferred"] == []
+    raw = spark.read.schema(store._read_schema()).parquet(store.assign_path)
+    assert raw.filter(F.col("node").isin(4, 11)).count() == 0, (
+        "stale tombstone cache: cross-process forget's rows survived "
+        "the purge rewrite"
+    )
+    assert store._deleted_nodes()[0] is None, "tombstones not cleared"
+    assert not {n for n, _ in _labels(store.labels())} & {4, 11}
+
+
+def test_forgotten_node_never_bridges_min_and_nonmin(spark, tmp_path):
+    """Severed-edge semantics (round-11 ADVICE, medium), both id
+    accidents: a tombstoned node whose id IS its old component's label
+    (it was the minimum) and one whose id is NOT. In neither case may a
+    delta edge through the forgotten node merge its old component with
+    the delta cluster; the surviving endpoint still enters as a
+    first-seen singleton."""
+    # component {1,2,3} labeled 1; component {10,11} labeled 10
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, [(1, 2), (2, 3), (10, 11)]))
+
+    # case A: forget node 1 — the MINIMUM of its component (its id ==
+    # the component label). Pre-fix, the raw vertex 1 matched label 1
+    # in changed_map and the whole {2,3} component merged with 200.
+    store.forget(spark.createDataFrame([(1,)], "node: bigint"), "fa")
+    store.apply_pairs(_edges(spark, [(1, 200)]), "da")
+    got = _labels(store.labels())
+    assert (200, 200) in got, "survivor endpoint did not enter as singleton"
+    assert (2, 1) in got and (3, 1) in got, (
+        "forgotten MIN node bridged its old component into the delta"
+    )
+
+    # case B: forget node 11 — NOT the minimum (label is 10).
+    store.forget(spark.createDataFrame([(11,)], "node: bigint"), "fb")
+    store.apply_pairs(_edges(spark, [(11, 300), (300, 301)]), "db")
+    got = _labels(store.labels())
+    assert (300, 300) in got and (301, 300) in got, (
+        "severed edge lost the surviving endpoints' own cluster"
+    )
+    assert (10, 10) in got, "forgotten NON-min node bridged its component"
+    assert not {n for n, _ in got} & {1, 11}
+
+    # both endpoints tombstoned: the edge contributes nothing at all
+    store.forget(spark.createDataFrame([(1,), (11,)], "node: bigint"), "fc")
+    before = _labels(store.labels())
+    store.apply_pairs(_edges(spark, [(1, 11)]), "dc")
+    assert _labels(store.labels()) == before
+
+
+def test_seq_space_exhaustion_raises(spark, tmp_path):
+    """The 8-digit seq field is a hard bound: the marker name embeds
+    `{seq:08d}` and resolve compares the padded strings, so a 9-digit
+    seq would misparse and silently break ordering — _land_patch must
+    raise instead (round-11 ADVICE, low)."""
+    store = ComponentStore(spark, str(tmp_path / "cs"))
+    store.bootstrap(_edges(spark, LANDED))
+    real = store._max_seq
+    store._max_seq = lambda: 99_999_999
+    try:
+        with pytest.raises(RuntimeError, match="seq space"):
+            store.apply_pairs(_edges(spark, [(500, 501)]), "dz")
+    finally:
+        store._max_seq = real
+    # the failed attempt reserved nothing and landed nothing
+    store.apply_pairs(_edges(spark, [(500, 501)]), "dz2")
+    assert (500, 500) in _labels(store.labels())

@@ -206,10 +206,12 @@ def test_forget_everywhere_erases_from_all_stores(spark, tmp_path):
     assert ivf._deleted_vecs()[0] is None or state["failed"]
     done = forget_everywhere(ids, "req-1", mh, ivf, cs)  # retry completes
     ivf.forget = real_forget
+    # audit keys carry the base path: two stores of one class must not
+    # collapse to a single audit entry (round-11 ADVICE, low)
     assert done == {
-        "MinHashIndex": "ok",
-        "IvfAssignmentStore": "ok",
-        "ComponentStore": "ok",
+        f"MinHashIndex@{mh.base_path}": "ok",
+        f"IvfAssignmentStore@{ivf.base_path}": "ok",
+        f"ComponentStore@{cs.base_path}": "ok",
     }
 
     p = mh.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), "d1")

@@ -834,3 +834,40 @@ def test_full_purge_empties_store_and_serves_new_deltas(spark, tmp_path):
     ref.bootstrap(docs.filter(F.lit(False)))
     want = _pairs(ref.probe_and_insert(delta, delta_id="d1"))
     assert got == want
+
+
+def test_cross_instance_forget_lands_in_compact_purge(spark, tmp_path):
+    """A forget() landed by ANOTHER instance after this instance's
+    tombstone cache was populated (any probe populates it) must still
+    be byte-erased by this instance's compact(purge_forgotten=True) —
+    the cache is re-listed under the WriterLease (round-11 ADVICE,
+    high). Pre-fix, _fold_write filtered rows through the stale cached
+    set while _fold_plan fingerprinted tombstones from a FRESH listing,
+    so the forgotten docs' rows survived the rewrite AND their
+    tombstones were cleared: they fully served again, with a receipt
+    claiming a completed purge."""
+    docs = _docs(spark)
+    landed = docs.filter(F.col("doc_id") % 4 != 0)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(landed)
+    # populate THIS instance's cache (a probe does this in production)
+    idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), "d1")
+    assert idx._deleted_listings == 1, "probe did not populate the cache"
+    # the takedown arrives through a different process/instance
+    other = MinHashIndex(spark, idx.base_path)
+    other.forget(docs.filter(F.col("doc_id") % 16 == 1).select("doc_id"), "t1")
+
+    idx.compact(purge_forgotten=True)
+
+    arrs = spark.read.schema(idx._rel_schema("arrays")).parquet(idx.arrays_path)
+    assert arrs.filter(F.col("doc_id") % 16 == 1).count() == 0, (
+        "stale tombstone cache: cross-instance forget's rows survived"
+    )
+    posts = spark.read.schema(idx._rel_schema("postings")).parquet(
+        idx.postings_path
+    )
+    assert posts.filter(F.col("doc_id") % 16 == 1).count() == 0
+    assert idx._deleted_docs()[0] is None, "tombstones not cleared"
+    # and the docs stay gone from a fresh probe
+    p = idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), "d2")
+    assert p.filter((F.col("da") % 16 == 1) | (F.col("db") % 16 == 1)).count() == 0
