@@ -98,15 +98,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .graph import connected_components, materialize
-from .minhash_index import _iter_files
+from .store_base import TOMBSTONE_BROADCAST_BYTES, StoreKernel, _UNSET
 
-# same bound and rationale as MH_TOMBSTONE_BROADCAST_BYTES
-CS_TOMBSTONE_BROADCAST_BYTES = 32 * 1024 * 1024
-
-_UNSET = object()
+# kept name: the byte bound below which tombstone sets broadcast
+CS_TOMBSTONE_BROADCAST_BYTES = TOMBSTONE_BROADCAST_BYTES
 
 
-class ComponentStore:
+class ComponentStore(StoreKernel):
     """A persisted, incrementally-maintained (node, component) table.
 
     Usage (the production clustering loop)::
@@ -117,53 +115,18 @@ class ComponentStore:
         labels = store.labels()               # the serving view
     """
 
+    TOMBSTONE_KEY = "node"
+
     def __init__(self, spark: SparkSession, base_path: str) -> None:
-        self.spark = spark
-        self.base_path = base_path.rstrip("/")
+        self._init_kernel(spark, base_path)
         self.assign_path = f"{self.base_path}/assignments"
         self.landed_path = f"{self.base_path}/_landed"
         self.intent_path = f"{self.base_path}/_intent"
-        self.deleted_path = f"{self.base_path}/_deleted"
         self.schema_path = f"{self.base_path}/_schema.json"
         self._schema = None
-        self._deleted_cache = _UNSET
-        self._deleted_listings = 0  # instrumentation for the cache test
 
-    # -- filesystem plumbing (the MinHashIndex idioms) -----------------------
-
-    def _fs(self):
-        jvm = self.spark._jvm
-        HPath = jvm.org.apache.hadoop.fs.Path
-        fs = HPath(self.base_path).getFileSystem(
-            self.spark._jsc.hadoopConfiguration()
-        )
-        return fs, HPath
-
-    def _write_json(self, path: str, obj) -> None:
-        import json
-
-        fs, HPath = self._fs()
-        out = fs.create(HPath(path), True)
-        try:
-            out.write(bytearray(json.dumps(obj).encode("utf-8")))
-        finally:
-            out.close()
-
-    def _read_json(self, path: str):
-        import json
-
-        fs, HPath = self._fs()
-        p = HPath(path)
-        if not fs.exists(p):
-            return None
-        stream = fs.open(p)
-        try:
-            txt = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        return json.loads(str(txt))
+    # filesystem plumbing, tombstone cache, fingerprints: StoreKernel
+    # (operators/store_base.py — the shared idioms, round-11 next #6)
 
     # -- markers -------------------------------------------------------------
 
@@ -220,6 +183,9 @@ class ComponentStore:
 
     # -- tombstones (right-to-be-forgotten) ----------------------------------
 
+    def _tombstone_key_type(self):
+        return self._read_schema()["node"].dataType
+
     def forget(self, node_ids: DataFrame, forget_id: str) -> None:
         """Tombstone nodes out of the assignment — every subsequent
         `labels()` excludes them, so a takedown disappears from
@@ -228,73 +194,16 @@ class ComponentStore:
         retry-idempotent (pre-delete + dynamic overwrite of the
         forget_id's own partition); a single-column input is accepted
         under any column name. The node ids are cast to the store's
-        pinned node type; a cast that nulls any id fails loudly."""
+        pinned node type; a cast that nulls any id fails loudly.
+        (Mechanics: StoreKernel.forget.)"""
         self._require_bootstrapped()
-        cols = node_ids.columns
-        ids = node_ids.select(F.col(cols[0]).alias("node")).distinct()
-        target = self._read_schema()["node"].dataType
-        if ids.schema["node"].dataType != target:
-            # try_cast: ANSI cast would abort the job instead of
-            # letting the null check below fail loudly pre-write
-            ids = ids.select(F.col("node").try_cast(target).alias("node"))
-            if ids.filter(F.col("node").isNull()).limit(1).count():
-                raise TypeError(
-                    "forget(): node ids could not be cast losslessly "
-                    f"to the store's node type {target.simpleString()} "
-                    f"({self.base_path})"
-                )
-        fs, HPath = self._fs()
-        fs.delete(HPath(f"{self.deleted_path}/forget_id={forget_id}"), True)
-        (
-            ids.withColumn("forget_id", F.lit(forget_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("forget_id")
-            .parquet(self.deleted_path)
-        )
-        self._deleted_cache = _UNSET
+        StoreKernel.forget(self, node_ids, forget_id)
 
     def _deleted_nodes(self) -> tuple[DataFrame | None, bool]:
         """(distinct tombstoned nodes | None, fits-a-broadcast); one
         listing per instance, invalidated by forget/compact/bootstrap
-        (the MinHash index's cached-tombstone discipline)."""
-        if self._deleted_cache is not _UNSET:
-            return self._deleted_cache
-        fs, HPath = self._fs()
-        self._deleted_listings += 1
-        root = HPath(self.deleted_path)
-        if not fs.exists(root) or not any(
-            st.isDirectory() and st.getPath().getName().startswith("forget_id=")
-            for st in fs.listStatus(root)
-        ):
-            self._deleted_cache = (None, True)
-            return self._deleted_cache
-        total = sum(
-            st.getLen() for st in _iter_files(fs, HPath, self.deleted_path)
-        )
-        from pyspark.sql.types import StringType, StructField, StructType
-
-        schema = StructType(
-            [
-                self._read_schema()["node"],
-                StructField("forget_id", StringType()),
-            ]
-        )
-        df = (
-            self.spark.read.schema(schema)
-            .parquet(self.deleted_path)
-            .select("node")
-            .distinct()
-        )
-        self._deleted_cache = (df, total <= CS_TOMBSTONE_BROADCAST_BYTES)
-        return self._deleted_cache
-
-    def _partition_fingerprint(self, path: str) -> list:
-        fs, HPath = self._fs()
-        return sorted(
-            [st.getPath().getName(), int(st.getModificationTime()), int(st.getLen())]
-            for st in _iter_files(fs, HPath, path)
-        )
+        (the kernel's cached-tombstone discipline)."""
+        return self._deleted_keys()
 
     # -- read ----------------------------------------------------------------
 
@@ -307,13 +216,6 @@ class ComponentStore:
         if marked:
             return df.filter(F.col("seq").isin([f"{s:08d}" for s in marked]))
         return df.filter(F.lit(False))
-
-    def _excl_deleted(self, df: DataFrame) -> DataFrame:
-        deleted, small = self._deleted_nodes()
-        if deleted is not None:
-            excl = F.broadcast(deleted) if small else deleted
-            df = df.join(excl, "node", "left_anti")
-        return df
 
     def history(self) -> list:
         """The committed write log, oldest first: [(seq, delta_id)].
@@ -647,14 +549,8 @@ class ComponentStore:
                             on_disk.add(name[len("seq="):])
                 unmarked = on_disk - {f"{s:08d}" for s in marked}
                 receipt["purge_deferred"] = sorted(unmarked)
-                if not unmarked and fs.exists(HPath(self.deleted_path)):
-                    for st in fs.listStatus(HPath(self.deleted_path)):
-                        name = st.getPath().getName()
-                        if st.isDirectory() and name.startswith("forget_id="):
-                            fid = name[len("forget_id="):]
-                            purge_clear[fid] = self._partition_fingerprint(
-                                f"{self.deleted_path}/forget_id={fid}"
-                            )
+                if not unmarked:
+                    purge_clear = self._tombstone_fingerprints()
             if len(marked) >= (1 if purge_forgotten else 2):
                 resolved = self.labels()
                 gen = self._land_patch(resolved, f"gen-{uuid.uuid4().hex[:8]}")
@@ -662,10 +558,5 @@ class ComponentStore:
                     fs.delete(HPath(f"{self.assign_path}/seq={s:08d}"), True)
                     self._unmark(s, d)
                 receipt["generation"] = gen
-            for fid, fp in purge_clear.items():
-                part = f"{self.deleted_path}/forget_id={fid}"
-                if self._partition_fingerprint(part) == fp:
-                    fs.delete(HPath(part), True)
-            if purge_clear:
-                self._deleted_cache = _UNSET
+            self._clear_tombstones_guarded(purge_clear)
         return receipt

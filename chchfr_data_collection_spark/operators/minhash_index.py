@@ -140,6 +140,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .store_base import (
+    TOMBSTONE_BROADCAST_BYTES,
+    StoreKernel,
+    _UNSET,
+    _iter_files,
+)
+
 MH_P = (1 << 61) - 1
 MH_BANDS, MH_ROWS = 8, 4
 MH_K = MH_BANDS * MH_ROWS
@@ -161,10 +168,7 @@ MH_FORMAT_VERSION = 4
 # drops its broadcast hint and lets Spark pick the strategy (AQE may
 # still broadcast): a takedown list that accumulated for years without
 # a purge must not be forced driver-side (round-10 verdict, wrong #3).
-MH_TOMBSTONE_BROADCAST_BYTES = 32 * 1024 * 1024
-
-# sentinel for "tombstone state not yet listed" (None is a valid value)
-_UNSET = object()
+MH_TOMBSTONE_BROADCAST_BYTES = TOMBSTONE_BROADCAST_BYTES
 
 _rng = random.Random(20260813)
 MH_A = [_rng.randrange(1, 1 << 29) | 1 for _ in range(MH_K)]
@@ -240,7 +244,7 @@ def band_rows(sigs: DataFrame) -> DataFrame:
     )
 
 
-class MinHashIndex:
+class MinHashIndex(StoreKernel):
     """A persisted banded-MinHash index with bootstrap / probe+insert.
 
     Usage (the production loop)::
@@ -248,11 +252,15 @@ class MinHashIndex:
         idx = MinHashIndex(spark, index_path)
         idx.bootstrap(landed_corpus)          # once
         pairs = idx.probe_and_insert(delta)   # per arriving batch
+
+    Filesystem plumbing, tombstone cache, and fingerprint guards come
+    from StoreKernel (operators/store_base.py, round-11 next #6).
     """
 
+    TOMBSTONE_KEY = "doc_id"
+
     def __init__(self, spark: SparkSession, base_path: str) -> None:
-        self.spark = spark
-        self.base_path = base_path.rstrip("/")
+        self._init_kernel(spark, base_path)
         self.postings_path = f"{self.base_path}/postings"
         self.arrays_path = f"{self.base_path}/arrays"
         self.pairs_path = f"{self.base_path}/pairs"
@@ -272,9 +280,9 @@ class MinHashIndex:
         self.fold_intent_path = f"{self.base_path}/_fold_intent.json"
         self.fold_commit_path = f"{self.base_path}/_fold_commit.json"
         # forgotten doc_ids (right-to-be-forgotten, see forget()):
-        # parquet (doc_id) partitioned by forget_id; probes exclude
-        # these docs everywhere via an anti-join (broadcast while small)
-        self.deleted_path = f"{self.base_path}/_deleted"
+        # parquet (doc_id) partitioned by forget_id at the kernel's
+        # `_deleted/`; probes exclude these docs everywhere via an
+        # anti-join (broadcast while small)
         # read-schema sidecars (v4): written at bootstrap, pin every
         # relation read so schema inference is never paid per probe and
         # an emptied (fully-purged) relation reads as empty
@@ -283,12 +291,6 @@ class MinHashIndex:
             for rel in ("postings", "arrays")
         }
         self._schemas: dict = {}
-        # tombstone state cache: one filesystem listing per index
-        # instance, invalidated by forget()/compact()/bootstrap() —
-        # on an object store the per-probe LIST round-trip is a
-        # hot-path metadata call (round-10 verdict, wrong #2)
-        self._deleted_cache = _UNSET
-        self._deleted_listings = 0  # instrumentation for the cache test
 
     # -- format marker ---------------------------------------------------------
 
@@ -338,23 +340,7 @@ class MinHashIndex:
 
     # -- landed markers / manifests ---------------------------------------------
 
-    def _mark_landed(self, root: str, delta_id: str) -> None:
-        fs, HPath = self._fs()
-        fs.create(HPath(f"{root}/{delta_id}"), True).close()
-
-    def _unmark_landed(self, root: str, delta_id: str) -> None:
-        fs, HPath = self._fs()
-        fs.delete(HPath(f"{root}/{delta_id}"), False)
-
-    def _landed_ids(self, root: str) -> set:
-        fs, HPath = self._fs()
-        if not fs.exists(HPath(root)):
-            return set()
-        return {
-            st.getPath().getName()
-            for st in fs.listStatus(HPath(root))
-            if st.isFile()
-        }
+    # _mark_landed / _unmark_landed / _landed_ids: StoreKernel
 
     def _require_not_folded(self, delta_id: str) -> None:
         """Fail fast when `delta_id` was already folded into a
@@ -452,31 +438,7 @@ class MinHashIndex:
             df = df.filter(~F.col("delta_id").isin(sorted(excl)))
         return df
 
-    def _write_json(self, path: str, obj: dict) -> None:
-        import json
-
-        fs, HPath = self._fs()
-        out = fs.create(HPath(path), True)
-        try:
-            out.write(bytearray(json.dumps(obj).encode("utf-8")))
-        finally:
-            out.close()
-
-    def _read_json(self, path: str):
-        import json
-
-        fs, HPath = self._fs()
-        p = HPath(path)
-        if not fs.exists(p):
-            return None
-        stream = fs.open(p)
-        try:
-            txt = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
-        finally:
-            stream.close()
-        return json.loads(str(txt))
+    # _write_json / _read_json: StoreKernel
 
     # -- build ---------------------------------------------------------------
 
@@ -534,14 +496,6 @@ class MinHashIndex:
         postings_w = postings_w.option("partitionOverwriteMode", mode)
         arrays_w.partitionBy("delta_id").parquet(self.arrays_path)
         postings_w.partitionBy("band", "delta_id").parquet(self.postings_path)
-
-    def _fs(self):
-        jvm = self.spark._jvm
-        HPath = jvm.org.apache.hadoop.fs.Path
-        fs = HPath(self.base_path).getFileSystem(
-            self.spark._jsc.hadoopConfiguration()
-        )
-        return fs, HPath
 
     def bootstrap(self, docs: DataFrame, delta_id: str = "bootstrap") -> None:
         """Build the index from the landed corpus (one-time full pass).
@@ -808,36 +762,13 @@ class MinHashIndex:
         (a string-keyed store accepts long takedowns and vice versa
         where the cast is faithful); a cast that nulls any id fails
         loudly instead of landing tombstones every probe read would
-        then choke on (round-10 ADVICE, low #1)."""
+        then choke on (round-10 ADVICE, low #1). (Landing mechanics:
+        StoreKernel.forget.)"""
         self._require_format()
-        target = self._rel_schema("arrays")["doc_id"].dataType
-        cols = doc_ids.columns
-        ids = (
-            doc_ids.select("doc_id")
-            if "doc_id" in cols
-            else doc_ids.select(F.col(cols[0]).alias("doc_id"))
-        ).distinct()
-        if ids.schema["doc_id"].dataType != target:
-            # try_cast, not cast: under ANSI (the session default) a
-            # malformed value would ABORT the job mid-write — the null
-            # check below is the loud, pre-write failure we want
-            ids = ids.select(F.col("doc_id").try_cast(target).alias("doc_id"))
-            if ids.filter(F.col("doc_id").isNull()).limit(1).count():
-                raise TypeError(
-                    "forget(): doc_ids could not be cast losslessly to "
-                    f"the index's doc_id type {target.simpleString()} "
-                    f"({self.base_path}) — at least one id cast to null"
-                )
-        fs, HPath = self._fs()
-        fs.delete(HPath(f"{self.deleted_path}/forget_id={forget_id}"), True)
-        (
-            ids.withColumn("forget_id", F.lit(forget_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("forget_id")
-            .parquet(self.deleted_path)
-        )
-        self._deleted_cache = _UNSET
+        StoreKernel.forget(self, doc_ids, forget_id)
+
+    def _tombstone_key_type(self):
+        return self._rel_schema("arrays")["doc_id"].dataType
 
     def _deleted_docs(self) -> tuple[DataFrame | None, bool]:
         """(distinct tombstoned doc_ids | None, fits-a-broadcast) —
@@ -850,37 +781,9 @@ class MinHashIndex:
         leave `_SUCCESS` markers), so presence is judged by
         `forget_id=` partitions, not by the directory. The boolean is
         a byte bound (MH_TOMBSTONE_BROADCAST_BYTES) deciding whether
-        probes may FORCE a broadcast of the set."""
-        if self._deleted_cache is not _UNSET:
-            return self._deleted_cache
-        fs, HPath = self._fs()
-        self._deleted_listings += 1
-        root = HPath(self.deleted_path)
-        if not fs.exists(root) or not any(
-            st.isDirectory() and st.getPath().getName().startswith("forget_id=")
-            for st in fs.listStatus(root)
-        ):
-            self._deleted_cache = (None, True)
-            return self._deleted_cache
-        total = sum(
-            st.getLen() for st in _iter_files(fs, HPath, self.deleted_path)
-        )
-        from pyspark.sql.types import StringType, StructField, StructType
-
-        schema = StructType(
-            [
-                self._rel_schema("arrays")["doc_id"],
-                StructField("forget_id", StringType()),
-            ]
-        )
-        df = (
-            self.spark.read.schema(schema)
-            .parquet(self.deleted_path)
-            .select("doc_id")
-            .distinct()
-        )
-        self._deleted_cache = (df, total <= MH_TOMBSTONE_BROADCAST_BYTES)
-        return self._deleted_cache
+        probes may FORCE a broadcast of the set. (Mechanics:
+        StoreKernel._deleted_keys.)"""
+        return self._deleted_keys()
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -977,18 +880,6 @@ class MinHashIndex:
             dirs = [f"{path}/delta_id={delta_id}"]
         return [d for d in dirs if fs.exists(HPath(d))]
 
-    def _partition_fingerprint(self, path: str) -> list:
-        """Sorted [name, mtime, size] of the data files under `path` —
-        an identity for 'this partition's content, as of now'. A
-        re-land of the same partition writes fresh part-file names, so
-        any overwrite changes the fingerprint even within one mtime
-        granule (object-store seconds)."""
-        fs, HPath = self._fs()
-        return sorted(
-            [st.getPath().getName(), int(st.getModificationTime()), int(st.getLen())]
-            for st in _iter_files(fs, HPath, path)
-        )
-
     def _fold_plan(self, purge: bool = False) -> dict:
         """Decide what this fold touches: per relation, the delta_ids
         that are BOTH marker-landed and present as partitions. Unmarked
@@ -1022,13 +913,6 @@ class MinHashIndex:
         folded["pairs"] = pl if len(pl) >= floor else []
         plan = {"gen": f"gen-{uuid.uuid4().hex[:8]}", "folded": folded}
         if purge:
-            fs, HPath = self._fs()
-            ids = []
-            if fs.exists(HPath(self.deleted_path)):
-                for st in fs.listStatus(HPath(self.deleted_path)):
-                    name = st.getPath().getName()
-                    if st.isDirectory() and name.startswith("forget_id="):
-                        ids.append(name[len("forget_id="):])
             unmarked = set()
             for rel in ("postings", "arrays"):
                 unmarked |= self._partition_ids(rel) - idx_marked
@@ -1040,12 +924,7 @@ class MinHashIndex:
                 plan["purge"] = {}
                 plan["purge_deferred"] = sorted(unmarked)
             else:
-                plan["purge"] = {
-                    fid: self._partition_fingerprint(
-                        f"{self.deleted_path}/forget_id={fid}"
-                    )
-                    for fid in sorted(ids)
-                }
+                plan["purge"] = self._tombstone_fingerprints()
         return plan
 
     def _fold_write(self, plan: dict, target_bytes: int) -> dict:
@@ -1204,10 +1083,7 @@ class MinHashIndex:
         # until the next purge (round-10 ADVICE, medium). forget()s
         # landed mid-fold under a NEW id are not in the plan and stay
         # by construction.
-        for fid, fp in (plan.get("purge") or {}).items():
-            part = f"{self.deleted_path}/forget_id={fid}"
-            if self._partition_fingerprint(part) == fp:
-                fs.delete(HPath(part), True)
+        self._clear_tombstones_guarded(plan.get("purge") or {})
         self._deleted_cache = _UNSET
         fs.delete(HPath(self.fold_intent_path), False)
         fs.delete(HPath(self.fold_commit_path), False)
@@ -1354,15 +1230,3 @@ class MinHashIndex:
                         "rows": None,
                     }
         return receipt
-
-
-def _iter_files(fs, HPath, path: str):
-    """Recursive data-file statuses under `path` (hidden files skipped)."""
-    if not fs.exists(HPath(path)):
-        return
-    it = fs.listFiles(HPath(path), True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.endswith(".parquet") and not name.startswith(("_", ".")):
-            yield st

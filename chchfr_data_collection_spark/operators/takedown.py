@@ -4,14 +4,18 @@ A real right-to-be-forgotten request names DOCUMENTS; the pipeline
 serves those documents through several independent persisted stores —
 the fuzzy-dedup MinHash index (operators/minhash_index.MinHashIndex),
 the semantic ANN inverted file (streaming/embeddings.
-IvfAssignmentStore), and the dedup-cluster assignment
+IvfAssignmentStore), the compressed PQ code table (streaming/
+embeddings.PqCodesStore — round-11 verdict, next #1: codes are a
+reconstructable representation of the embedding, so they are a serving
+surface, not a cache), and the dedup-cluster assignment
 (operators/component_store.ComponentStore). Forgetting from one store
 while another keeps serving the id is a compliance hole, and each
 store's forget() having its own call shape invites exactly that.
 
-`forget_everywhere` fans ONE id frame out to every store. All three
-stores share the forget contract this module relies on (each enforces
-it locally): accept a single-column DataFrame under any column name,
+`forget_everywhere` fans ONE id frame out to every store. All four
+stores share the forget contract this module relies on (the kernel in
+operators/store_base.py enforces it): accept a single-column DataFrame
+under any column name,
 try_cast the ids to the store's pinned key type (loud failure on lossy
 casts), land a retry-idempotent tombstone partition keyed by
 forget_id, and mask every subsequent read immediately — byte-level

@@ -2256,10 +2256,13 @@ def streaming_ivf_assign_replay(spark, sf_dir):
     embeddings feed streams through foreachBatch, every arriving vector
     is assigned to its nearest fixed centroid (exact quantized cosine,
     asc-cent_id tie-break — the arithmetic of similarity_ivf_ann's
-    assignment stage), and lands appended to parquet PARTITIONED BY
-    cent_id — the piece a 100 TB pipeline needs between "new crawl
-    lands" and "index serves": the landed layout IS the inverted file,
-    a probe for cell c partition-prunes to `cent_id=c/`.
+    assignment stage), and lands in the IvfAssignmentStore PARTITIONED
+    BY (cent_id, batch_id) — the piece a 100 TB pipeline needs between
+    "new crawl lands" and "index serves": the landed layout IS the
+    inverted file (a probe for cell c partition-prunes to `cent_id=c/`)
+    and each micro-batch REPLACES its own partitions on an
+    at-least-once redelivery (batch-store discipline, round 12), so the
+    maintained index never duplicates rows across crash retries.
 
     Assignment is per-row against a static broadcast dim, so the result
     is independent of micro-batch boundaries and arrival order — the
@@ -2274,6 +2277,8 @@ def streaming_ivf_assign_replay(spark, sf_dir):
         read_embeddings_stream,
     )
 
+    from ..streaming.embeddings import IvfAssignmentStore
+
     cent = ivf_centroids(spark, sf_dir)
     base = tempfile.mkdtemp(prefix=f"ivf_assign_{uuid.uuid4().hex[:8]}_")
     target, ck = f"{base}/index", f"{base}/ck"
@@ -2281,10 +2286,10 @@ def streaming_ivf_assign_replay(spark, sf_dir):
         read_embeddings_stream(spark, sf_dir), cent, target, ck
     )
     q.awaitTermination()
-    # cent_id rides back as a partition directory (inferred int) —
-    # restore the dim's long type for the cross-engine compare
-    return spark.read.parquet(target).select(
-        "vec_id", F.col("cent_id").cast("long").alias("cent_id"), "cos_c"
+    # the store's pinned read schema keeps cent_id a long; batch_id (the
+    # write log) is internal to the store, not part of the result shape
+    return IvfAssignmentStore(spark, target).read().select(
+        "vec_id", "cent_id", "cos_c"
     )
 
 
@@ -2450,12 +2455,7 @@ def _ivf_store_cached(spark, sf_dir):
     base = tempfile.mkdtemp(prefix=f"ivf_store_{_uuid.uuid4().hex[:8]}_")
     store = IvfAssignmentStore(spark, base)
     emb = T(spark, sf_dir, "embeddings", parallel=True)
-    (
-        ivf_assign(emb, ivf_centroids(spark, sf_dir))
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(store.assign_path)
-    )
+    store.bootstrap(ivf_assign(emb, ivf_centroids(spark, sf_dir)))
     holder._cached = (key, store)
     return store
 
@@ -4569,12 +4569,14 @@ def streaming_pq_encode_replay(spark, sf_dir):
         read_embeddings_stream,
     )
 
+    from ..streaming.embeddings import PqCodesStore
+
     cent = pq_codebook(spark, sf_dir)
     base = tempfile.mkdtemp(prefix=f"pq_encode_{uuid.uuid4().hex[:8]}_")
     target, ck = f"{base}/codes", f"{base}/ck"
     q = foreach_batch_pq_encode(read_embeddings_stream(spark, sf_dir), cent, target, ck)
     q.awaitTermination()
-    return spark.read.parquet(target).select("vec_id", "j", "code")
+    return PqCodesStore(spark, target).read().select("vec_id", "j", "code")
 
 
 # --------------------------------------------- sparse tf-idf similarity

@@ -1,0 +1,212 @@
+"""BatchAppendStore contracts on the two streaming index stores
+(round-11 verdict, next #2/#3): micro-batch appends are REDELIVERY-
+IDEMPOTENT (a checkpoint-wipe replay of every batch changes nothing —
+the old mode("append") sinks duplicated here), crashed appends are
+invisible until their redelivery replaces them, the landed markers are
+a write log powering history() and time-travel reads, current
+tombstones mask EVERY read (historical included), and purge byte-erases
+history too — no as-of read can resurrect a purged id."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chchfr_data_collection_spark.streaming.embeddings import (
+    IvfAssignmentStore,
+    PqCodesStore,
+    foreach_batch_ivf_assign,
+    foreach_batch_pq_encode,
+    ivf_assign,
+    ivf_centroids,
+    pq_codebook,
+    pq_encode,
+    read_embeddings_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _ivf_rows(df):
+    return {(r.vec_id, r.cent_id, round(r.cos_c, 12)) for r in df.collect()}
+
+
+def _pq_rows(df):
+    return {(r.vec_id, r.j, r.code) for r in df.collect()}
+
+
+def test_ivf_append_redelivery_replaces(spark, tmp_path):
+    """The checkpoint-wipe replay (the r6 sink discipline, now on the
+    index append): delivering every micro-batch a SECOND time leaves
+    the store byte-for-row identical — each batch replaced its own
+    (cent_id, batch_id) partitions instead of appending a duplicate
+    copy. Pre-round-12 this test would find 2x rows."""
+    import shutil
+
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    ck = str(tmp_path / "ck")
+    q = foreach_batch_ivf_assign(
+        read_embeddings_stream(spark, SF_DIR), cent, store.base_path, ck
+    )
+    q.awaitTermination()
+    want = _ivf_rows(store.read())
+    hist = store.history()
+    assert want and hist
+
+    shutil.rmtree(ck)  # lose the checkpoint => every batch redelivers
+    q = foreach_batch_ivf_assign(
+        read_embeddings_stream(spark, SF_DIR), cent, store.base_path, ck
+    )
+    q.awaitTermination()
+    assert _ivf_rows(store.read()) == want, "redelivery duplicated rows"
+    assert store.history() == hist
+    # and the streamed store equals the batch twin exactly
+    assert want == _ivf_rows(ivf_assign(_emb(spark), cent))
+
+
+def test_pq_encode_redelivery_replaces(spark, tmp_path):
+    import shutil
+
+    store = PqCodesStore(spark, str(tmp_path / "pq"))
+    cent = pq_codebook(spark, SF_DIR)
+    ck = str(tmp_path / "ck")
+    q = foreach_batch_pq_encode(
+        read_embeddings_stream(spark, SF_DIR), cent, store.base_path, ck
+    )
+    q.awaitTermination()
+    want = _pq_rows(store.read())
+    assert want
+
+    shutil.rmtree(ck)
+    q = foreach_batch_pq_encode(
+        read_embeddings_stream(spark, SF_DIR), cent, store.base_path, ck
+    )
+    q.awaitTermination()
+    assert _pq_rows(store.read()) == want, "redelivery duplicated codes"
+    assert want == _pq_rows(pq_encode(_emb(spark), cent))
+
+
+def test_crashed_append_invisible_until_redelivered(spark, tmp_path):
+    """A batch that crashes between its data write and its landed
+    marker (intent present, no marker) is excluded from every read;
+    the redelivery of the SAME batch_id replaces the partial partitions
+    and lands the rows exactly once."""
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    store.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 30), cent))
+    base = _ivf_rows(store.read())
+
+    b1 = ivf_assign(_emb(spark).filter(F.col("vec_id") >= 30), cent)
+    real_mark = store._mark_landed
+
+    def crash_on_landed(root, name):
+        if root == store.landed_path and name == "1":
+            raise RuntimeError("crash before marker")
+        real_mark(root, name)
+
+    store._mark_landed = crash_on_landed
+    with pytest.raises(RuntimeError, match="crash before marker"):
+        store.append_batch(b1, 1)
+    store._mark_landed = real_mark
+
+    # the partial batch is on disk but invisible (fresh instance too)
+    assert _ivf_rows(store.read()) == base
+    assert _ivf_rows(IvfAssignmentStore(spark, store.base_path).read()) == base
+    assert store.history() == [0]
+
+    # redelivery replaces the orphan partitions and commits
+    store.append_batch(b1, 1)
+    assert store.history() == [0, 1]
+    got = _ivf_rows(store.read())
+    assert got == _ivf_rows(ivf_assign(_emb(spark), cent))
+
+
+def test_history_and_as_of_reads_with_tombstones(spark, tmp_path):
+    """history() lists committed batches oldest-first; read(as_of_batch)
+    resolves the store as of that delivery; CURRENT tombstones apply to
+    every read, historical included (a takedown outranks an audit); an
+    as_of before the first batch raises."""
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    first = _emb(spark).filter(F.col("vec_id") < 30)
+    store.bootstrap(ivf_assign(first, cent))
+    store.append_batch(ivf_assign(_emb(spark).filter(F.col("vec_id") >= 30), cent), 7)
+    assert store.history() == [0, 7]
+
+    as_of0 = store.read(as_of_batch=0)
+    assert _ivf_rows(as_of0) == _ivf_rows(ivf_assign(first, cent))
+    assert _ivf_rows(store.read(as_of_batch=7)) == _ivf_rows(store.read())
+
+    # a takedown lands NOW; the historical read must not resurface it
+    store.forget(
+        spark.createDataFrame([(9,)], "vec_id: bigint"), "t1"
+    )
+    assert store.read(as_of_batch=0).filter(F.col("vec_id") == 9).count() == 0
+    assert store.read().filter(F.col("vec_id") == 9).count() == 0
+
+    with pytest.raises(ValueError, match="no committed batch"):
+        store.read(as_of_batch=-1)
+
+
+def test_purge_erases_history_too(spark, tmp_path):
+    """purge_forgotten() rewrites the touched leaves IN PLACE (batch_id
+    preserved), so after the purge no read — current or as-of — holds
+    the id, and the raw bytes are gone from every batch partition."""
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    store.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 30), cent))
+    # vec 9 lands AGAIN in a later batch (both partitions hold it)
+    store.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id").isin(9, 35)), cent), 1
+    )
+    store.forget(spark.createDataFrame([(9,)], "vec_id: bigint"), "t1")
+    receipt = store.purge_forgotten()
+    assert receipt["rows_removed"] == 2, "both batches' copies must go"
+    assert receipt["tombstones_cleared"] == ["t1"]
+    raw = spark.read.parquet(store.assign_path)
+    assert raw.filter(F.col("vec_id") == 9).count() == 0, "bytes survived"
+    assert store.read(as_of_batch=0).filter(F.col("vec_id") == 9).count() == 0
+    assert store.history() == [0, 1], "purge must not rewrite the write log"
+
+
+def test_pq_store_forget_purge_and_time_travel(spark, tmp_path):
+    """The PQ store's lifecycle end-to-end: forget masks reads (all
+    PQ_M code rows of the vector), purge byte-erases only the batch
+    partitions holding them with a counted verify, history survives,
+    and as-of reads never resurrect the id."""
+    store = PqCodesStore(spark, str(tmp_path / "pq"))
+    cent = pq_codebook(spark, SF_DIR)
+    store.bootstrap(pq_encode(_emb(spark).filter(F.col("vec_id") < 30), cent))
+    store.append_batch(
+        pq_encode(_emb(spark).filter(F.col("vec_id") >= 30), cent), 1
+    )
+    n_all = store.read().count()
+    store.forget(spark.createDataFrame([(9,), (35,)], "vec_id: bigint"), "t1")
+    masked = store.read()
+    assert masked.filter(F.col("vec_id").isin(9, 35)).count() == 0
+    assert masked.count() == n_all - 2 * 16  # PQ_M code rows per vector
+
+    import pathlib
+
+    before = {
+        p.name
+        for p in pathlib.Path(store.codes_path).glob("batch_id=*/*.parquet")
+    }
+    receipt = store.purge_forgotten()
+    assert receipt["rows_removed"] == 2 * 16
+    assert receipt["cells_rewritten"] == 2  # both batch partitions touched
+    assert receipt["tombstones_cleared"] == ["t1"]
+    raw = spark.read.parquet(store.codes_path)
+    assert raw.filter(F.col("vec_id").isin(9, 35)).count() == 0
+    assert store.read().count() == n_all - 2 * 16
+    assert store.read(as_of_batch=0).filter(F.col("vec_id") == 9).count() == 0
+    after = {
+        p.name
+        for p in pathlib.Path(store.codes_path).glob("batch_id=*/*.parquet")
+    }
+    assert before != after, "purge did not rewrite the touched partitions"

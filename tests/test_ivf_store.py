@@ -3,7 +3,7 @@ tombstones mask every read immediately (re-arrivals included), purge
 byte-erases ONLY the cells that hold tombstoned rows (untouched cells
 keep their exact files), a forget landing mid-purge survives the
 tombstone clearing, and one forget_everywhere() call erases an id from
-all three serving indexes (MinHash, IVF, ComponentStore)."""
+all four serving stores (MinHash, IVF, PQ codes, ComponentStore)."""
 
 from __future__ import annotations
 
@@ -25,13 +25,7 @@ def _emb(spark):
 
 def _build_store(spark, base) -> IvfAssignmentStore:
     store = IvfAssignmentStore(spark, str(base))
-    cent = ivf_centroids(spark, SF_DIR)
-    (
-        ivf_assign(_emb(spark), cent)
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(store.assign_path)
-    )
+    store.bootstrap(ivf_assign(_emb(spark), ivf_centroids(spark, SF_DIR)))
     return store
 
 
@@ -61,13 +55,10 @@ def test_forget_masks_reads_and_rearrival(spark, tmp_path):
     fresh = IvfAssignmentStore(spark, store.base_path)
     assert fresh.read().filter(F.col("vec_id") % 16 == 9).count() == 0
     # re-arrival: the maintenance loop appends the forgotten vectors
-    # again — bytes land, reads stay masked
+    # again (a later batch) — bytes land, reads stay masked
     cent = ivf_centroids(spark, SF_DIR)
-    (
-        ivf_assign(_emb(spark).filter(F.col("vec_id") % 16 == 9), cent)
-        .write.mode("append")
-        .partitionBy("cent_id")
-        .parquet(store.assign_path)
+    store.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") % 16 == 9), cent), 1
     )
     assert store.read().filter(F.col("vec_id") % 16 == 9).count() == 0
 
@@ -150,7 +141,9 @@ def test_forget_landing_mid_purge_survives_clearing(spark, tmp_path):
     store._partition_fingerprint = fp_with_race
     receipt = store.purge_forgotten()
     store._partition_fingerprint = real_fp
-    assert receipt["tombstones_cleared"] == ["t1"]  # planned, but...
+    # the receipt reports what was ACTUALLY cleared: the extended
+    # partition's fingerprint changed, so nothing was
+    assert receipt["tombstones_cleared"] == []
     deleted = store._deleted_vecs()[0]
     assert deleted is not None, "late forget was silently un-forgotten"
     assert {r.vec_id for r in deleted.collect()} == {9, 25}
@@ -168,19 +161,26 @@ def test_forget_landing_mid_purge_survives_clearing(spark, tmp_path):
 
 def test_forget_everywhere_erases_from_all_stores(spark, tmp_path):
     """One takedown call → the id is gone from the MinHash probe, the
-    IVF read, AND the ComponentStore labels; a store failing mid-fanout
-    leaves a partial forget that the SAME call retried completes
-    (idempotent-by-replacement on every store)."""
+    IVF read, the PQ code table, AND the ComponentStore labels; a store
+    failing mid-fanout leaves a partial forget that the SAME call
+    retried completes (idempotent-by-replacement on every store)."""
     from chchfr_data_collection_spark.operators.component_store import (
         ComponentStore,
     )
     from chchfr_data_collection_spark.operators.minhash_index import MinHashIndex
     from chchfr_data_collection_spark.operators.takedown import forget_everywhere
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        PqCodesStore,
+        pq_codebook,
+        pq_encode,
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     mh = MinHashIndex(spark, str(tmp_path / "mh"))
     mh.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
     ivf = _build_store(spark, tmp_path / "ivf")
+    pq = PqCodesStore(spark, str(tmp_path / "pq"))
+    pq.bootstrap(pq_encode(_emb(spark), pq_codebook(spark, SF_DIR)))
     cs = ComponentStore(spark, str(tmp_path / "cs"))
     cs.bootstrap(
         spark.createDataFrame([(1, 2), (2, 3), (9, 10)], "da: bigint, db: bigint")
@@ -201,16 +201,17 @@ def test_forget_everywhere_erases_from_all_stores(spark, tmp_path):
 
     ivf.forget = flaky
     with pytest.raises(IOError, match="simulated store outage"):
-        forget_everywhere(ids, "req-1", mh, ivf, cs)
+        forget_everywhere(ids, "req-1", mh, ivf, pq, cs)
     # partial state: MinHash already masked, IVF not yet
     assert ivf._deleted_vecs()[0] is None or state["failed"]
-    done = forget_everywhere(ids, "req-1", mh, ivf, cs)  # retry completes
+    done = forget_everywhere(ids, "req-1", mh, ivf, pq, cs)  # retry completes
     ivf.forget = real_forget
     # audit keys carry the base path: two stores of one class must not
     # collapse to a single audit entry (round-11 ADVICE, low)
     assert done == {
         f"MinHashIndex@{mh.base_path}": "ok",
         f"IvfAssignmentStore@{ivf.base_path}": "ok",
+        f"PqCodesStore@{pq.base_path}": "ok",
         f"ComponentStore@{cs.base_path}": "ok",
     }
 
@@ -219,6 +220,7 @@ def test_forget_everywhere_erases_from_all_stores(spark, tmp_path):
         p.filter((F.col("da") % 16 == 9) | (F.col("db") % 16 == 9)).count() == 0
     )
     assert ivf.read().filter(F.col("vec_id") % 16 == 9).count() == 0
+    assert pq.read().filter(F.col("vec_id") % 16 == 9).count() == 0
     assert not {
         n for n, _ in ((r.node, r.component) for r in cs.labels().collect())
     } & {9, 25, 41}
@@ -255,13 +257,7 @@ def test_purge_erases_fully_tombstoned_cell_and_empty_store_reads(spark, tmp_pat
 
     # total purge: every vector tombstoned -> empty store, working reads
     total = IvfAssignmentStore(spark, str(tmp_path / "ivf2"))
-    cent = ivf_centroids(spark, SF_DIR)
-    (
-        ivf_assign(_emb(spark), cent)
-        .write.mode("overwrite")
-        .partitionBy("cent_id")
-        .parquet(total.assign_path)
-    )
+    total.bootstrap(ivf_assign(_emb(spark), ivf_centroids(spark, SF_DIR)))
     total.forget(_emb(spark).select("vec_id"), "all")
     total.purge_forgotten()
     assert total.read().count() == 0
@@ -285,7 +281,7 @@ def test_streaming_append_with_lease_fences_and_matches(spark, tmp_path):
     q = foreach_batch_ivf_assign(
         read_embeddings_stream(spark, SF_DIR),
         cent,
-        store.assign_path,
+        store.base_path,
         str(tmp_path / "ck"),
         lease=True,
     )
