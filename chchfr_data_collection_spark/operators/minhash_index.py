@@ -272,6 +272,15 @@ class MinHashIndex(StoreKernel):
         # insert's partitions are invisible to the fold by construction.
         self.landed_path = f"{self.base_path}/_landed"
         self.landed_pairs_path = f"{self.base_path}/_landed_pairs"
+        # pairs write log: `_log/<seq8>.<delta_id>` appended when a
+        # pairs snapshot commits — the ordered delivery history behind
+        # history() / pairs_as_of() (round-11 verdict, next #3). The
+        # high-water mark persists the largest seq ever ISSUED: folds
+        # and prunes delete entries, and a fresh max()+1 over the
+        # survivors would re-issue old seqs, silently reordering
+        # history.
+        self.log_path = f"{self.base_path}/_log"
+        self.log_hwm_path = f"{self.base_path}/_log_hwm.json"
         # tombstones: delta_ids whose rows a fold re-keyed into a
         # generation — a late same-id retry must fail fast, not land a
         # second copy beside the folded one
@@ -514,6 +523,8 @@ class MinHashIndex(StoreKernel):
         # previous generation's lifecycle metadata goes with it
         fs.delete(HPath(self.landed_path), True)
         fs.delete(HPath(self.landed_pairs_path), True)
+        fs.delete(HPath(self.log_path), True)
+        fs.delete(HPath(self.log_hwm_path), False)
         fs.delete(HPath(self.folded_path), True)
         fs.delete(HPath(self.fold_intent_path), False)
         fs.delete(HPath(self.fold_commit_path), False)
@@ -718,6 +729,7 @@ class MinHashIndex(StoreKernel):
         # snapshot is advertised only once it exists
         self._mark_landed(self.landed_path, delta_id)
         self._mark_landed(self.landed_pairs_path, delta_id)
+        self._log_pairs_landed(delta_id)
         return (
             spark.read.schema(snap_schema)
             .parquet(self.pairs_path)
@@ -785,6 +797,123 @@ class MinHashIndex(StoreKernel):
         StoreKernel._deleted_keys.)"""
         return self._deleted_keys()
 
+    # -- write log / time travel -----------------------------------------------
+
+    def _log_entries(self) -> dict:
+        """{seq: delta_id} of committed pairs snapshots, parsed from
+        the `_log/<seq8>.<delta_id>` markers."""
+        fs, HPath = self._fs()
+        out = {}
+        if fs.exists(HPath(self.log_path)):
+            for st in fs.listStatus(HPath(self.log_path)):
+                name = st.getPath().getName()
+                if st.isFile() and len(name) > 9 and name[:8].isdigit():
+                    out[int(name[:8])] = name[9:]
+        return out
+
+    def _log_pairs_landed(self, delta_id: str) -> int:
+        """Append the write-log entry for a just-committed pairs
+        snapshot. A RETRY of the same delta_id replaces its entry under
+        a FRESH seq — the retry recomputed its pairs against the
+        CURRENT index (which may hold snapshots landed after the first
+        attempt), so keeping the old, lower seq would order it before
+        state it was computed from (the ComponentStore fresh-seq
+        rule)."""
+        fs, HPath = self._fs()
+        entries = self._log_entries()
+        for seq, did in entries.items():
+            if did == delta_id:
+                fs.delete(HPath(f"{self.log_path}/{seq:08d}.{did}"), False)
+        hwm = self._read_json(self.log_hwm_path)
+        prior = int(hwm["hwm"]) if isinstance(hwm, dict) else 0
+        seq = max(max(entries, default=0), prior) + 1
+        if seq > 99_999_999:
+            raise RuntimeError(
+                f"MinHash index at {self.base_path} exhausted its "
+                "8-digit pairs-log seq space — compact() and "
+                "prune_pairs() fold history and keep it bounded."
+            )
+        self._write_json(self.log_hwm_path, {"hwm": seq})
+        fs.create(HPath(f"{self.log_path}/{seq:08d}.{delta_id}"), True).close()
+        return seq
+
+    def _unlog_pairs(self, delta_id: str) -> None:
+        fs, HPath = self._fs()
+        for seq, did in self._log_entries().items():
+            if did == delta_id:
+                fs.delete(HPath(f"{self.log_path}/{seq:08d}.{did}"), False)
+
+    def history(self) -> list:
+        """The committed pairs-snapshot log, oldest first:
+        [(seq, delta_id)] — each entry a point `pairs_as_of(seq)` can
+        read, until compact() or prune_pairs() collapses it (VACUUM
+        semantics, loud failure past the fold)."""
+        return sorted(self._log_entries().items())
+
+    def pairs_as_of(self, as_of_seq: int) -> DataFrame:
+        """TIME-TRAVEL read of the verified-pairs store: the union of
+        pairs snapshots committed at or before `as_of_seq` — the index's
+        probe OUTPUT exactly as it stood after that delivery, the audit
+        surface behind "which crawl batch first surfaced this near-dup
+        pair" (round-11 verdict, next #3; the ComponentStore
+        labels(as_of_seq) contract on this store).
+
+        Two deliberate bounds, shared with every as-of read in this
+        repo: CURRENT tombstones apply — no pair touching a forgotten
+        doc on either side is returned, historical reads included (a
+        takedown outranks an audit) — and compact()/prune_pairs()
+        collapse history (the fold re-keys snapshots into one
+        generation), so an as_of_seq whose snapshots no longer exist
+        raises instead of silently resolving a partial state."""
+        self._require_format()
+        hist = self.history()
+        eligible = [d for q, d in hist if q <= as_of_seq]
+        if not eligible:
+            raise ValueError(
+                f"no committed pairs snapshot at or before seq "
+                f"{as_of_seq} in {self.base_path} — it predates the "
+                "store's log, or compact()/prune_pairs() folded that "
+                "history into a newer generation"
+            )
+        live = self._landed_ids(self.landed_pairs_path)
+        gone = sorted(set(eligible) - live)
+        if gone:
+            raise ValueError(
+                f"pairs snapshots {gone} were folded into a newer "
+                f"generation (compact) or pruned — the state as of seq "
+                f"{as_of_seq} is no longer reconstructible in "
+                f"{self.base_path}"
+            )
+        from pyspark.sql.types import (
+            DoubleType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        doc_t = self._rel_schema("arrays")["doc_id"].dataType
+        schema = StructType(
+            [
+                StructField("da", doc_t),
+                StructField("db", doc_t),
+                StructField("jaccard", DoubleType()),
+                StructField("delta_id", StringType()),
+            ]
+        )
+        df = (
+            self.spark.read.schema(schema)
+            .parquet(self.pairs_path)
+            .where(F.col("delta_id").isin(eligible))
+            .drop("delta_id")
+        )
+        deleted, small = self._deleted_docs()
+        if deleted is not None:
+            excl = F.broadcast(deleted) if small else deleted
+            df = df.join(
+                excl.select(F.col("doc_id").alias("da")), "da", "left_anti"
+            ).join(excl.select(F.col("doc_id").alias("db")), "db", "left_anti")
+        return df
+
     # -- lifecycle -------------------------------------------------------------
 
     def finalize_delta(self, delta_id: str) -> None:
@@ -815,11 +944,13 @@ class MinHashIndex(StoreKernel):
                     self._unmark_landed(
                         self.landed_pairs_path, name[len("delta_id="):]
                     )
+                    self._unlog_pairs(name[len("delta_id="):])
                     removed += 1
             return removed
         for did in delta_ids:
             if fs.delete(HPath(f"{self.pairs_path}/delta_id={did}"), True):
                 self._unmark_landed(self.landed_pairs_path, did)
+                self._unlog_pairs(did)
                 removed += 1
         return removed
 
@@ -1067,6 +1198,10 @@ class MinHashIndex(StoreKernel):
                 self._unmark_landed(self.landed_path, did)
         for did in folded["pairs"]:
             self._unmark_landed(self.landed_pairs_path, did)
+            # the fold collapses these snapshots' history into the
+            # generation: retire their log entries (pairs_as_of of a
+            # pre-fold seq now fails loudly — VACUUM semantics)
+            self._unlog_pairs(did)
         empty = set(plan.get("empty", []))
         if (folded["postings"] and "postings" not in empty) or (
             folded["arrays"] and "arrays" not in empty
@@ -1074,6 +1209,7 @@ class MinHashIndex(StoreKernel):
             self._mark_landed(self.landed_path, gen)
         if folded["pairs"] and "pairs" not in empty:
             self._mark_landed(self.landed_pairs_path, gen)
+            self._log_pairs_landed(gen)
         # a purge fold clears exactly the tombstones it planned against
         # (recorded in the manifest, so crash recovery replays this) —
         # and only while their content fingerprint is UNCHANGED: a

@@ -871,3 +871,51 @@ def test_cross_instance_forget_lands_in_compact_purge(spark, tmp_path):
     # and the docs stay gone from a fresh probe
     p = idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), "d2")
     assert p.filter((F.col("da") % 16 == 1) | (F.col("db") % 16 == 1)).count() == 0
+
+
+def test_pairs_time_travel_history_and_tombstones(spark, tmp_path):
+    """The pairs write log (round-11 next #3): history() orders
+    committed snapshots; pairs_as_of(seq) reproduces the probe output
+    as of that delivery; CURRENT tombstones mask historical reads; an
+    as_of before the log raises; compact() collapses history into the
+    generation (VACUUM — the pre-fold seq fails loudly, the gen's seq
+    serves the union)."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    p1 = _pairs(idx.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 0), "d1"))
+    p2 = _pairs(idx.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 4), "d2"))
+    assert p1 and p2
+    hist = idx.history()
+    assert [d for _, d in hist] == ["d1", "d2"]
+    s1, s2 = hist[0][0], hist[1][0]
+    assert _pairs(idx.pairs_as_of(s1)) == p1
+    assert _pairs(idx.pairs_as_of(s2)) == p1 | p2
+
+    # a takedown lands NOW: no historical read may resurface its pairs
+    idx.forget(docs.filter(F.col("doc_id") % 16 == 8).select("doc_id"), "t1")
+    want1 = {
+        (da, db, j) for da, db, j in p1 if da % 16 != 8 and db % 16 != 8
+    }
+    assert want1 != p1, "fixture: the takedown slice must touch d1 pairs"
+    assert _pairs(idx.pairs_as_of(s1)) == want1
+
+    with pytest.raises(ValueError, match="predates"):
+        idx.pairs_as_of(s1 - 1)
+
+    # retried probe replaces its snapshot under a FRESH (later) seq
+    idx.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 0), "d1")
+    assert [d for _, d in idx.history()] == ["d2", "d1"]
+
+    # compact folds both snapshots into one generation
+    idx.compact()
+    hist = idx.history()
+    assert len(hist) == 1 and hist[0][1].startswith("gen-")
+    with pytest.raises(ValueError, match="folded"):
+        idx.pairs_as_of(s1)
+    masked_union = {
+        (da, db, j)
+        for da, db, j in p1 | p2
+        if da % 16 != 8 and db % 16 != 8
+    }
+    assert _pairs(idx.pairs_as_of(hist[0][0])) == masked_union
