@@ -395,6 +395,11 @@ class BatchAppendStore(StoreKernel):
 
     # -- lifecycle ---------------------------------------------------------------
 
+    def _recover(self) -> None:
+        """Hook for subclasses with their own two-phase maintenance
+        (e.g. the IVF store's retrain swap): called under the lease at
+        the top of purge_forgotten(). Default: nothing to recover."""
+
     def purge_forgotten(self) -> dict:
         """Byte-erase tombstoned rows from the leaf partitions that
         hold them — historical batches included, so no as-of read can
@@ -415,6 +420,7 @@ class BatchAppendStore(StoreKernel):
         key = self.TOMBSTONE_KEY
         part_cols = [*self.CELL_COLS, "batch_id"]
         with WriterLease(self.spark, self.base_path):
+            self._recover()  # roll forward a crashed maintenance swap
             self._deleted_cache = _UNSET  # re-list under the lease
             deleted, _ = self._deleted_keys()
             if deleted is None:

@@ -210,3 +210,126 @@ def test_pq_store_forget_purge_and_time_travel(spark, tmp_path):
         for p in pathlib.Path(store.codes_path).glob("batch_id=*/*.parquet")
     }
     assert before != after, "purge did not rewrite the touched partitions"
+
+
+def _trained_want(spark, serving_filter=None):
+    """(vec_id, cent_id) of a fresh 2-iteration trained assignment over
+    the fixture corpus (optionally filtered) — the retrain contract."""
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        train_centroids,
+    )
+    from chchfr_data_collection_spark.functions import vectors as V
+    from pyspark.sql.window import Window as W
+
+    emb = _emb(spark)
+    if serving_filter is not None:
+        emb = emb.filter(serving_filter)
+    vecs = emb.select("vec_id", V.quantize("embedding").alias("qv"))
+    cent = train_centroids(vecs, 2)
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))
+    return {
+        (r.vec_id, r.cent_id)
+        for r in vecs.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+
+
+def test_retrain_migrates_drops_tombstones_preserves_history(spark, tmp_path):
+    """retrain() rewrites the store to the trained geometry over the
+    SERVING corpus: tombstoned rows are byte-dropped by the migration
+    (their tombstones stay active for re-arrivals), batch lineage is
+    preserved row-by-row (history and as-of reads survive), and the
+    result equals a fresh trained bootstrap on the reduced corpus."""
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    store.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 400), cent))
+    store.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 400), cent), 1
+    )
+    store.forget(spark.createDataFrame([(9,)], "vec_id: bigint"), "t1")
+
+    receipt = store.retrain(_emb(spark), 2)
+    assert receipt["rows"] == _emb(spark).count() - 1
+
+    got = {(r.vec_id, r.cent_id) for r in store.read().collect()}
+    assert got == _trained_want(spark, F.col("vec_id") != 9)
+    raw = spark.read.parquet(store.assign_path)
+    assert raw.filter(F.col("vec_id") == 9).count() == 0, (
+        "migration must byte-drop tombstoned rows"
+    )
+    assert store._deleted_vecs()[0] is not None, (
+        "tombstones must stay active across a retrain (re-arrival mask)"
+    )
+    assert store.history() == [0, 1], "retrain must preserve the write log"
+    as_of0 = store.read(as_of_batch=0)
+    assert {r.vec_id for r in as_of0.collect()} == {
+        int(v)
+        for v in range(400)
+        if v != 9 and v < 400
+    } & {r.vec_id for r in raw.collect()}, "as-of slice drifted"
+    # a later purge finds nothing to rewrite and just clears
+    receipt2 = store.purge_forgotten()
+    assert receipt2["cells_rewritten"] == 0
+    assert receipt2["tombstones_cleared"] == ["t1"]
+
+
+def test_retrain_crash_windows_and_inflight_refusal(spark, tmp_path):
+    """Verify-then-swap crash safety: a crash BEFORE the commit
+    manifest leaves the live store byte-untouched (roll back); a crash
+    AFTER it mid-swap is rolled forward by the next maintenance call
+    on a fresh instance; and retrain() refuses while an append is in
+    flight."""
+    import pathlib
+
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    store.bootstrap(ivf_assign(_emb(spark), cent))
+    seed_rows = {(r.vec_id, r.cent_id) for r in store.read().collect()}
+
+    # crash BEFORE the commit manifest
+    real_wj = store._write_json
+
+    def boom_pre(path, obj):
+        if path == store._retrain_commit_path:
+            raise RuntimeError("crash pre-commit")
+        real_wj(path, obj)
+
+    store._write_json = boom_pre
+    with pytest.raises(RuntimeError, match="crash pre-commit"):
+        store.retrain(_emb(spark), 2)
+    store._write_json = real_wj
+    assert {(r.vec_id, r.cent_id) for r in store.read().collect()} == seed_rows
+
+    # crash AFTER the commit manifest, before the swap
+    real_fin = store._finish_retrain
+
+    def boom_post():
+        raise RuntimeError("crash post-commit")
+
+    store._finish_retrain = boom_post
+    with pytest.raises(RuntimeError, match="crash post-commit"):
+        store.retrain(_emb(spark), 2)
+    store._finish_retrain = real_fin
+    assert pathlib.Path(store._retrain_commit_path).exists()
+
+    # a FRESH instance's next maintenance call rolls the swap forward
+    fresh = IvfAssignmentStore(spark, store.base_path)
+    fresh.purge_forgotten()
+    assert not pathlib.Path(fresh._retrain_commit_path).exists()
+    got = {(r.vec_id, r.cent_id) for r in fresh.read().collect()}
+    assert got == _trained_want(spark)
+    assert fresh.centroids().count() == 8
+
+    # in-flight append refusal
+    fresh._mark_landed(fresh.intent_path, "7")
+    with pytest.raises(RuntimeError, match="in flight"):
+        fresh.retrain(_emb(spark), 2)
+    fresh._unmark_landed(fresh.intent_path, "7")
