@@ -866,6 +866,21 @@ class MinHashIndex(StoreKernel):
         generation), so an as_of_seq whose snapshots no longer exist
         raises instead of silently resolving a partial state."""
         self._require_format()
+        # a pending fold manifest means the pairs sources may be mid-
+        # rewrite (a crashed compact() not yet recovered): the glob
+        # this read does could see partially deleted partitions. The
+        # probe path resolves this through _fold_read_exclusions; for
+        # an audit read the honest answer is "recover first" (round-12
+        # self-review, medium).
+        if (
+            self._read_json(self.fold_commit_path) is not None
+            or self._read_json(self.fold_intent_path) is not None
+        ):
+            raise RuntimeError(
+                f"pairs_as_of(): a fold manifest is pending on "
+                f"{self.base_path} (compact() crashed or is running) — "
+                "run compact() to recover, then retry the audit read."
+            )
         hist = self.history()
         eligible = [d for q, d in hist if q <= as_of_seq]
         if not eligible:

@@ -345,14 +345,21 @@ class BatchAppendStore(StoreKernel):
         self._mark_landed(self.landed_path, str(bid))
         self._unmark_landed(self.intent_path, str(bid))
 
+    def _bootstrap_extra_paths(self) -> tuple:
+        """Subclass maintenance state a (re)bootstrap must also clear
+        (e.g. the IVF store's trained centroids and retrain manifest —
+        a new corpus must not inherit the previous generation's
+        geometry; round-12 self-review, medium)."""
+        return ()
+
     def bootstrap(self, df: DataFrame) -> None:
         """(Re)initialize the store from a batch frame: clears every
-        prior generation, tombstone, and marker, then lands the corpus
-        as batch 0 — the batch twin of the streaming maintenance loop's
-        first delivery."""
+        prior generation, tombstone, marker, and subclass maintenance
+        state, then lands the corpus as batch 0 — the batch twin of
+        the streaming maintenance loop's first delivery."""
         fs, HPath = self._fs()
         for p in (self.data_path, self.landed_path, self.intent_path,
-                  self.deleted_path):
+                  self.deleted_path, *self._bootstrap_extra_paths()):
             fs.delete(HPath(p), True)
         self._deleted_cache = _UNSET
         self.append_batch(df, 0)
@@ -425,8 +432,22 @@ class BatchAppendStore(StoreKernel):
             deleted, _ = self._deleted_keys()
             if deleted is None:
                 return {"cells_rewritten": 0, "rows_removed": 0,
-                        "tombstones_cleared": []}
-            fids = self._tombstone_fingerprints()
+                        "tombstones_cleared": [], "purge_deferred": []}
+            # DEFER the tombstone clearing while any append is in
+            # flight (intent without marker): its partial partitions
+            # are invisible to this purge's scan, but the REDELIVERY
+            # deterministically re-lands the same rows — forgotten ids
+            # included — and with the tombstones cleared those rows
+            # would serve (round-12 self-review, high; the MinHash/
+            # ComponentStore purge-deferral contract on this layout).
+            # Committed leaves are still rewritten below — result-level
+            # erasure holds — and the receipt surfaces the deferral.
+            in_flight = sorted(
+                b
+                for b in self._landed_ids(self.intent_path)
+                if b not in self._landed_ids(self.landed_path)
+            )
+            fids = {} if in_flight else self._tombstone_fingerprints()
             deleted = deleted.persist()
             try:
                 full = self._data_read()
@@ -443,7 +464,8 @@ class BatchAppendStore(StoreKernel):
                 if not hit:
                     cleared = self._clear_tombstones_guarded(fids)
                     return {"cells_rewritten": 0, "rows_removed": 0,
-                            "tombstones_cleared": sorted(cleared)}
+                            "tombstones_cleared": sorted(cleared),
+                            "purge_deferred": in_flight}
                 touched = [tuple(int(r[c]) for c in part_cols) for r in hit]
                 drops = {
                     tuple(int(r[c]) for c in part_cols): int(r.drop_n)
@@ -516,4 +538,5 @@ class BatchAppendStore(StoreKernel):
                 "cells_rewritten": len(touched),
                 "rows_removed": rows_removed,
                 "tombstones_cleared": sorted(cleared),
+                "purge_deferred": in_flight,
             }

@@ -183,6 +183,14 @@ class IvfAssignmentStore(BatchAppendStore):
     def _retrain_commit_path(self) -> str:
         return f"{self.base_path}/_retrain_commit.json"
 
+    def _bootstrap_extra_paths(self) -> tuple:
+        return (
+            self.centroids_path,
+            self._retrain_tmp,
+            self._retrain_cent_tmp,
+            self._retrain_commit_path,
+        )
+
     CENT_SCHEMA = T.StructType(
         [
             T.StructField("cent_id", T.LongType()),

@@ -333,3 +333,73 @@ def test_retrain_crash_windows_and_inflight_refusal(spark, tmp_path):
     with pytest.raises(RuntimeError, match="in flight"):
         fresh.retrain(_emb(spark), 2)
     fresh._unmark_landed(fresh.intent_path, "7")
+
+
+def test_purge_defers_clearing_while_append_in_flight(spark, tmp_path):
+    """Round-12 self-review (high): an append in flight (intent, no
+    marker) is invisible to the purge's scan, but its redelivery
+    deterministically re-lands the same rows — so clearing the
+    tombstones would let the forgotten ids serve. The purge must
+    rewrite committed leaves (result-level erasure holds) but DEFER
+    the clearing, surfacing it in the receipt; the next clean purge
+    finishes the job."""
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    store.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 30), cent))
+
+    # batch 1 (holding vec 35) crashes before its landed marker
+    b1 = ivf_assign(_emb(spark).filter(F.col("vec_id") >= 30), cent)
+    real_mark = store._mark_landed
+
+    def crash(root, name):
+        if root == store.landed_path and name == "1":
+            raise RuntimeError("crash")
+        real_mark(root, name)
+
+    store._mark_landed = crash
+    with pytest.raises(RuntimeError):
+        store.append_batch(b1, 1)
+    store._mark_landed = real_mark
+
+    store.forget(
+        spark.createDataFrame([(9,), (35,)], "vec_id: bigint"), "t1"
+    )
+    receipt = store.purge_forgotten()
+    assert receipt["purge_deferred"] == ["1"], "in-flight append not surfaced"
+    assert receipt["tombstones_cleared"] == [], "cleared despite the orphan"
+    assert store._deleted_vecs()[0] is not None
+    # committed leaves still byte-erased (vec 9 lives in batch 0)
+    raw = spark.read.parquet(store.assign_path)
+    assert raw.filter(
+        (F.col("vec_id") == 9) & (F.col("batch_id") == 0)
+    ).count() == 0
+
+    # the redelivery lands vec 35's rows — masked, because the
+    # tombstones survived the deferred purge
+    store.append_batch(b1, 1)
+    assert store.read().filter(F.col("vec_id").isin(9, 35)).count() == 0
+    receipt2 = store.purge_forgotten()
+    assert receipt2["purge_deferred"] == []
+    assert receipt2["tombstones_cleared"] == ["t1"]
+    raw = spark.read.parquet(store.assign_path)
+    assert raw.filter(F.col("vec_id").isin(9, 35)).count() == 0
+
+
+def test_bootstrap_clears_trained_geometry(spark, tmp_path):
+    """Round-12 self-review (medium): a rebootstrap serves a NEW
+    corpus — the previous generation's trained centroids and any
+    retrain manifest must not survive it (a stale _centroids would
+    hand future appends the old geometry)."""
+    import pathlib
+
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    assign = ivf_assign(_emb(spark), cent)
+    store.bootstrap(assign)
+    store.retrain(_emb(spark), 2)
+    assert store.centroids() is not None
+
+    store.bootstrap(assign)
+    assert store.centroids() is None, "stale trained geometry survived"
+    assert not pathlib.Path(store._retrain_commit_path).exists()
+    assert not pathlib.Path(store._retrain_tmp).exists()

@@ -919,3 +919,26 @@ def test_pairs_time_travel_history_and_tombstones(spark, tmp_path):
         if da % 16 != 8 and db % 16 != 8
     }
     assert _pairs(idx.pairs_as_of(hist[0][0])) == masked_union
+
+
+def test_pairs_as_of_refuses_pending_fold(spark, tmp_path):
+    """Round-12 self-review (medium): with a fold manifest pending (a
+    crashed compact() not yet recovered) the pairs glob may see
+    partially deleted sources — the audit read must refuse and point
+    at recovery instead of silently returning a partial history."""
+    docs = _docs(spark)
+    idx = MinHashIndex(spark, str(tmp_path / "idx"))
+    idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    idx.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 0), "d1")
+    s1 = idx.history()[-1][0]
+    assert idx.pairs_as_of(s1).count() >= 0  # clean state reads fine
+
+    idx._write_json(
+        idx.fold_intent_path,
+        {"gen": "gen-dead", "folded": {"postings": [], "arrays": [], "pairs": []}},
+    )
+    with pytest.raises(RuntimeError, match="fold manifest is pending"):
+        idx.pairs_as_of(s1)
+    # recovery (the next compact rolls the intent back) restores reads
+    idx.compact()
+    assert idx.pairs_as_of(idx.history()[-1][0]).count() >= 0
