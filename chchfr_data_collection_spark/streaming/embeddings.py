@@ -102,6 +102,49 @@ def ivf_assign(batch: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def l2_assign(vecs_q: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-TRAINED-centroid assignment: exact integer squared-L2
+    argmin (the k-means metric — a trained index serves the metric it
+    trained under) with the asc-cent_id tie-break, cos_c derived
+    against the ASSIGNED centroid. `vecs_q` carries (vec_id, qv, n2,
+    *extras); extras pass through — retrain() threads batch_id through
+    here, and the post-retrain append path feeds fresh arrivals. Same
+    arithmetic as queries.llm's _ivf_trained_ranked at rank 1, so a
+    migrated-or-appended store is bit-replayable by the kmeans-CTE
+    oracle."""
+    extras = [c for c in vecs_q.columns if c not in ("vec_id", "qv", "n2")]
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dotvc = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    aw = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))
+    return (
+        vecs_q.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            *extras,
+            "cent_id",
+            dist.alias("dist"),
+            (
+                dotvc.cast("double")
+                / (
+                    F.sqrt(F.col("n2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                )
+            ).alias("cos_c"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cos_c", "cent_id", *extras)
+    )
+
+
 # ----------------------------------------------- persisted assignment store
 
 # kept name: the byte bound below which tombstone sets broadcast
@@ -327,37 +370,8 @@ class IvfAssignmentStore(BatchAppendStore):
                         lambda acc, v: acc + v,
                     ),
                 )
-                dist = F.aggregate(
-                    F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v,
-                )
-                dotvc = F.aggregate(
-                    F.zip_with("qv", "cv", lambda x, y: x * y),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v,
-                )
-                aw = W.partitionBy("vec_id").orderBy(
-                    F.asc("dist"), F.asc("cent_id")
-                )
-                rows = (
-                    vecs.crossJoin(F.broadcast(cent))
-                    .select(
-                        "vec_id",
-                        "batch_id",
-                        "cent_id",
-                        dist.alias("dist"),
-                        (
-                            dotvc.cast("double")
-                            / (
-                                F.sqrt(F.col("n2").cast("double"))
-                                * F.sqrt(F.col("cn2").cast("double"))
-                            )
-                        ).alias("cos_c"),
-                    )
-                    .withColumn("rn", F.row_number().over(aw))
-                    .filter(F.col("rn") == 1)
-                    .select("vec_id", "cos_c", "cent_id", "batch_id")
+                rows = l2_assign(vecs, cent).select(
+                    "vec_id", "cos_c", "cent_id", "batch_id"
                 )
                 fs.delete(HPath(self._retrain_tmp), True)
                 (
@@ -429,6 +443,11 @@ def foreach_batch_ivf_assign(
     "production pairs this with a manifest" caveat is gone because it
     is no longer true.
 
+    Geometry-aware: when the store carries TRAINED centroids (a
+    retrain() ran), each micro-batch assigns against them via
+    l2_assign; the caller's `cent` dim is the seed-geometry fallback
+    for never-retrained stores.
+
     `lease=True` fences each micro-batch append with the WriterLease on
     the store root — required when `purge_forgotten()` (which rewrites
     whole leaf partitions under the same lease) can run CONCURRENTLY
@@ -441,7 +460,24 @@ def foreach_batch_ivf_assign(
         store = IvfAssignmentStore(batch.sparkSession, store_base)
 
         def _write() -> None:
-            store.append_batch(ivf_assign(batch, cent), batch_id)
+            # a retrained store's appends must land under the TRAINED
+            # geometry (l2_assign against the persisted centroid dim) —
+            # assigning new arrivals to the stale seed cells would
+            # reopen exactly the drift hole retrain() closes. One
+            # existence check per micro-batch.
+            trained = store.centroids()
+            if trained is None:
+                rows = ivf_assign(batch, cent)
+            else:
+                rows = l2_assign(
+                    batch.select(
+                        "vec_id",
+                        V.quantize("embedding").alias("qv"),
+                        V.dot_exact("embedding", "embedding").alias("n2"),
+                    ),
+                    trained,
+                )
+            store.append_batch(rows, batch_id)
 
         if lease:
             from ..operators.lease import WriterLease

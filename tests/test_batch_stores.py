@@ -403,3 +403,55 @@ def test_bootstrap_clears_trained_geometry(spark, tmp_path):
     assert store.centroids() is None, "stale trained geometry survived"
     assert not pathlib.Path(store._retrain_commit_path).exists()
     assert not pathlib.Path(store._retrain_tmp).exists()
+
+
+def test_appends_after_retrain_use_trained_geometry(spark, tmp_path):
+    """The maintenance loop must not reopen the drift hole retrain()
+    closes: once the store carries trained centroids, a streamed
+    append assigns new arrivals with l2_assign against THEM — the
+    landed rows equal the trained assignment of the new vectors, not
+    the seed-geometry one."""
+    from chchfr_data_collection_spark.streaming.embeddings import l2_assign
+    from chchfr_data_collection_spark.functions import vectors as V
+
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    old_corpus = _emb(spark).filter(F.col("vec_id") < 400)
+    store.bootstrap(ivf_assign(old_corpus, cent))
+    store.retrain(old_corpus, 2)
+    trained = store.centroids()
+    assert trained is not None
+
+    # the new crawl batch arrives through the stream
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        EMBEDDINGS_SCHEMA,
+    )
+
+    feed = str(tmp_path / "feed")
+    _emb(spark).filter(F.col("vec_id") >= 400).write.mode(
+        "overwrite"
+    ).parquet(feed)
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .format("parquet")
+        .load(feed)
+    )
+    q = foreach_batch_ivf_assign(
+        stream, cent, store.base_path, str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+
+    new_q = _emb(spark).filter(F.col("vec_id") >= 400).select(
+        "vec_id",
+        V.quantize("embedding").alias("qv"),
+        V.dot_exact("embedding", "embedding").alias("n2"),
+    )
+    want = {
+        (r.vec_id, r.cent_id, round(r.cos_c, 12))
+        for r in l2_assign(new_q, trained).collect()
+    }
+    got = {
+        (r.vec_id, r.cent_id, round(r.cos_c, 12))
+        for r in store.read().filter(F.col("vec_id") >= 400).collect()
+    }
+    assert got == want, "post-retrain append used the stale seed geometry"
