@@ -122,6 +122,10 @@ HEADLINE = [
     # round 11
     "dedup_cc_incremental_persisted",
     "similarity_ivf_forget_probe",
+    # round 12
+    "similarity_pq_forget_probe",
+    "similarity_ivf_store_retrain",
+    "dedup_minhash_store_time_travel",
 ]
 
 
