@@ -402,10 +402,107 @@ class BatchAppendStore(StoreKernel):
 
     # -- lifecycle ---------------------------------------------------------------
 
+    # verify-then-swap maintenance (retrain migrations): the staged new
+    # data lands in a tmp dir BESIDE the live relation, verifies, and a
+    # commit manifest gates the directory swap — crash-before rolls
+    # back (live data untouched), crash-after rolls forward here or at
+    # the next purge. Subclasses with an auxiliary relation to swap in
+    # the same transaction (trained centroids / codebook) override
+    # `_aux_swap()`.
+
+    @property
+    def _retrain_tmp(self) -> str:
+        return f"{self.base_path}/_retrain_tmp"
+
+    @property
+    def _retrain_commit_path(self) -> str:
+        return f"{self.base_path}/_retrain_commit.json"
+
+    def _aux_swap(self) -> tuple | None:
+        """(tmp_path, live_path) of the auxiliary relation a retrain
+        swaps alongside the data, or None."""
+        return None
+
     def _recover(self) -> None:
-        """Hook for subclasses with their own two-phase maintenance
-        (e.g. the IVF store's retrain swap): called under the lease at
-        the top of purge_forgotten(). Default: nothing to recover."""
+        """Called under the lease at the top of purge_forgotten():
+        finish or undo a retrain a previous call died inside of."""
+        self._recover_retrain()
+
+    def _recover_retrain(self) -> None:
+        """Commit manifest present => the staged data verified before
+        the crash: roll FORWARD (the swap). No manifest => any tmp dirs
+        are an unverified attempt: roll back (live data untouched)."""
+        fs, HPath = self._fs()
+        if self._read_json(self._retrain_commit_path) is not None:
+            self._finish_retrain()
+        else:
+            fs.delete(HPath(self._retrain_tmp), True)
+            aux = self._aux_swap()
+            if aux is not None:
+                fs.delete(HPath(aux[0]), True)
+
+    def _finish_retrain(self) -> None:
+        """Roll a COMMITTED retrain forward (idempotent — also the
+        crash recovery path): swap the verified new data in, swap the
+        auxiliary relation in, drop the manifest. Each step is guarded
+        by existence so a replay after a crash at any point completes
+        the remainder."""
+        fs, HPath = self._fs()
+        if fs.exists(HPath(self._retrain_tmp)):
+            fs.delete(HPath(self.data_path), True)
+            fs.rename(HPath(self._retrain_tmp), HPath(self.data_path))
+        aux = self._aux_swap()
+        if aux is not None and fs.exists(HPath(aux[0])):
+            fs.delete(HPath(aux[1]), True)
+            fs.rename(HPath(aux[0]), HPath(aux[1]))
+        fs.delete(HPath(self._retrain_commit_path), False)
+
+    def _require_no_inflight_appends(self, what: str) -> None:
+        in_flight = {
+            b
+            for b in self._landed_ids(self.intent_path)
+            if b not in self._landed_ids(self.landed_path)
+        }
+        if in_flight:
+            raise RuntimeError(
+                f"{what} refused: appends {sorted(in_flight)} are in "
+                f"flight on {self.base_path} — their rows would land "
+                "under the old geometry. Quiesce ingest (or let the "
+                "redelivery finish) and retry."
+            )
+
+    def _stage_verify_swap(self, rows, expected: int, aux_writer=None) -> int:
+        """The shared migration tail (caller holds the lease): stage
+        `rows` into the tmp dir partitioned like the live data, verify
+        the staged row count against `expected` (raise + roll back on
+        mismatch, live data untouched), run `aux_writer()` (stages the
+        auxiliary relation into its tmp), write the commit manifest,
+        swap. Returns the verified row count."""
+        fs, HPath = self._fs()
+        fs.delete(HPath(self._retrain_tmp), True)
+        (
+            rows.write.mode("overwrite")
+            .partitionBy(*self.CELL_COLS, "batch_id")
+            .parquet(self._retrain_tmp)
+        )
+        got = (
+            self.spark.read.schema(self.DATA_SCHEMA)
+            .parquet(self._retrain_tmp)
+            .count()
+        )
+        if got != expected:
+            fs.delete(HPath(self._retrain_tmp), True)
+            raise IOError(
+                f"retrain row mismatch on {self.base_path}: expected "
+                f"{expected}, staged {got}; live data untouched"
+            )
+        if aux_writer is not None:
+            aux = self._aux_swap()
+            fs.delete(HPath(aux[0]), True)
+            aux_writer(aux[0])
+        self._write_json(self._retrain_commit_path, {"rows": got})
+        self._finish_retrain()
+        return got
 
     def purge_forgotten(self) -> dict:
         """Byte-erase tombstoned rows from the leaf partitions that

@@ -4815,6 +4815,65 @@ def similarity_pq_forget_probe(spark, sf_dir):
     )
 
 
+def _pq_retrained_store_cached(spark, sf_dir):
+    """A PqCodesStore bootstrapped on the SEED codebook's codes and
+    then retrain()-migrated ONCE per (session, fixture) — the fixture
+    behind the codebook-retrain entry (the IVF pattern on the
+    compressed leg; kept separate from the other PQ fixtures so the
+    migration never leaks into their reads)."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming.embeddings import PqCodesStore, pq_codebook, pq_encode
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    holder = _pq_retrained_store_cached
+    cached = getattr(holder, "_cached", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    base = tempfile.mkdtemp(prefix=f"pq_rt_{_uuid.uuid4().hex[:8]}_")
+    store = PqCodesStore(spark, base)
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    store.bootstrap(pq_encode(emb, pq_codebook(spark, sf_dir)))
+    store.retrain(emb, n_iter=_PQT_ITER)
+    holder._cached = (key, store)
+    return store
+
+
+@register(
+    "similarity_pq_store_retrain",
+    sql=f"""
+    WITH {_pq_cb_trained_duck(_PQT_ITER)},
+    sdT AS (
+      SELECT s.vec_id, s.j, c.code, SUM((s.q - c.c_val) * (s.q - c.c_val)) AS d2
+      FROM sub s JOIN cb{_PQT_ITER} c ON c.j = s.j AND c.p = s.p
+      GROUP BY s.vec_id, s.j, c.code)
+    SELECT vec_id, CAST(j AS INT) AS j, code FROM (
+      SELECT vec_id, j, code,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+      FROM sdT) t WHERE rn = 1
+    """,
+    tags=("llm", "similarity", "pq", "kmeans", "store"),
+)
+def similarity_pq_store_retrain(spark, sf_dir):
+    """CODEBOOK RETRAIN + MIGRATION of the persisted PQ code store —
+    the IVF retrain arc on the compressed leg (the last store still
+    serving a frozen seed geometry; similarity_pq_trained measures the
+    recall payoff of training, this makes the PERSISTED table serve
+    it): the store bootstraps on seed codes, then retrain() runs
+    per-subspace exact integer Lloyd over the serving corpus and
+    re-encodes every landed vector — verify-then-swap under the
+    WriterLease via the shared BatchAppendStore tail (counted
+    |vectors| x PQ_M expectation, batch lineage preserved, both crash
+    windows + trained-codebook appends pinned by
+    tests/test_batch_stores.py). The migrated table read back from
+    disk equals a fresh trained encode of the corpus — which IS the
+    oracle (the per-subspace kmeans CTEs + argmin encode, replayed
+    bit-identically by DuckDB)."""
+    store = _pq_retrained_store_cached(spark, sf_dir)
+    return store.read().select("vec_id", "j", "code")
+
+
 def _pq_tt_store_cached(spark, sf_dir):
     """A PqCodesStore whose batch 0 holds the LANDED slice's codes
     (vec_id % 4 != 0) — the time-travel fixture, mirror of

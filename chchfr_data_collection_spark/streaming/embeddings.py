@@ -215,16 +215,11 @@ class IvfAssignmentStore(BatchAppendStore):
         return f"{self.base_path}/{self.CENTROIDS_SUBDIR}"
 
     @property
-    def _retrain_tmp(self) -> str:
-        return f"{self.base_path}/_retrain_tmp"
-
-    @property
     def _retrain_cent_tmp(self) -> str:
         return f"{self.base_path}/_retrain_cent_tmp"
 
-    @property
-    def _retrain_commit_path(self) -> str:
-        return f"{self.base_path}/_retrain_commit.json"
+    def _aux_swap(self):
+        return (self._retrain_cent_tmp, self.centroids_path)
 
     def _bootstrap_extra_paths(self) -> tuple:
         return (
@@ -255,41 +250,9 @@ class IvfAssignmentStore(BatchAppendStore):
             self.centroids_path
         )
 
-    # purge_forgotten() runs this via the kernel's _recover() hook, so
-    # a crashed retrain swap is rolled forward by the next maintenance
-    # call of either kind
-    def _recover(self) -> None:
-        self._recover_retrain()
-
-    def _recover_retrain(self) -> None:
-        """Finish or undo a retrain a previous call died inside of
-        (caller holds the lease). Commit manifest present => the new
-        assignment verified complete before the crash: roll FORWARD
-        (the swap). No manifest => any tmp dirs are an unverified
-        attempt: roll back (live data was never touched)."""
-        fs, HPath = self._fs()
-        if self._read_json(self._retrain_commit_path) is not None:
-            self._finish_retrain()
-        else:
-            fs.delete(HPath(self._retrain_tmp), True)
-            fs.delete(HPath(self._retrain_cent_tmp), True)
-
-    def _finish_retrain(self) -> None:
-        """Roll a COMMITTED retrain forward (idempotent — also the
-        crash recovery path): swap the verified new assignment in,
-        swap the centroid dim in, drop the manifest. Each step is
-        guarded by existence so a replay after a crash at any point
-        completes the remainder."""
-        fs, HPath = self._fs()
-        if fs.exists(HPath(self._retrain_tmp)):
-            fs.delete(HPath(self.data_path), True)
-            fs.rename(HPath(self._retrain_tmp), HPath(self.data_path))
-        if fs.exists(HPath(self._retrain_cent_tmp)):
-            fs.delete(HPath(self.centroids_path), True)
-            fs.rename(
-                HPath(self._retrain_cent_tmp), HPath(self.centroids_path)
-            )
-        fs.delete(HPath(self._retrain_commit_path), False)
+    # swap machinery: BatchAppendStore (_recover_retrain /
+    # _finish_retrain / _stage_verify_swap, with the centroid dim as
+    # the auxiliary swap via _aux_swap)
 
     def retrain(self, embeddings: DataFrame, n_iter: int = 2) -> dict:
         """Retrain the centroids on the store's CURRENT serving corpus
@@ -332,22 +295,10 @@ class IvfAssignmentStore(BatchAppendStore):
         cells_before, cells_after}."""
         from ..operators.lease import WriterLease
 
-        fs, HPath = self._fs()
         with WriterLease(self.spark, self.base_path):
             self._recover_retrain()
             self._deleted_cache = _UNSET  # re-list under the lease
-            in_flight = {
-                b
-                for b in self._landed_ids(self.intent_path)
-                if b not in self._landed_ids(self.landed_path)
-            }
-            if in_flight:
-                raise RuntimeError(
-                    f"retrain() refused: appends {sorted(in_flight)} are "
-                    f"in flight on {self.base_path} — their rows would "
-                    "land under the old geometry. Quiesce ingest (or let "
-                    "the redelivery finish) and retry."
-                )
+            self._require_no_inflight_appends("retrain()")
             serving = self.read().select("vec_id", "batch_id")
             vecs = (
                 embeddings.select(
@@ -373,35 +324,16 @@ class IvfAssignmentStore(BatchAppendStore):
                 rows = l2_assign(vecs, cent).select(
                     "vec_id", "cos_c", "cent_id", "batch_id"
                 )
-                fs.delete(HPath(self._retrain_tmp), True)
-                (
-                    rows.write.mode("overwrite")
-                    .partitionBy("cent_id", "batch_id")
-                    .parquet(self._retrain_tmp)
-                )
-                got = (
-                    self.spark.read.schema(self.DATA_SCHEMA)
-                    .parquet(self._retrain_tmp)
-                    .count()
-                )
-                if got != expected:
-                    fs.delete(HPath(self._retrain_tmp), True)
-                    raise IOError(
-                        f"retrain row mismatch on {self.base_path}: "
-                        f"expected {expected}, staged {got}; live data "
-                        "untouched"
+
+                def _stage_cent(tmp: str) -> None:
+                    (
+                        cent.select("cent_id", "cv", "cn2")
+                        .coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(tmp)
                     )
-                fs.delete(HPath(self._retrain_cent_tmp), True)
-                (
-                    cent.select("cent_id", "cv", "cn2")
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(self._retrain_cent_tmp)
-                )
-                self._write_json(
-                    self._retrain_commit_path, {"rows": got}
-                )
-                self._finish_retrain()
+
+                got = self._stage_verify_swap(rows, expected, _stage_cent)
                 return {
                     "iterations": n_iter,
                     "rows": got,
@@ -612,6 +544,87 @@ def pq_encode(batch: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def train_pq_codebook(vecs_q: DataFrame, n_iter: int = 2) -> DataFrame:
+    """Per-subspace Lloyd codebook training over an arbitrary quantized
+    vector frame (vec_id, qv) — the frame-generic twin of queries.llm's
+    _pq_trained_adc training loop (same arithmetic: exact int64
+    squared-L2 over PQ_DIM-element subvectors, means re-quantized via
+    one IEEE double division + round, empty cells carry their previous
+    position, vec_id < PQ_C seed slices), so a retrained code store is
+    bit-replayable by the _pq_cb_trained_duck oracle. Returns the
+    trained codebook (j, code, cv: array<bigint>[PQ_DIM])."""
+    sub = vecs_q.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda j: F.slice("qv", j * PQ_DIM + 1, PQ_DIM),
+            )
+        ).alias("j", "sv"),
+    )
+    cb = sub.filter(F.col("vec_id") < PQ_C).select(
+        "j", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    aw = W.partitionBy("vec_id", "j").orderBy(F.asc("d2"), F.asc("code"))
+    for _ in range(n_iter):
+        assign = (
+            sub.join(F.broadcast(cb), "j")
+            .select("vec_id", "j", "code", "sv", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(aw))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "j", "code", "sv")
+        )
+        upd = (
+            assign.select("j", "code", F.posexplode("sv").alias("p", "q"))
+            .groupBy("j", "code", "p")
+            .agg(F.round(F.sum("q") / F.count("*")).cast("bigint").alias("nv"))
+        )
+        upd_arr = upd.groupBy("j", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "nv"))),
+                lambda st: st["nv"],
+            ).alias("nv_arr")
+        )
+        cb = cb.join(upd_arr, ["j", "code"], "left").select(
+            "j", "code", F.coalesce("nv_arr", F.col("cv")).alias("cv")
+        )
+    return cb
+
+
+def pq_encode_trained(vecs_q: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode quantized vectors (vec_id, qv) against a TRAINED
+    (j, code, cv) codebook: per subspace, exact integer squared-L2
+    argmin with the asc-code tie-break — the retrained twin of
+    pq_encode, and the arithmetic PqCodesStore.retrain migrates with."""
+    sub = vecs_q.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda j: F.slice("qv", j * PQ_DIM + 1, PQ_DIM),
+            )
+        ).alias("j", "sv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    wcode = W.partitionBy("vec_id", "j").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        sub.join(F.broadcast(cb), "j")
+        .select("vec_id", "j", "code", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", "code")
+    )
+
+
 class PqCodesStore(BatchAppendStore):
     """The persisted PQ code table as a STORE — the FOURTH serving
     surface brought under the takedown discipline (round-11 verdict,
@@ -653,6 +666,102 @@ class PqCodesStore(BatchAppendStore):
     def _tombstone_key_type(self):
         return T.LongType()
 
+    # -- codebook retrain / migration (the IVF retrain arc on the
+    # compressed leg — closes the static-codebook headroom note) -----------
+
+    CODEBOOK_SUBDIR = "_codebook"
+
+    @property
+    def codebook_path(self) -> str:
+        return f"{self.base_path}/{self.CODEBOOK_SUBDIR}"
+
+    @property
+    def _retrain_cb_tmp(self) -> str:
+        return f"{self.base_path}/_retrain_cb_tmp"
+
+    def _aux_swap(self):
+        return (self._retrain_cb_tmp, self.codebook_path)
+
+    def _bootstrap_extra_paths(self) -> tuple:
+        return (
+            self.codebook_path,
+            self._retrain_tmp,
+            self._retrain_cb_tmp,
+            self._retrain_commit_path,
+        )
+
+    CB_SCHEMA = T.StructType(
+        [
+            T.StructField("j", T.IntegerType()),
+            T.StructField("code", T.LongType()),
+            T.StructField("cv", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def codebook(self) -> DataFrame | None:
+        """The store's TRAINED codebook (j, code, cv) persisted by the
+        last retrain(), or None while the store serves seed codes.
+        Maintenance streams encode new arrivals against this when
+        present (foreach_batch_pq_encode)."""
+        fs, HPath = self._fs()
+        if not fs.exists(HPath(self.codebook_path)):
+            return None
+        return self.spark.read.schema(self.CB_SCHEMA).parquet(
+            self.codebook_path
+        )
+
+    def retrain(self, embeddings: DataFrame, n_iter: int = 2) -> dict:
+        """Retrain the per-subspace codebook on the store's CURRENT
+        serving corpus and migrate every landed code to it — the IVF
+        store's retrain contract on the compressed leg (the seed
+        codebook is PQ_C arbitrary vectors' slices; after drift its
+        quantization error buries true neighbors deep in the ADC
+        order — similarity_pq_trained measures the recall payoff, this
+        makes the PERSISTED table serve it).
+
+        Same machinery as IvfAssignmentStore.retrain, via the shared
+        BatchAppendStore swap tail: exact integer Lloyd training
+        (train_pq_codebook — bit-replayable by the _pq_cb_trained_duck
+        oracle), re-encode of the serving corpus with batch lineage
+        preserved row-by-row, verify-then-swap under the WriterLease
+        against a counted expectation (|serving vectors| x PQ_M code
+        rows), tombstoned vectors' codes byte-dropped, trained codebook
+        persisted (codebook()) and picked up by the maintenance
+        stream's appends, in-flight-append refusal, crash-before rolls
+        back / crash-after rolls forward at the next maintenance call.
+        Returns {iterations, rows, vectors}."""
+        from ..operators.lease import WriterLease
+
+        with WriterLease(self.spark, self.base_path):
+            self._recover_retrain()
+            self._deleted_cache = _UNSET  # re-list under the lease
+            self._require_no_inflight_appends("retrain()")
+            vec_batch = self.read().select("vec_id", "batch_id").distinct()
+            vecs = (
+                embeddings.select(
+                    "vec_id", V.quantize("embedding").alias("qv")
+                )
+                .join(vec_batch, "vec_id")
+                .persist()
+            )
+            try:
+                n_vec = vecs.count()
+                expected = n_vec * PQ_M
+                cb = train_pq_codebook(vecs.select("vec_id", "qv"), n_iter)
+                rows = pq_encode_trained(
+                    vecs.select("vec_id", "qv"), cb
+                ).join(vecs.select("vec_id", "batch_id"), "vec_id").select(
+                    "vec_id", "j", "code", "batch_id"
+                )
+
+                def _stage_cb(tmp: str) -> None:
+                    cb.coalesce(1).write.mode("overwrite").parquet(tmp)
+
+                got = self._stage_verify_swap(rows, expected, _stage_cb)
+                return {"iterations": n_iter, "rows": got, "vectors": n_vec}
+            finally:
+                vecs.unpersist()
+
 
 def foreach_batch_pq_encode(
     stream_df: DataFrame,
@@ -672,7 +781,19 @@ def foreach_batch_pq_encode(
         store = PqCodesStore(batch.sparkSession, store_base)
 
         def _write() -> None:
-            store.append_batch(pq_encode(batch, cent), batch_id)
+            # a retrained store's appends encode against the TRAINED
+            # codebook — the geometry-aware discipline of the IVF sink
+            trained = store.codebook()
+            if trained is None:
+                rows = pq_encode(batch, cent)
+            else:
+                rows = pq_encode_trained(
+                    batch.select(
+                        "vec_id", V.quantize("embedding").alias("qv")
+                    ),
+                    trained,
+                )
+            store.append_batch(rows, batch_id)
 
         if lease:
             from ..operators.lease import WriterLease

@@ -455,3 +455,82 @@ def test_appends_after_retrain_use_trained_geometry(spark, tmp_path):
         for r in store.read().filter(F.col("vec_id") >= 400).collect()
     }
     assert got == want, "post-retrain append used the stale seed geometry"
+
+
+def test_pq_retrain_migrates_and_trained_appends(spark, tmp_path):
+    """The PQ codebook retrain arc end-to-end: retrain() migrates every
+    landed code to the trained codebook (batch lineage preserved,
+    tombstoned vectors' codes byte-dropped, counted verify via the
+    shared swap tail), the crash-after-commit window rolls forward at
+    the next maintenance call, and post-retrain streamed appends
+    encode against the TRAINED codebook."""
+    import pathlib
+
+    from chchfr_data_collection_spark.functions import vectors as V
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        EMBEDDINGS_SCHEMA,
+        pq_encode_trained,
+        train_pq_codebook,
+    )
+
+    store = PqCodesStore(spark, str(tmp_path / "pq"))
+    cent = pq_codebook(spark, SF_DIR)
+    old_corpus = _emb(spark).filter(F.col("vec_id") < 400)
+    store.bootstrap(pq_encode(old_corpus.filter(F.col("vec_id") < 300), cent))
+    store.append_batch(
+        pq_encode(old_corpus.filter(F.col("vec_id") >= 300), cent), 1
+    )
+    store.forget(spark.createDataFrame([(9,)], "vec_id: bigint"), "t1")
+
+    receipt = store.retrain(old_corpus, 2)
+    assert receipt["vectors"] == 399 and receipt["rows"] == 399 * 16
+
+    vecs_q = old_corpus.filter(F.col("vec_id") != 9).select(
+        "vec_id", V.quantize("embedding").alias("qv")
+    )
+    want = _pq_rows(
+        pq_encode_trained(vecs_q, train_pq_codebook(vecs_q, 2))
+    )
+    assert _pq_rows(store.read()) == want
+    raw = spark.read.parquet(store.codes_path)
+    assert raw.filter(F.col("vec_id") == 9).count() == 0, (
+        "migration must byte-drop tombstoned codes"
+    )
+    assert store.history() == [0, 1]
+    assert store.codebook() is not None
+
+    # crash after the commit manifest: the next maintenance call on a
+    # fresh instance rolls the swap forward (shared machinery, but the
+    # PQ aux path must participate)
+    real_fin = store._finish_retrain
+    store._finish_retrain = lambda: (_ for _ in ()).throw(
+        RuntimeError("crash post-commit")
+    )
+    with pytest.raises(RuntimeError, match="crash post-commit"):
+        store.retrain(old_corpus, 1)
+    store._finish_retrain = real_fin
+    fresh = PqCodesStore(spark, store.base_path)
+    fresh.purge_forgotten()
+    assert not pathlib.Path(fresh._retrain_commit_path).exists()
+    want1 = _pq_rows(pq_encode_trained(vecs_q, train_pq_codebook(vecs_q, 1)))
+    assert _pq_rows(fresh.read()) == want1
+
+    # post-retrain streamed append encodes with the trained codebook
+    feed = str(tmp_path / "feed")
+    _emb(spark).filter(F.col("vec_id") >= 400).write.mode(
+        "overwrite"
+    ).parquet(feed)
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA).format("parquet").load(feed)
+    )
+    q = foreach_batch_pq_encode(
+        stream, cent, fresh.base_path, str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+    new_q = _emb(spark).filter(F.col("vec_id") >= 400).select(
+        "vec_id", V.quantize("embedding").alias("qv")
+    )
+    got_new = _pq_rows(fresh.read().filter(F.col("vec_id") >= 400))
+    assert got_new == _pq_rows(pq_encode_trained(new_q, fresh.codebook())), (
+        "post-retrain append used the stale seed codebook"
+    )
