@@ -126,6 +126,7 @@ HEADLINE = [
     "similarity_pq_forget_probe",
     "similarity_ivf_store_retrain",
     "dedup_minhash_store_time_travel",
+    "similarity_pq_store_retrain",
 ]
 
 
