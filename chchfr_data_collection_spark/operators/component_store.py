@@ -482,6 +482,76 @@ class ComponentStore(StoreKernel):
 
     # -- lifecycle -----------------------------------------------------------
 
+    def snapshot_to(self, dest_path: str) -> dict:
+        """Export a consistent, compliance-clean CLONE of the store to
+        a fresh path (the BatchAppendStore.snapshot_to contract on the
+        patch layout). What travels: every MARKED patch partition
+        verbatim-minus-tombstoned-node-rows (seq partitioning, markers,
+        and delta_ids preserved, so `labels(as_of_seq)` and `history()`
+        work on the clone) and the schema sidecar. What does not:
+        tombstoned nodes' BYTES (the export rewrites through the
+        tombstone anti-join — a clone of a store with standing
+        takedowns is byte-clean and starts with no tombstones), orphan
+        partitions of crashed applies, and stale intents. A forget()
+        landing on the source after the snapshot does not propagate:
+        clones are forks — list them in `forget_everywhere`.
+
+        Crash story: the schema sidecar is the clone's format marker
+        and is written only after markers land and a counted verify
+        passes, so a crash mid-export leaves a clone every read refuses
+        with 'rebootstrap required'; `_snapshot.json` (the completeness
+        attestation `snapshot_manifest()` returns) lands last. Recovery
+        is delete-and-retry (the destination must be fresh). Runs under
+        the SOURCE WriterLease so the export never captures a
+        half-landed apply or mid-compact state."""
+        from .lease import WriterLease
+
+        self._require_bootstrapped()
+        dest = dest_path.rstrip("/")
+        self._require_fresh_dest(dest)
+        clone = ComponentStore(self.spark, dest)
+        with WriterLease(self.spark, self.base_path):
+            self._deleted_cache = _UNSET  # re-list under the lease
+            marked = self._marked()
+            fids = sorted(self._tombstone_fingerprints())
+            rows = self._excl_deleted(self._assign_marked())
+            expected = rows.count()
+            (
+                rows.write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy("seq")
+                .parquet(clone.assign_path)
+            )
+            # a fully-masked export writes no files; the dir must still
+            # exist so the clone's schema-pinned reads resolve as empty
+            dfs, DP = self._fs_for(clone.assign_path)
+            dfs.mkdirs(DP(clone.assign_path))
+            got = (
+                self.spark.read.schema(self._read_schema())
+                .parquet(clone.assign_path)
+                .count()
+            )
+            if got != expected:
+                raise IOError(
+                    f"snapshot row mismatch exporting {self.base_path} "
+                    f"-> {dest}: expected {expected}, staged {got}; the "
+                    "destination has no schema sidecar (unreadable) — "
+                    "delete it and snapshot again"
+                )
+            for seq, did in sorted(marked.items()):
+                clone._mark(seq, did)
+            clone._write_json(
+                clone.schema_path, self._read_schema().jsonValue()
+            )
+            manifest = {
+                "source": self.base_path,
+                "history": [[s, d] for s, d in sorted(marked.items())],
+                "rows": got,
+                "tombstones_applied": fids,
+            }
+            clone._write_json(f"{dest}/_snapshot.json", manifest)
+        return {**manifest, "dest": dest}
+
     def compact(self, purge_forgotten: bool = False) -> dict:
         """Fold base + patches into ONE partition holding the resolved
         view, then delete the folded sources. No two-phase manifest:

@@ -899,24 +899,8 @@ class MinHashIndex(StoreKernel):
                 f"{as_of_seq} is no longer reconstructible in "
                 f"{self.base_path}"
             )
-        from pyspark.sql.types import (
-            DoubleType,
-            StringType,
-            StructField,
-            StructType,
-        )
-
-        doc_t = self._rel_schema("arrays")["doc_id"].dataType
-        schema = StructType(
-            [
-                StructField("da", doc_t),
-                StructField("db", doc_t),
-                StructField("jaccard", DoubleType()),
-                StructField("delta_id", StringType()),
-            ]
-        )
         df = (
-            self.spark.read.schema(schema)
+            self.spark.read.schema(self._pairs_read_schema())
             .parquet(self.pairs_path)
             .where(F.col("delta_id").isin(eligible))
             .drop("delta_id")
@@ -930,6 +914,185 @@ class MinHashIndex(StoreKernel):
         return df
 
     # -- lifecycle -------------------------------------------------------------
+
+    def snapshot_to(self, dest_path: str) -> dict:
+        """Export a consistent, compliance-clean CLONE of the index to
+        a fresh path (the BatchAppendStore.snapshot_to contract on the
+        MinHash layout). What travels: every MARKED delta partition of
+        arrays/ and postings/ and every landed pairs/ snapshot —
+        delta_id partitioning, landed markers, the pairs write log
+        (seq entries AND the high-water mark, so `history()` /
+        `pairs_as_of()` work on the clone and its future seqs never
+        collide with exported history), the `_folded` tombstones (a
+        late retry of a folded delta_id refuses on the clone exactly as
+        on the source), and the schema sidecars. What does not:
+        tombstoned docs' BYTES — arrays/postings rows are rewritten
+        through the doc_id anti-join and pairs rows are dropped when
+        EITHER endpoint is tombstoned (the compact(purge) masking), so
+        the clone is byte-clean and starts with no tombstones; unmarked
+        partitions (a mid-flight or crashed insert) are excluded as
+        fold sources would exclude them. Takedowns landing after the
+        snapshot do not propagate: clones are forks — list them in
+        `forget_everywhere`.
+
+        Refuses while a fold manifest is pending (compact() crashed or
+        running) — the honest answer for an export is 'recover first',
+        exactly as for pairs_as_of(). Crash story: the format marker is
+        written LAST-but-one, so a half-exported clone refuses every
+        read with 'rebootstrap required'; `_snapshot.json` (the
+        attestation `snapshot_manifest()` returns) lands last; recovery
+        is delete-and-retry. Runs under the SOURCE WriterLease so no
+        insert/compact mutates the export mid-copy."""
+        from .lease import WriterLease
+
+        self._require_format()
+        dest = dest_path.rstrip("/")
+        self._require_fresh_dest(dest)
+        clone = MinHashIndex(self.spark, dest)
+        with WriterLease(self.spark, self.base_path):
+            if (
+                self._read_json(self.fold_commit_path) is not None
+                or self._read_json(self.fold_intent_path) is not None
+            ):
+                raise RuntimeError(
+                    f"snapshot_to(): a fold manifest is pending on "
+                    f"{self.base_path} (compact() crashed or is "
+                    "running) — run compact() to recover, then retry."
+                )
+            self._deleted_cache = _UNSET  # re-list under the lease
+            fids = sorted(self._tombstone_fingerprints())
+            deleted, _ = self._deleted_docs()
+            if deleted is not None:
+                deleted = deleted.persist()
+            idx_marked = self._landed_ids(self.landed_path)
+            pairs_live = sorted(
+                self._landed_ids(self.landed_pairs_path)
+                & self._partition_ids("pairs")
+            )
+            rows: dict = {}
+            try:
+                fs, HPath = self._fs()
+                dfs, _ = self._fs_for(dest)
+                for rel in ("arrays", "postings", "pairs"):
+                    if rel == "pairs":
+                        land = pairs_live
+                        schema = self._pairs_read_schema()
+                    else:
+                        land = sorted(
+                            idx_marked & self._partition_ids(rel)
+                        )
+                        schema = self._rel_schema(rel)
+                    dst = clone._rel_path(rel)
+                    if not land:
+                        dfs.mkdirs(HPath(dst))
+                        rows[rel] = 0
+                        continue
+                    df = (
+                        self.spark.read.schema(schema)
+                        .parquet(self._rel_path(rel))
+                        .where(F.col("delta_id").isin(land))
+                    )
+                    if deleted is not None:
+                        if rel == "pairs":
+                            df = df.join(
+                                F.broadcast(
+                                    deleted.select(F.col("doc_id").alias("da"))
+                                ),
+                                "da",
+                                "left_anti",
+                            ).join(
+                                F.broadcast(
+                                    deleted.select(F.col("doc_id").alias("db"))
+                                ),
+                                "db",
+                                "left_anti",
+                            )
+                        else:
+                            df = df.join(
+                                F.broadcast(deleted), "doc_id", "left_anti"
+                            )
+                    expected = df.count()
+                    parts = (
+                        ("band", "delta_id")
+                        if rel == "postings"
+                        else ("delta_id",)
+                    )
+                    (
+                        df.write.mode("overwrite")
+                        .option("partitionOverwriteMode", "static")
+                        .partitionBy(*parts)
+                        .parquet(dst)
+                    )
+                    dfs.mkdirs(HPath(dst))
+                    got = (
+                        self.spark.read.schema(schema).parquet(dst).count()
+                    )
+                    if got != expected:
+                        raise IOError(
+                            f"snapshot row mismatch exporting {rel} of "
+                            f"{self.base_path} -> {dest}: expected "
+                            f"{expected}, staged {got}; the destination "
+                            "has no format marker (unreadable) — delete "
+                            "it and snapshot again"
+                        )
+                    rows[rel] = got
+            finally:
+                if deleted is not None:
+                    deleted.unpersist()
+            # markers, write log, folded tombstones, sidecars — then the
+            # format marker flips the clone readable, manifest attests
+            for did in sorted(idx_marked):
+                clone._mark_landed(clone.landed_path, did)
+            log = self._log_entries()
+            for seq, did in sorted(log.items()):
+                if did in pairs_live:
+                    dfs.create(
+                        HPath(f"{clone.log_path}/{seq:08d}.{did}"), True
+                    ).close()
+            for did in pairs_live:
+                clone._mark_landed(clone.landed_pairs_path, did)
+            hwm = self._read_json(self.log_hwm_path)
+            if hwm is not None:
+                clone._write_json(clone.log_hwm_path, hwm)
+            for did in sorted(self._landed_ids(self.folded_path)):
+                clone._mark_landed(clone.folded_path, did)
+            for rel in ("postings", "arrays"):
+                clone._write_json(
+                    clone.schema_paths[rel],
+                    self._rel_schema(rel).jsonValue(),
+                )
+            clone._write_format_marker()
+            manifest = {
+                "source": self.base_path,
+                "rows": rows,
+                "index_deltas": sorted(idx_marked),
+                "pairs_history": [
+                    [s, d] for s, d in sorted(log.items()) if d in pairs_live
+                ],
+                "tombstones_applied": fids,
+            }
+            clone._write_json(f"{dest}/_snapshot.json", manifest)
+        return {**manifest, "dest": dest}
+
+    def _pairs_read_schema(self):
+        """The pinned pairs/ read schema incl. delta_id (the
+        pairs_as_of construction, shared with snapshot_to)."""
+        from pyspark.sql.types import (
+            DoubleType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        doc_t = self._rel_schema("arrays")["doc_id"].dataType
+        return StructType(
+            [
+                StructField("da", doc_t),
+                StructField("db", doc_t),
+                StructField("jaccard", DoubleType()),
+                StructField("delta_id", StringType()),
+            ]
+        )
 
     def finalize_delta(self, delta_id: str) -> None:
         """Mark a `materialize=False` probe's delta fold-landed AFTER

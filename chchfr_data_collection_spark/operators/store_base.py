@@ -88,17 +88,53 @@ class StoreKernel:
     # -- filesystem plumbing -------------------------------------------------
 
     def _fs(self):
+        return self._fs_for(self.base_path)
+
+    def _fs_for(self, path: str):
+        """(FileSystem, Path class) resolved for `path` — snapshots may
+        target a different filesystem than the store's own base."""
         jvm = self.spark._jvm
         HPath = jvm.org.apache.hadoop.fs.Path
-        fs = HPath(self.base_path).getFileSystem(
-            self.spark._jsc.hadoopConfiguration()
-        )
+        fs = HPath(path).getFileSystem(self.spark._jsc.hadoopConfiguration())
         return fs, HPath
+
+    def _copy_tree(self, src: str, dst: str) -> None:
+        """Recursive verbatim copy of a (small, metadata-sized) sidecar
+        directory — trained centroids, a codebook. Data relations are
+        never copied this way: a snapshot REWRITES them so tombstoned
+        rows' bytes don't travel."""
+        sfs, HPath = self._fs_for(src)
+        dfs, _ = self._fs_for(dst)
+        FileUtil = self.spark._jvm.org.apache.hadoop.fs.FileUtil
+        FileUtil.copy(
+            sfs, HPath(src), dfs, HPath(dst), False, True,
+            self.spark._jsc.hadoopConfiguration(),
+        )
+
+    def _require_fresh_dest(self, dest: str) -> None:
+        """A snapshot only ever lands in an empty (or absent) location:
+        overwriting an existing store would be a destructive surprise,
+        and merging into one is not a defined operation."""
+        fs, HPath = self._fs_for(dest)
+        p = HPath(dest)
+        if fs.exists(p) and len(fs.listStatus(p)) > 0:
+            raise RuntimeError(
+                f"snapshot destination {dest} is not empty — refusing "
+                "to overwrite. Point the snapshot at a fresh path (or "
+                "delete the failed attempt first)."
+            )
+
+    def snapshot_manifest(self):
+        """The `_snapshot.json` a completed snapshot_to() wrote at THIS
+        store's base path, or None — None on a path that is either a
+        normal (non-clone) store or an INCOMPLETE snapshot (the
+        manifest is written last). Restores should require it."""
+        return self._read_json(f"{self.base_path}/_snapshot.json")
 
     def _write_json(self, path: str, obj) -> None:
         import json
 
-        fs, HPath = self._fs()
+        fs, HPath = self._fs_for(path)
         out = fs.create(HPath(path), True)
         try:
             out.write(bytearray(json.dumps(obj).encode("utf-8")))
@@ -108,7 +144,7 @@ class StoreKernel:
     def _read_json(self, path: str):
         import json
 
-        fs, HPath = self._fs()
+        fs, HPath = self._fs_for(path)
         p = HPath(path)
         if not fs.exists(p):
             return None
@@ -503,6 +539,97 @@ class BatchAppendStore(StoreKernel):
         self._write_json(self._retrain_commit_path, {"rows": got})
         self._finish_retrain()
         return got
+
+    def snapshot_to(self, dest_path: str) -> dict:
+        """Export a consistent, compliance-clean CLONE of the store to
+        a fresh path — the disaster-recovery / fork surface on the
+        batch-store layout.
+
+        What travels: every COMMITTED batch (in-flight/crashed appends
+        are excluded exactly as reads exclude them), the (*CELL_COLS,
+        batch_id) partitioning (probe pruning and time travel work on
+        the clone), and the trained auxiliary relation (`_aux_swap()`'s
+        live side — centroids / codebook) so the clone serves and
+        appends under the same geometry. What does NOT travel:
+        tombstoned rows' BYTES — the export rewrites the data through
+        the tombstone anti-join, so a clone of a store with standing
+        takedowns is clean at the byte level (you cannot "back up" data
+        you were ordered to erase), and the clone starts with no
+        tombstones. A forget() landing on the source AFTER the snapshot
+        does not propagate: clones are forks — route takedowns through
+        `operators.takedown.forget_everywhere` with every live clone
+        listed.
+
+        Crash story (the store discipline, applied to the export):
+        intent markers for every batch land at the destination FIRST,
+        so a crash mid-copy leaves a clone whose reads resolve EMPTY;
+        the landed markers flip only after a counted verify of the
+        staged rows; the `_snapshot.json` manifest is written LAST and
+        is the completeness attestation (`snapshot_manifest()` — a
+        restore should require it). Recovery from a failed attempt is
+        "delete the destination, snapshot again" (the destination must
+        be fresh). Runs under the SOURCE WriterLease: a snapshot never
+        races a retrain/purge into capturing a half-migrated state.
+        Cost: one masked scan + one write of the committed data, plus
+        a count on each side for the verify."""
+        from .lease import WriterLease
+
+        dest = dest_path.rstrip("/")
+        self._require_fresh_dest(dest)
+        clone = self.__class__(self.spark, dest)
+        with WriterLease(self.spark, self.base_path):
+            self._recover()  # roll a crashed maintenance swap forward
+            self._deleted_cache = _UNSET  # re-list under the lease
+            hist = self.history()
+            if not hist:
+                raise RuntimeError(
+                    f"nothing committed to snapshot in {self.base_path}"
+                )
+            fids = sorted(self._tombstone_fingerprints())
+            masked = self.read()
+            expected = masked.count()
+            for b in hist:
+                clone._mark_landed(clone.intent_path, str(b))
+            (
+                masked.write.mode("overwrite")
+                .option("partitionOverwriteMode", "static")
+                .partitionBy(*self.CELL_COLS, "batch_id")
+                .parquet(clone.data_path)
+            )
+            # a fully-masked export writes no files; the dir must still
+            # exist so the clone's schema-pinned reads resolve as empty
+            dfs, DP = self._fs_for(clone.data_path)
+            dfs.mkdirs(DP(clone.data_path))
+            got = (
+                self.spark.read.schema(self.DATA_SCHEMA)
+                .parquet(clone.data_path)
+                .count()
+            )
+            if got != expected:
+                raise IOError(
+                    f"snapshot row mismatch exporting {self.base_path} "
+                    f"-> {dest}: expected {expected}, staged {got}; the "
+                    "destination is incomplete (no landed markers) — "
+                    "delete it and snapshot again"
+                )
+            aux = self._aux_swap()
+            if aux is not None:
+                live = aux[1]
+                sfs, SP = self._fs()
+                if sfs.exists(SP(live)):
+                    rel = live[len(self.base_path) + 1:]
+                    self._copy_tree(live, f"{dest}/{rel}")
+            for b in hist:
+                clone._mark_landed(clone.landed_path, str(b))
+                clone._unmark_landed(clone.intent_path, str(b))
+            manifest = {
+                "source": self.base_path,
+                "batches": hist,
+                "rows": got,
+                "tombstones_applied": fids,
+            }
+            clone._write_json(f"{dest}/_snapshot.json", manifest)
+        return {**manifest, "dest": dest}
 
     def purge_forgotten(self) -> dict:
         """Byte-erase tombstoned rows from the leaf partitions that

@@ -71,3 +71,45 @@ def forget_everywhere(
         )
         done[key] = "ok"
     return done
+
+
+def snapshot_everywhere(dest_root: str, *stores) -> dict:
+    """One coordinated backup call, every serving index — the DR twin
+    of `forget_everywhere`. Each element of `stores` is a
+    `(store, name)` pair: the store is snapshotted (its own
+    `snapshot_to` — masked rewrite, counted verify, completeness
+    attestation) into `<dest_root>/<name>`, and ONE catalog manifest
+    `<dest_root>/_catalog.json` is written LAST recording every
+    store's receipt. A restore that requires the catalog therefore
+    gets all-or-nothing semantics: a fan-out that crashed after two of
+    four stores left no catalog, and each half-written clone
+    individually refuses reads (its own format gate).
+
+    The fan-out is SEQUENTIAL and fail-fast like the takedown fan-out,
+    but recovery differs: snapshot destinations must be FRESH, so the
+    retry contract is "delete `dest_root`, call again" — partial
+    clones are complete-and-readable stores individually (their own
+    manifests attest it), just not a mutually consistent set until the
+    catalog lands. Consistency bound, stated honestly: each store is
+    exported under its OWN WriterLease at its own moment — the catalog
+    is a per-store-consistent set, not a cross-store transaction. The
+    stores have no cross-store transaction in NORMAL operation either
+    (a takedown fans out sequentially the same way); a restore should
+    re-land any takedown issued around the snapshot window via
+    `forget_everywhere` over the restored set."""
+    if not stores:
+        raise ValueError("snapshot_everywhere: no stores given")
+    root = dest_root.rstrip("/")
+    receipts: dict = {}
+    catalog_store = None
+    for store, name in stores:
+        receipt = store.snapshot_to(f"{root}/{name}")
+        base = getattr(store, "base_path", None)
+        key = type(store).__name__ if base is None else (
+            f"{type(store).__name__}@{base}"
+        )
+        receipts[key] = {"dest": receipt["dest"], "name": name}
+        catalog_store = store
+    catalog = {"dest_root": root, "stores": receipts}
+    catalog_store._write_json(f"{root}/_catalog.json", catalog)
+    return catalog

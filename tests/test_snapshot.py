@@ -1,0 +1,299 @@
+"""Store snapshot/export contracts (the DR + fork surface): a
+snapshot_to() clone serves identically, carries history and trained
+geometry, is BYTE-clean of tombstoned rows (you cannot back up data
+you were ordered to erase), starts with no tombstones, and a crash at
+any point mid-export leaves a clone that is either unreadable or
+visibly missing its completeness attestation. snapshot_everywhere
+fans one backup call over every store and writes the catalog LAST."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chchfr_data_collection_spark.operators.component_store import (
+    ComponentStore,
+)
+from chchfr_data_collection_spark.operators.minhash_index import MinHashIndex
+from chchfr_data_collection_spark.operators.takedown import (
+    snapshot_everywhere,
+)
+from chchfr_data_collection_spark.streaming.embeddings import (
+    IvfAssignmentStore,
+    ivf_assign,
+    ivf_centroids,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _ivf_rows(df):
+    return {(r.vec_id, r.cent_id, round(r.cos_c, 12)) for r in df.collect()}
+
+
+def _labels(df):
+    return {(r.node, r.component) for r in df.collect()}
+
+
+def _pairs(df):
+    return {(r.da, r.db, round(r.jaccard, 12)) for r in df.collect()}
+
+
+def _ivf_source(spark, tmp_path, name="ivf"):
+    store = IvfAssignmentStore(spark, str(tmp_path / name))
+    cent = ivf_centroids(spark, SF_DIR)
+    store.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 400), cent))
+    store.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 400), cent), 1
+    )
+    store.forget(
+        _emb(spark).filter(F.col("vec_id") % 16 == 9).select("vec_id"), "t9"
+    )
+    return store
+
+
+def test_ivf_snapshot_clone_serves_and_is_byte_clean(spark, tmp_path):
+    src = _ivf_source(spark, tmp_path)
+    receipt = src.snapshot_to(str(tmp_path / "clone"))
+    clone = IvfAssignmentStore(spark, str(tmp_path / "clone"))
+
+    # the clone serves the source's masked view, with history intact
+    assert _ivf_rows(clone.read()) == _ivf_rows(src.read())
+    assert clone.history() == src.history() == [0, 1]
+    assert _ivf_rows(clone.read(as_of_batch=0)) == _ivf_rows(
+        src.read(as_of_batch=0)
+    )
+
+    # byte-clean: the raw clone relation holds NO tombstoned row, and
+    # the clone starts with no tombstones of its own
+    raw = spark.read.parquet(clone.data_path)
+    assert raw.filter(F.col("vec_id") % 16 == 9).count() == 0
+    assert clone._deleted_keys()[0] is None
+    assert receipt["tombstones_applied"] == ["t9"]
+    assert clone.snapshot_manifest()["rows"] == raw.count()
+
+    # the clone is a fork: appends to it don't touch the source
+    cent = ivf_centroids(spark, SF_DIR)
+    extra = ivf_assign(_emb(spark).filter(F.col("vec_id") < 10), cent)
+    clone.append_batch(extra.withColumn("vec_id", F.col("vec_id") + 100000), 2)
+    assert clone.history() == [0, 1, 2]
+    assert src.history() == [0, 1]
+
+
+def test_snapshot_travels_trained_geometry(spark, tmp_path):
+    src = _ivf_source(spark, tmp_path)
+    src.retrain(_emb(spark), 2)
+    src.snapshot_to(str(tmp_path / "clone"))
+    clone = IvfAssignmentStore(spark, str(tmp_path / "clone"))
+    want = {(r.cent_id, tuple(r.cv), r.cn2) for r in src.centroids().collect()}
+    got = {(r.cent_id, tuple(r.cv), r.cn2) for r in clone.centroids().collect()}
+    assert want and got == want
+    assert _ivf_rows(clone.read()) == _ivf_rows(src.read())
+
+
+def test_snapshot_crash_windows_and_fresh_dest(spark, tmp_path):
+    src = _ivf_source(spark, tmp_path)
+    dest = str(tmp_path / "clone")
+
+    # crash BEFORE the landed markers flip: the clone reads EMPTY
+    # (intents gate) and carries no attestation
+    real = IvfAssignmentStore._mark_landed
+
+    def boom(self, root, name):
+        if root.endswith("clone/_landed"):
+            raise RuntimeError("crash before clone markers")
+        real(self, root, name)
+
+    IvfAssignmentStore._mark_landed = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash before clone markers"):
+            src.snapshot_to(dest)
+    finally:
+        IvfAssignmentStore._mark_landed = real
+    half = IvfAssignmentStore(spark, dest)
+    assert half.read().count() == 0
+    assert half.snapshot_manifest() is None
+
+    # the destination is not fresh anymore: refuse, don't overwrite
+    with pytest.raises(RuntimeError, match="not empty"):
+        src.snapshot_to(dest)
+
+    # recovery = delete and retry
+    import shutil
+
+    shutil.rmtree(dest)
+    src.snapshot_to(dest)
+    assert _ivf_rows(IvfAssignmentStore(spark, dest).read()) == _ivf_rows(
+        src.read()
+    )
+
+    # crash AFTER markers, BEFORE the manifest: the clone serves but
+    # visibly lacks the attestation a restore must require
+    dest2 = str(tmp_path / "clone2")
+    real_wj = IvfAssignmentStore._write_json
+
+    def boom_wj(self, path, obj):
+        if path.endswith("_snapshot.json"):
+            raise RuntimeError("crash before manifest")
+        real_wj(self, path, obj)
+
+    IvfAssignmentStore._write_json = boom_wj
+    try:
+        with pytest.raises(RuntimeError, match="crash before manifest"):
+            src.snapshot_to(dest2)
+    finally:
+        IvfAssignmentStore._write_json = real_wj
+    served = IvfAssignmentStore(spark, dest2)
+    assert _ivf_rows(served.read()) == _ivf_rows(src.read())
+    assert served.snapshot_manifest() is None
+
+
+def _cc_source(spark, tmp_path):
+    store = ComponentStore(spark, str(tmp_path / "cc"))
+    store.bootstrap(
+        spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "da: bigint, db: bigint"
+        )
+    )
+    store.apply_pairs(
+        spark.createDataFrame([(3, 4), (20, 21)], "da: bigint, db: bigint"),
+        "d1",
+    )
+    store.forget(spark.createDataFrame([(11,)], "node: bigint"), "t11")
+    return store
+
+
+def test_cc_snapshot_labels_history_and_gating(spark, tmp_path):
+    src = _cc_source(spark, tmp_path)
+    src.snapshot_to(str(tmp_path / "ccclone"))
+    clone = ComponentStore(spark, str(tmp_path / "ccclone"))
+
+    assert _labels(clone.labels()) == _labels(src.labels())
+    assert clone.history() == src.history()
+    first_seq = src.history()[0][0]
+    assert _labels(clone.labels(as_of_seq=first_seq)) == _labels(
+        src.labels(as_of_seq=first_seq)
+    )
+    # byte-clean + no tombstones on the clone
+    raw = spark.read.parquet(clone.assign_path)
+    assert raw.filter(F.col("node") == 11).count() == 0
+    assert clone._deleted_keys()[0] is None
+    assert clone.snapshot_manifest() is not None
+
+    # crash before the schema sidecar: every clone read refuses loudly
+    dest2 = str(tmp_path / "ccclone2")
+    real_wj = ComponentStore._write_json
+
+    def boom_wj(self, path, obj):
+        if path.endswith("_schema.json"):
+            raise RuntimeError("crash before sidecar")
+        real_wj(self, path, obj)
+
+    ComponentStore._write_json = boom_wj
+    try:
+        with pytest.raises(RuntimeError, match="crash before sidecar"):
+            src.snapshot_to(dest2)
+    finally:
+        ComponentStore._write_json = real_wj
+    half = ComponentStore(spark, dest2)
+    with pytest.raises(RuntimeError, match="no schema sidecar"):
+        half.labels().count()
+
+
+def test_minhash_snapshot_parity_log_and_folded(spark, tmp_path):
+    docs = _docs(spark)
+    src = MinHashIndex(spark, str(tmp_path / "mh"))
+    src.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    src.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 0)).count()
+    src.compact()  # creates _folded tombstones for the folded deltas
+    folded = sorted(src._landed_ids(src.folded_path))
+    assert folded, "compact() should have folded at least two deltas"
+    src.probe_and_insert(docs.filter(F.col("doc_id") % 8 == 4)).count()
+    src.forget(spark.createDataFrame([(0,)], "doc_id: bigint"), "t0")
+
+    src.snapshot_to(str(tmp_path / "mhclone"))
+    clone = MinHashIndex(spark, str(tmp_path / "mhclone"))
+
+    # index parity: masked arrays/postings row sets travel exactly
+    for rel in ("arrays", "postings"):
+        want = src._read_relation(rel).join(
+            spark.createDataFrame([(0,)], "doc_id: bigint"),
+            "doc_id",
+            "left_anti",
+        )
+        assert clone._read_relation(rel).count() == want.count()
+    raw = spark.read.parquet(clone.arrays_path)
+    assert raw.filter(F.col("doc_id") == 0).count() == 0, "byte-clean"
+    assert clone._deleted_keys()[0] is None
+
+    # pairs history travels: same log, same as-of reads
+    assert clone.history() == src.history()
+    if src.history():
+        top = src.history()[-1][0]
+        assert _pairs(clone.pairs_as_of(top)) == _pairs(src.pairs_as_of(top))
+
+    # the folded tombstones travel: a late retry refuses on the clone
+    with pytest.raises(RuntimeError, match="already compacted"):
+        clone._require_not_folded(folded[0])
+    assert clone.snapshot_manifest() is not None
+
+    # a half-exported clone (no format marker) refuses every read
+    dest2 = str(tmp_path / "mhclone2")
+    real = MinHashIndex._write_format_marker
+
+    def boom(self):
+        if self.base_path.endswith("mhclone2"):
+            raise RuntimeError("crash before format marker")
+        real(self)
+
+    MinHashIndex._write_format_marker = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash before format marker"):
+            src.snapshot_to(dest2)
+    finally:
+        MinHashIndex._write_format_marker = real
+    half = MinHashIndex(spark, dest2)
+    with pytest.raises(RuntimeError, match="Rebootstrap required"):
+        half.probe_and_insert(docs.filter(F.col("doc_id") == 4)).count()
+
+
+def test_snapshot_everywhere_writes_catalog_last(spark, tmp_path):
+    ivf = _ivf_source(spark, tmp_path)
+    cc = _cc_source(spark, tmp_path)
+    root = str(tmp_path / "backup")
+
+    catalog = snapshot_everywhere(root, (ivf, "ivf"), (cc, "cc"))
+    assert set(catalog["stores"]) == {
+        f"IvfAssignmentStore@{ivf.base_path}",
+        f"ComponentStore@{cc.base_path}",
+    }
+    assert ivf._read_json(f"{root}/_catalog.json") == catalog
+    assert _ivf_rows(
+        IvfAssignmentStore(spark, f"{root}/ivf").read()
+    ) == _ivf_rows(ivf.read())
+    assert _labels(ComponentStore(spark, f"{root}/cc").labels()) == _labels(
+        cc.labels()
+    )
+
+    # fail-fast fan-out: a crash on store 2 leaves NO catalog
+    root2 = str(tmp_path / "backup2")
+    real = ComponentStore.snapshot_to
+
+    def boom(self, dest):
+        raise RuntimeError("store 2 export failed")
+
+    ComponentStore.snapshot_to = boom
+    try:
+        with pytest.raises(RuntimeError, match="store 2 export failed"):
+            snapshot_everywhere(root2, (ivf, "ivf"), (cc, "cc"))
+    finally:
+        ComponentStore.snapshot_to = real
+    assert ivf._read_json(f"{root2}/_catalog.json") is None

@@ -1,0 +1,217 @@
+"""Model-based interleaving test of the BatchAppendStore kernel.
+
+The store suites pin each contract individually (redelivery replaces,
+crashed appends invisible, tombstones mask every read, purge deferral,
+history/as-of). This file checks the contracts hold UNDER COMPOSITION:
+hypothesis drives random interleavings of append / crash-mid-append /
+redeliver / forget / purge against a pure-Python reference model, and
+the store's serving view must equal the model after every operation.
+
+The model encodes the documented semantics exactly — including the
+deliberately sharp edges:
+
+- a purge while an append is in flight removes committed rows but
+  DEFERS the tombstone clearing (store_base.purge_forgotten);
+- a redelivery re-runs the batch's deterministic transform in full, so
+  rows purged OUT of a batch re-land if that batch is redelivered
+  after its tombstones cleared (the documented "quiesce ingestion of
+  taken-down ids across a purge" contract — the model resurrects them
+  too, because that IS the contract);
+- re-landing a forget_id REPLACES its previous id set;
+- history() is the landed-marker log and never shrinks on purge.
+
+Spark jobs per example are expensive: sequences and example counts are
+small; the value is the adversarial ORDERINGS, not volume.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import types as T
+
+from chchfr_data_collection_spark.operators.store_base import BatchAppendStore
+
+
+class _ToyStore(BatchAppendStore):
+    """Minimal concrete store: one cell column, long ids."""
+
+    DATA_SUBDIR = "data"
+    CELL_COLS = ("cell",)
+    TOMBSTONE_KEY = "id"
+    DATA_SCHEMA = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("batch_id", T.LongType()),
+        ]
+    )
+
+    def __init__(self, spark, base_path: str) -> None:
+        self._init_batch_store(spark, base_path)
+
+    def _tombstone_key_type(self):
+        return T.LongType()
+
+
+def _batch_rows(bid: int, ids) -> set:
+    """The deterministic per-batch transform (what a foreachBatch sink
+    would compute): row identity depends only on (batch_id, id)."""
+    return {(i, bid * 1000 + i, i % 3) for i in ids}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        sorted(rows), "id long, val long, cell long"
+    )
+
+
+def _read_set(store, as_of=None) -> set:
+    return {
+        (r.id, r.val, r.cell)
+        for r in store.read(as_of_batch=as_of).collect()
+    }
+
+
+def _crash_append(store, df, bid: int) -> None:
+    """Run append_batch but die between the data write and the landed
+    marker — the partial batch is on disk with an intent marker only."""
+    real = store._mark_landed
+
+    def boom(root, name):
+        if root == store.landed_path and name == str(bid):
+            raise RuntimeError("crash before marker")
+        real(root, name)
+
+    store._mark_landed = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash before marker"):
+            store.append_batch(df, bid)
+    finally:
+        store._mark_landed = real
+
+
+_ids_st = st.lists(st.integers(0, 11), min_size=1, max_size=5, unique=True)
+_op_st = st.one_of(
+    st.tuples(st.just("append"), _ids_st),
+    st.tuples(st.just("crash"), _ids_st),
+    st.tuples(st.just("redeliver"), st.integers(0, 5)),
+    st.tuples(st.just("redeliver_committed"), st.integers(0, 5)),
+    st.tuples(st.just("forget"), st.integers(0, 2), _ids_st),
+    st.tuples(st.just("purge")),
+)
+
+_dirs = itertools.count()
+
+MODEL = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+    ],
+)
+
+
+@MODEL
+@given(first=_ids_st, ops=st.lists(_op_st, max_size=5))
+def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
+    base = tmp_path / f"s{next(_dirs)}"
+    store = _ToyStore(spark, str(base))
+
+    # model state
+    committed: dict[int, set] = {}   # bid -> rows currently on disk & landed
+    original: dict[int, set] = {}    # bid -> the batch's full transform output
+    crashed: dict[int, set] = {}     # bid -> rows on disk, intent only
+    tombstones: dict[str, set] = {}  # forget_id -> ids
+
+    def tomb_ids() -> set:
+        return set().union(*tombstones.values()) if tombstones else set()
+
+    def expected(as_of=None) -> set:
+        dead = tomb_ids()
+        return {
+            r
+            for b, rows in committed.items()
+            if as_of is None or b <= as_of
+            for r in rows
+            if r[0] not in dead
+        }
+
+    next_bid = itertools.count()
+
+    def do_append(ids, crash: bool):
+        bid = next(next_bid)
+        rows = _batch_rows(bid, ids)
+        if crash:
+            _crash_append(store, _df(spark, rows), bid)
+            crashed[bid] = rows
+        else:
+            store.append_batch(_df(spark, rows), bid)
+            committed[bid] = set(rows)
+        original[bid] = rows
+
+    # batch 0 always commits so read() has a data relation to resolve
+    do_append(first, crash=False)
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            do_append(op[1], crash=False)
+        elif kind == "crash":
+            do_append(op[1], crash=True)
+        elif kind == "redeliver":
+            if not crashed:
+                continue
+            bid = sorted(crashed)[op[1] % len(crashed)]
+            store.append_batch(_df(spark, original[bid]), bid)
+            del crashed[bid]
+            committed[bid] = set(original[bid])
+        elif kind == "redeliver_committed":
+            bid = sorted(committed)[op[1] % len(committed)]
+            store.append_batch(_df(spark, original[bid]), bid)
+            committed[bid] = set(original[bid])
+        elif kind == "forget":
+            fid = f"f{op[1]}"
+            ids = set(op[2])
+            store.forget(_df(spark, _batch_rows(0, ids)).select("id"), fid)
+            tombstones[fid] = ids
+        elif kind == "purge":
+            receipt = store.purge_forgotten()
+            dead = tomb_ids()
+            if dead:
+                removed = sum(
+                    1 for rows in committed.values() for r in rows
+                    if r[0] in dead
+                )
+                for b in committed:
+                    committed[b] = {
+                        r for r in committed[b] if r[0] not in dead
+                    }
+                assert receipt["rows_removed"] == removed
+                assert receipt["purge_deferred"] == sorted(crashed)
+                if crashed:
+                    assert receipt["tombstones_cleared"] == []
+                else:
+                    assert receipt["tombstones_cleared"] == sorted(tombstones)
+                    tombstones.clear()
+            else:
+                assert receipt["rows_removed"] == 0
+                assert receipt["tombstones_cleared"] == []
+        # the serving view equals the model after EVERY operation
+        assert _read_set(store) == expected(), f"after {op}"
+        assert store.history() == sorted(committed)
+
+    # end-of-sequence: time travel at every committed point, and a
+    # fresh instance (cold caches, marker re-resolution) agrees
+    for b in store.history():
+        assert _read_set(store, as_of=b) == expected(as_of=b), f"as_of {b}"
+    fresh = _ToyStore(spark, str(base))
+    assert _read_set(fresh) == expected()
+    assert fresh.history() == sorted(committed)
