@@ -899,6 +899,46 @@ def dedup_cc_store_time_travel(spark, sf_dir):
 
 
 @register(
+    "dedup_cc_store_snapshot",
+    sql=_cc_oracle_sql(),
+    tags=("llm", "dedup", "iterative", "store", "snapshot"),
+)
+def dedup_cc_store_snapshot(spark, sf_dir):
+    """BACKUP/RESTORE on the persisted cluster store: after the delta
+    batch is folded in, `snapshot_to` exports the store to a fresh
+    path — marked patch partitions, seq markers, and schema sidecar
+    travel; orphans, intents, and tombstoned bytes do not — and the
+    labels are served from the RESTORED CLONE through a fresh
+    ComponentStore instance. The oracle is the same batch-CC-over-all-
+    pairs the live store answers: a restore is only a restore if the
+    clone resolves exactly what the source resolved. History travels
+    too (the clone's `labels(as_of_seq)` audit reads keep working —
+    pinned in tests/test_snapshot.py); the restore refuses without the
+    completeness attestation the export writes last. At 100 TB the
+    export is one masked scan + write of base + delta-sized patches —
+    run compact() first and it is one partition."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.component_store import ComponentStore
+    from .llm import dedup_ngram_jaccard
+
+    store = _cc_store_bootstrapped(spark, sf_dir)
+    delta_pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db").filter(
+        (F.col("da") % 4 == 0) | (F.col("db") % 4 == 0)
+    )
+    store.apply_pairs(delta_pairs, delta_id=f"snap-{_uuid.uuid4().hex[:8]}")
+    dest = tempfile.mkdtemp(prefix=f"cc_snap_{_uuid.uuid4().hex[:8]}_")
+    store.snapshot_to(dest)
+    clone = ComponentStore(spark, dest)
+    if clone.snapshot_manifest() is None:
+        raise RuntimeError(
+            f"restore refused: {dest} has no snapshot attestation"
+        )
+    return clone.labels()
+
+
+@register(
     "streaming_cc_store_replay",
     sql=_cc_oracle_sql(),
     tags=("streaming", "llm", "dedup", "iterative", "incremental", "store"),

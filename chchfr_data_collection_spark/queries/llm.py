@@ -2488,7 +2488,14 @@ def similarity_ivf_forget_probe(spark, sf_dir):
         emb.filter(F.col("vec_id") % 16 == 9).select("vec_id"),
         forget_id="takedown-9",
     )
-    view = store.read()
+    return _ivf_view_topk(store.read(), emb)
+
+
+def _ivf_view_topk(view, emb):
+    """Top-3 ANN probe (queries vec_id < 5) served from an
+    IvfAssignmentStore read view: cell equi-join + exact quantized
+    cosine + per-query window. Shared by the forget-probe and
+    snapshot-probe entries so both certify the same serving shape."""
     qcells = view.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "cent_id"
     )
@@ -2530,6 +2537,52 @@ def similarity_ivf_forget_probe(spark, sf_dir):
         .withColumn("rnk", F.row_number().over(pw))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "similarity_ivf_store_snapshot_probe",
+    sql=_ivf_duck_forget("c.vec_id % 16 = 9"),
+    tags=("llm", "similarity", "ann", "ivf", "forget", "store", "snapshot"),
+)
+def similarity_ivf_store_snapshot_probe(spark, sf_dir):
+    """BACKUP/RESTORE on the semantic serving index: the persisted IVF
+    store (with a standing takedown on vec_id % 16 == 9) is exported
+    via `snapshot_to` to a fresh path, and the ANN probe is served
+    from the RESTORED CLONE — proving the clone serves exactly what
+    the source's masked view served. Two bounds this entry certifies
+    cross-engine: the restore path (a fresh store instance over the
+    clone, nothing reused from the source), and the compliance bound —
+    the clone was written through the tombstone anti-join, so the
+    takedown slice is absent from the clone at the BYTE level (a
+    backup must not carry data ordered forgotten), which is why the
+    probe equals the reduced-corpus oracle with NO tombstones present
+    on the clone at all. The restore refuses to proceed without the
+    completeness attestation the export writes last
+    (`snapshot_manifest()` — a crashed export leaves none).
+
+    Shape at 100 TB: the export is one masked scan + one write of the
+    committed cells plus metadata (markers, manifest); the clone keeps
+    (cent_id, batch_id) partitioning, so probe pruning and time travel
+    work unchanged on the restored store."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming.embeddings import IvfAssignmentStore
+
+    store = _ivf_store_cached(spark, sf_dir)
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    store.forget(
+        emb.filter(F.col("vec_id") % 16 == 9).select("vec_id"),
+        forget_id="takedown-9",
+    )
+    dest = tempfile.mkdtemp(prefix=f"ivf_snap_{_uuid.uuid4().hex[:8]}_")
+    store.snapshot_to(dest)
+    clone = IvfAssignmentStore(spark, dest)
+    if clone.snapshot_manifest() is None:
+        raise RuntimeError(
+            f"restore refused: {dest} has no snapshot attestation"
+        )
+    return _ivf_view_topk(clone.read(), emb)
 
 
 def _ivf_tt_store_cached(spark, sf_dir):
