@@ -368,7 +368,35 @@ class BatchAppendStore(StoreKernel):
         batch_id re-runs the same deterministic transform and REPLACES
         its own partitions — rows never duplicate; a crash anywhere
         leaves either an invisible partial batch (intent, no marker) or
-        a committed one (marker present), never a half-visible state."""
+        a committed one (marker present), never a half-visible state.
+
+        The frame must match the store's pinned DATA_SCHEMA (minus the
+        store-added batch_id) by column NAME and TYPE — checked loudly
+        BEFORE anything lands, because the failure mode of a drifted
+        producer is silent otherwise: the schema-pinned reads would
+        drop an extra column's bytes and null-fill a widened type
+        without a word (the MinHash insert's doc_id type check, widened
+        to the whole row)."""
+        want = {
+            (f.name, f.dataType)
+            for f in self.DATA_SCHEMA.fields
+            if f.name != "batch_id"
+        }
+        got = {(f.name, f.dataType) for f in df.schema.fields}
+        if got != want:
+            def _fmt(s):
+                return ", ".join(
+                    f"{n}:{t.simpleString()}" for n, t in sorted(
+                        s, key=lambda x: x[0]
+                    )
+                )
+            raise TypeError(
+                f"append_batch(): frame schema [{_fmt(got)}] does not "
+                f"match the store's pinned schema [{_fmt(want)}] "
+                f"({self.base_path}). A drifted producer must not land: "
+                "pinned reads would silently drop or null-fill the "
+                "difference."
+            )
         bid = int(batch_id)
         self._mark_landed(self.intent_path, str(bid))
         (

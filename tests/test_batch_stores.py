@@ -91,6 +91,27 @@ def test_pq_encode_redelivery_replaces(spark, tmp_path):
     assert want == _pq_rows(pq_encode(_emb(spark), cent))
 
 
+def test_append_rejects_drifted_producer_schema(spark, tmp_path):
+    """A frame whose columns or types drifted from the store's pinned
+    schema is refused BEFORE anything lands — the pinned reads would
+    otherwise silently drop an extra column's bytes or null-fill a
+    changed type."""
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    good = ivf_assign(_emb(spark).filter(F.col("vec_id") < 30), cent)
+    store.bootstrap(good)
+
+    with pytest.raises(TypeError, match="does not match the store's pinned"):
+        store.append_batch(good.withColumn("extra", F.lit(1)), 1)
+    with pytest.raises(TypeError, match="does not match the store's pinned"):
+        store.append_batch(good.drop("cos_c"), 1)
+    with pytest.raises(TypeError, match="does not match the store's pinned"):
+        store.append_batch(
+            good.withColumn("vec_id", F.col("vec_id").cast("int")), 1
+        )
+    assert store.history() == [0], "nothing may land from a drifted frame"
+
+
 def test_crashed_append_invisible_until_redelivered(spark, tmp_path):
     """A batch that crashes between its data write and its landed
     marker (intent present, no marker) is excluded from every read;

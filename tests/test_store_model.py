@@ -215,3 +215,132 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
     fresh = _ToyStore(spark, str(base))
     assert _read_set(fresh) == expected()
     assert fresh.history() == sorted(committed)
+
+
+# --------------------------------------------------------------------------
+# ComponentStore vs an independent union-find model. The subtle part the
+# model encodes (and the store documents): PURGE severs a node's FUTURE
+# bridging — its membership rows are byte-erased, so a re-arrival starts
+# a fresh identity — while its PAST effect persists (survivors keep
+# labels that may name a purged id; labels are values, not references).
+# Modeled as per-node GENERATIONS: forget masks + severs new pairs at
+# the node; purge retires the current generation (the ghost stays in
+# its old component for others' labels); a post-purge re-arrival gets a
+# new generation that unions from scratch.
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent = {}
+
+    def add(self, x):
+        self.parent.setdefault(x, x)
+
+    def find(self, x):
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        self.add(a)
+        self.add(b)
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[ra] = rb
+
+
+_pairs_st = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=4
+)
+_nodes_st = st.lists(st.integers(0, 9), min_size=1, max_size=3, unique=True)
+_cc_op_st = st.one_of(
+    st.tuples(st.just("apply"), _pairs_st),
+    st.tuples(st.just("forget"), st.integers(0, 2), _nodes_st),
+    st.tuples(st.just("compact"), st.booleans()),
+)
+
+
+@MODEL
+@given(first=_pairs_st, ops=st.lists(_cc_op_st, max_size=4))
+def test_component_store_matches_union_find_model(spark, tmp_path, first, ops):
+    from chchfr_data_collection_spark.operators.component_store import (
+        ComponentStore,
+    )
+
+    base = tmp_path / f"cc{next(_dirs)}"
+    store = ComponentStore(spark, str(base))
+
+    uf = _UnionFind()
+    gen = itertools.count()
+    cur: dict[int, tuple] = {}   # node -> live instance (node, generation)
+    tombstones: dict[str, set] = {}
+    n_apply = itertools.count()
+
+    def tomb_ids() -> set:
+        return set().union(*tombstones.values()) if tombstones else set()
+
+    def enter(n):
+        if n not in cur:
+            cur[n] = (n, next(gen))
+            uf.add(cur[n])
+
+    def model_apply(pairs):
+        dead = tomb_ids()
+        for a, b in pairs:
+            if a not in dead and b not in dead:
+                enter(a)
+                enter(b)
+                uf.union(cur[a], cur[b])
+            elif a not in dead:
+                enter(a)
+            elif b not in dead:
+                enter(b)
+
+    def model_labels() -> set:
+        dead = tomb_ids()
+        comp_min: dict = {}
+        for inst in uf.parent:
+            root = uf.find(inst)
+            comp_min[root] = min(comp_min.get(root, inst[0]), inst[0])
+        return {
+            (n, comp_min[uf.find(inst)])
+            for n, inst in cur.items()
+            if n not in dead
+        }
+
+    def _labels(s) -> set:
+        return {(r.node, r.component) for r in s.labels().collect()}
+
+    def df_pairs(pairs):
+        return spark.createDataFrame(pairs, "da: bigint, db: bigint")
+
+    store.bootstrap(df_pairs(first))
+    model_apply(first)
+    assert _labels(store) == model_labels()
+
+    for op in ops:
+        if op[0] == "apply":
+            store.apply_pairs(df_pairs(op[1]), f"d{next(n_apply)}")
+            model_apply(op[1])
+        elif op[0] == "forget":
+            fid = f"f{op[1]}"
+            ids = set(op[2])
+            store.forget(
+                spark.createDataFrame([(i,) for i in ids], "node: bigint"),
+                fid,
+            )
+            tombstones[fid] = ids
+        elif op[0] == "compact":
+            purge = op[1]
+            store.compact(purge_forgotten=purge)
+            if purge:
+                # no crashed applies in this sequence, so clearing is
+                # never deferred: tombstoned generations retire
+                for n in tomb_ids():
+                    cur.pop(n, None)
+                tombstones.clear()
+        assert _labels(store) == model_labels(), f"after {op}"
+
+    # a fresh instance (cold caches, cross-session read) agrees
+    assert _labels(ComponentStore(spark, str(base))) == model_labels()
