@@ -614,7 +614,16 @@ class BatchAppendStore(StoreKernel):
                     f"nothing committed to snapshot in {self.base_path}"
                 )
             fids = sorted(self._tombstone_fingerprints())
-            masked = self.read()
+            # pin the export to the batch set listed above: a
+            # CONCURRENT unfenced append (or a redelivery of a crashed
+            # batch) landing partitions mid-scan must not leak rows
+            # into the clone — on the clone they would carry no intent
+            # marker and therefore be VISIBLE under a batch the clone
+            # never committed. The ComponentStore/MinHash exports pin
+            # their partition lists the same way (isin(marked)).
+            masked = self.read().filter(
+                F.col("batch_id").isin([int(b) for b in hist])
+            )
             expected = masked.count()
             for b in hist:
                 clone._mark_landed(clone.intent_path, str(b))

@@ -156,6 +156,32 @@ def test_snapshot_crash_windows_and_fresh_dest(spark, tmp_path):
     assert served.snapshot_manifest() is None
 
 
+def test_snapshot_pins_committed_batches_only(spark, tmp_path):
+    """Rows landing under a batch_id with NO marker at all (a
+    concurrent unfenced append caught mid-write, or bytes written
+    outside append_batch) must not travel: on the clone they would
+    carry no intent marker and therefore serve under a batch the clone
+    never committed. The export pins its scan to the history it
+    attests."""
+    src = _ivf_source(spark, tmp_path)
+    cent = ivf_centroids(spark, SF_DIR)
+    rogue = ivf_assign(
+        _emb(spark).filter(F.col("vec_id") < 5), cent
+    ).withColumn("vec_id", F.col("vec_id") + 900000)
+    (
+        rogue.withColumn("batch_id", F.lit(7))
+        .write.mode("append")
+        .partitionBy("cent_id", "batch_id")
+        .parquet(src.data_path)
+    )
+    src.snapshot_to(str(tmp_path / "clone"))
+    clone = IvfAssignmentStore(spark, str(tmp_path / "clone"))
+    assert clone.history() == [0, 1]
+    raw = spark.read.parquet(clone.data_path)
+    assert raw.filter(F.col("vec_id") >= 900000).count() == 0
+    assert clone.snapshot_manifest()["batches"] == [0, 1]
+
+
 def _cc_source(spark, tmp_path):
     store = ComponentStore(spark, str(tmp_path / "cc"))
     store.bootstrap(
