@@ -668,6 +668,96 @@ class BatchAppendStore(StoreKernel):
             clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {**manifest, "dest": dest}
 
+    def sync_to(self, dest_path: str) -> dict:
+        """INCREMENTAL backup: bring a previously-exported clone up to
+        date without re-exporting the corpus. Ships only the committed
+        batches the clone lacks (each through the clone's own
+        `append_batch`, so the landing is marker-gated and a crashed
+        sync re-runs to completion — missing batches are recomputed
+        from the diff, partially-landed ones replaced), MIRRORS the
+        source's standing tombstones onto the clone per forget_id
+        (idempotent-by-replacement, so retried syncs re-land them
+        harmlessly), refreshes the trained auxiliary relation, and
+        rewrites the manifest LAST with the new attested history.
+
+        Two honesty bounds, both documented consequences of the
+        snapshot model: newly-shipped batches are still exported
+        through the tombstone anti-join (no forgotten bytes travel in
+        the sync), but rows forgotten on the source AFTER the original
+        snapshot already sit in the clone's OLD batches as bytes — the
+        mirrored tombstones mask them immediately and the clone's own
+        `purge_forgotten()` erases them; a sync is therefore
+        "compliance-masked now, byte-clean at the clone's next purge",
+        where a fresh snapshot is byte-clean at once. And the clone
+        must genuinely be a clone: a destination without a snapshot
+        manifest, or with committed batches the source never had, is
+        refused — syncing into an unrelated store is not a defined
+        operation. Runs under the SOURCE WriterLease, like snapshot_to.
+
+        Cost: O(missing batches) data + O(|tombstones|) metadata — the
+        steady-state nightly-backup shape; snapshot_to is the full
+        backup it increments."""
+        from .lease import WriterLease
+
+        dest = dest_path.rstrip("/")
+        clone = self.__class__(self.spark, dest)
+        if clone.snapshot_manifest() is None:
+            raise RuntimeError(
+                f"sync_to(): {dest} has no snapshot attestation — sync "
+                "only updates a completed snapshot_to() clone; take a "
+                "full snapshot first"
+            )
+        with WriterLease(self.spark, self.base_path):
+            self._recover()
+            self._deleted_cache = _UNSET
+            hist = self.history()
+            have = clone.history()
+            foreign = sorted(set(have) - set(hist))
+            if foreign:
+                raise RuntimeError(
+                    f"sync_to(): {dest} holds committed batches "
+                    f"{foreign} the source {self.base_path} never "
+                    "landed — it is not a clone of this store (or it "
+                    "diverged: clones are forks once appended to). "
+                    "Refusing to merge histories."
+                )
+            missing = sorted(set(hist) - set(have))
+            masked = self.read()
+            for bid in missing:
+                clone.append_batch(
+                    masked.filter(F.col("batch_id") == bid).drop("batch_id"),
+                    bid,
+                )
+            fids = self._tombstone_fingerprints()
+            for fid in sorted(fids):
+                ids = self.spark.read.parquet(
+                    f"{self.deleted_path}/forget_id={fid}"
+                ).select(self.TOMBSTONE_KEY)
+                clone.forget(ids, fid)
+            aux = self._aux_swap()
+            if aux is not None:
+                live = aux[1]
+                sfs, SP = self._fs()
+                if sfs.exists(SP(live)):
+                    # stage beside, then swap — the crash window is two
+                    # metadata ops, and a re-run of the sync repairs it
+                    rel = live[len(self.base_path) + 1:]
+                    dfs, DP = self._fs_for(dest)
+                    tmp = f"{dest}/{rel}__sync_tmp"
+                    dfs.delete(DP(tmp), True)
+                    self._copy_tree(live, tmp)
+                    dfs.delete(DP(f"{dest}/{rel}"), True)
+                    dfs.rename(DP(tmp), DP(f"{dest}/{rel}"))
+            manifest = {
+                "source": self.base_path,
+                "batches": hist,
+                "rows": clone.read().count(),
+                "tombstones_applied": [],
+                "tombstones_mirrored": sorted(fids),
+            }
+            clone._write_json(f"{dest}/_snapshot.json", manifest)
+        return {**manifest, "dest": dest, "batches_shipped": missing}
+
     def purge_forgotten(self) -> dict:
         """Byte-erase tombstoned rows from the leaf partitions that
         hold them — historical batches included, so no as-of read can

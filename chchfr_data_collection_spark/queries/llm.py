@@ -2585,6 +2585,51 @@ def similarity_ivf_store_snapshot_probe(spark, sf_dir):
     return _ivf_view_topk(clone.read(), emb)
 
 
+@register(
+    "similarity_ivf_store_sync_probe",
+    sql=_ivf_duck_forget("c.vec_id % 16 = 9"),
+    tags=("llm", "similarity", "ann", "ivf", "forget", "store", "snapshot"),
+)
+def similarity_ivf_store_sync_probe(spark, sf_dir):
+    """INCREMENTAL backup on the semantic serving index: a clone taken
+    while the store held only the landed slice (vec_id % 4 != 0) is
+    brought up to date with `sync_to` after the source appends the
+    delta slice and lands a takedown (vec_id % 16 == 9) — only the
+    missing batch ships (byte-clean through the tombstone anti-join)
+    and the takedown is MIRRORED onto the clone per forget_id, so the
+    probe served from the synced clone equals the full-corpus,
+    reduced-by-takedown oracle. This is the nightly-backup shape:
+    O(new batches) data + O(|tombstones|) metadata per sync, where
+    snapshot_to is the full backup it increments; rows forgotten after
+    the original snapshot are masked on the clone immediately and
+    byte-erased at the clone's own purge (pinned in
+    tests/test_snapshot.py)."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming.embeddings import (
+        IvfAssignmentStore,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    cent = ivf_centroids(spark, sf_dir)
+    src = IvfAssignmentStore(
+        spark, tempfile.mkdtemp(prefix=f"ivf_sync_src_{_uuid.uuid4().hex[:8]}_")
+    )
+    src.bootstrap(ivf_assign(emb.filter(F.col("vec_id") % 4 != 0), cent))
+    dest = tempfile.mkdtemp(prefix=f"ivf_sync_dst_{_uuid.uuid4().hex[:8]}_")
+    src.snapshot_to(dest)
+    src.append_batch(ivf_assign(emb.filter(F.col("vec_id") % 4 == 0), cent), 1)
+    src.forget(
+        emb.filter(F.col("vec_id") % 16 == 9).select("vec_id"),
+        forget_id="takedown-9",
+    )
+    src.sync_to(dest)
+    return _ivf_view_topk(IvfAssignmentStore(spark, dest).read(), emb)
+
+
 def _ivf_tt_store_cached(spark, sf_dir):
     """An IvfAssignmentStore whose batch 0 holds the LANDED slice's
     assignments (vec_id % 4 != 0) — the time-travel fixture: entries

@@ -291,6 +291,120 @@ def test_minhash_snapshot_parity_log_and_folded(spark, tmp_path):
         half.probe_and_insert(docs.filter(F.col("doc_id") == 4)).count()
 
 
+def test_sync_ships_missing_batches_and_mirrors_takedowns(spark, tmp_path):
+    """Incremental backup: after a full snapshot, new source batches
+    and new takedowns arrive; sync_to ships ONLY the missing batches,
+    mirrors the tombstones (masking the clone's pre-existing bytes of
+    later-forgotten rows), refreshes the manifest, and is idempotent —
+    a second sync ships nothing and changes nothing."""
+    cent = ivf_centroids(spark, SF_DIR)
+    src = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    src.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 300), cent))
+    dest = str(tmp_path / "clone")
+    src.snapshot_to(dest)
+
+    # source moves on: one more batch, one takedown hitting BOTH a
+    # batch the clone already holds and the new batch
+    src.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 300), cent), 1
+    )
+    src.forget(
+        _emb(spark).filter(F.col("vec_id") % 16 == 9).select("vec_id"), "t9"
+    )
+
+    receipt = src.sync_to(dest)
+    assert receipt["batches_shipped"] == [1]
+    assert receipt["tombstones_mirrored"] == ["t9"]
+    clone = IvfAssignmentStore(spark, dest)
+    assert clone.history() == src.history() == [0, 1]
+    assert _ivf_rows(clone.read()) == _ivf_rows(src.read())
+    # the SHIPPED batch traveled byte-clean; batch 0's forgotten rows
+    # are masked by the mirrored tombstones, erased at the clone purge
+    raw = spark.read.parquet(clone.data_path)
+    assert (
+        raw.filter(
+            (F.col("vec_id") % 16 == 9) & (F.col("batch_id") == 1)
+        ).count()
+        == 0
+    )
+    assert clone._deleted_keys()[0] is not None
+    clone.purge_forgotten()
+    raw2 = spark.read.parquet(clone.data_path)
+    assert raw2.filter(F.col("vec_id") % 16 == 9).count() == 0
+
+    # idempotent re-sync (the clone's purge already erased its copy of
+    # the tombstoned rows; the re-mirrored tombstones re-mask only)
+    before = _ivf_rows(IvfAssignmentStore(spark, dest).read())
+    receipt2 = src.sync_to(dest)
+    assert receipt2["batches_shipped"] == []
+    assert _ivf_rows(IvfAssignmentStore(spark, dest).read()) == before
+
+    # refusals: not-a-clone destinations
+    with pytest.raises(RuntimeError, match="no snapshot attestation"):
+        src.sync_to(str(tmp_path / "never_snapshotted"))
+    diverged = IvfAssignmentStore(spark, dest)
+    diverged.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") < 5), cent)
+        .withColumn("vec_id", F.col("vec_id") + 500000),
+        77,
+    )
+    with pytest.raises(RuntimeError, match="not a clone"):
+        src.sync_to(dest)
+
+
+def test_sync_crash_midway_rerun_completes(spark, tmp_path):
+    """A sync that dies between shipped batches re-runs to completion:
+    the partially-landed batch is replaced, the rest ship, and the
+    manifest (written last) only ever attests a finished sync."""
+    cent = ivf_centroids(spark, SF_DIR)
+    src = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    src.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 200), cent))
+    dest = str(tmp_path / "clone")
+    src.snapshot_to(dest)
+    src.append_batch(
+        ivf_assign(
+            _emb(spark).filter(
+                (F.col("vec_id") >= 200) & (F.col("vec_id") < 400)
+            ),
+            cent,
+        ),
+        1,
+    )
+    src.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 400), cent), 2
+    )
+
+    real = IvfAssignmentStore._mark_landed
+    calls = {"n": 0}
+
+    def boom(self, root, name):
+        if root.endswith("clone/_landed") and name == "2":
+            raise RuntimeError("crash mid-sync")
+        real(self, root, name)
+
+    IvfAssignmentStore._mark_landed = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash mid-sync"):
+            src.sync_to(dest)
+    finally:
+        IvfAssignmentStore._mark_landed = real
+
+    half = IvfAssignmentStore(spark, dest)
+    assert half.history() == [0, 1], "batch 2 crashed before its marker"
+    assert half.snapshot_manifest()["batches"] == [0], (
+        "a crashed sync must not refresh the attestation"
+    )
+
+    receipt = src.sync_to(dest)
+    assert receipt["batches_shipped"] == [2]
+    assert _ivf_rows(IvfAssignmentStore(spark, dest).read()) == _ivf_rows(
+        src.read()
+    )
+    assert IvfAssignmentStore(spark, dest).snapshot_manifest()[
+        "batches"
+    ] == [0, 1, 2]
+
+
 def test_snapshot_everywhere_writes_catalog_last(spark, tmp_path):
     ivf = _ivf_source(spark, tmp_path)
     cc = _cc_source(spark, tmp_path)
