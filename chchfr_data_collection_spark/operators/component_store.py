@@ -552,6 +552,84 @@ class ComponentStore(StoreKernel):
             clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {**manifest, "dest": dest}
 
+    def sync_to(self, dest_path: str) -> dict:
+        """INCREMENTAL backup of the patch store (the
+        BatchAppendStore.sync_to contract on this layout): ship only
+        the marked patch partitions the clone lacks (masked through
+        the CURRENT tombstones — no forgotten bytes travel), mark them
+        on the clone after the write commits (a crashed sync leaves
+        them invisible; the re-run replaces them via dynamic
+        overwrite), mirror the standing tombstones per forget_id, and
+        rewrite the attestation manifest LAST. Rows forgotten after
+        the original snapshot already sit in the clone's older patches
+        as bytes: the mirrored tombstones mask them immediately;
+        `compact(purge_forgotten=True)` on the clone erases them.
+
+        Refuses a destination that is not a clone of this store: no
+        snapshot attestation, or marked (seq, delta_id) entries the
+        source does not hold — which is also what a source-side
+        compact() since the snapshot looks like (the fold retired
+        those seqs): history was collapsed, take a fresh snapshot."""
+        from .lease import WriterLease
+
+        self._require_bootstrapped()
+        dest = dest_path.rstrip("/")
+        clone = ComponentStore(self.spark, dest)
+        if clone.snapshot_manifest() is None:
+            raise RuntimeError(
+                f"sync_to(): {dest} has no snapshot attestation — sync "
+                "only updates a completed snapshot_to() clone; take a "
+                "full snapshot first"
+            )
+        with WriterLease(self.spark, self.base_path):
+            self._deleted_cache = _UNSET
+            marked = self._marked()
+            have = clone._marked()
+            foreign = sorted(
+                (s, d) for s, d in have.items() if marked.get(s) != d
+            )
+            if foreign:
+                raise RuntimeError(
+                    f"sync_to(): {dest} holds marked patches {foreign} "
+                    f"the source {self.base_path} does not — the clone "
+                    "diverged, or a source compact() folded that "
+                    "history. Take a fresh snapshot."
+                )
+            missing = sorted(set(marked) - set(have))
+            if missing:
+                rows = self._excl_deleted(
+                    self._assign_marked().filter(
+                        F.col("seq").isin([f"{s:08d}" for s in missing])
+                    )
+                )
+                (
+                    rows.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("seq")
+                    .parquet(clone.assign_path)
+                )
+                for s in missing:
+                    clone._mark(s, marked[s])
+            fids = self._tombstone_fingerprints()
+            for fid in sorted(fids):
+                ids = self.spark.read.parquet(
+                    f"{self.deleted_path}/forget_id={fid}"
+                ).select(self.TOMBSTONE_KEY)
+                clone.forget(ids, fid)
+            manifest = {
+                "source": self.base_path,
+                "history": [[s, d] for s, d in sorted(marked.items())],
+                "rows": clone.labels().count(),
+                "tombstones_applied": [],
+                "tombstones_mirrored": sorted(fids),
+            }
+            clone._write_json(f"{dest}/_snapshot.json", manifest)
+        return {
+            **manifest,
+            "dest": dest,
+            "patches_shipped": [[s, marked[s]] for s in missing],
+        }
+
     def compact(self, purge_forgotten: bool = False) -> dict:
         """Fold base + patches into ONE partition holding the resolved
         view, then delete the folded sources. No two-phase manifest:

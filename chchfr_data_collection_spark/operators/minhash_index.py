@@ -1074,6 +1074,183 @@ class MinHashIndex(StoreKernel):
             clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {**manifest, "dest": dest}
 
+    def sync_to(self, dest_path: str) -> dict:
+        """INCREMENTAL backup of the index (the BatchAppendStore
+        .sync_to contract on the MinHash layout): ship only the landed
+        delta partitions the clone lacks — arrays/postings keyed by the
+        index markers, pairs by the pairs markers, each masked through
+        the CURRENT tombstones (no forgotten bytes travel) and marked
+        on the clone only after its write commits (a crashed sync
+        leaves invisible partials; the re-run replaces them via the
+        pre-delete + dynamic overwrite every delta landing uses).
+        Write-log entries ship with their pairs deltas, the high-water
+        mark and `_folded` tombstones refresh, standing takedowns are
+        MIRRORED per forget_id (masked on the clone now, byte-erased at
+        the clone's own compact(purge_forgotten=True)), and the
+        attestation manifest is rewritten LAST.
+
+        Refuses while a fold manifest is pending, and refuses a
+        destination that is not a clone: no attestation, or landed
+        deltas the source does not hold — which is also what a
+        source-side compact() since the snapshot looks like (the fold
+        retired those deltas' markers): history was collapsed into a
+        generation the clone's deltas duplicate row-by-row, so merging
+        would double-count. Take a fresh snapshot after a fold."""
+        from .lease import WriterLease
+
+        self._require_format()
+        dest = dest_path.rstrip("/")
+        clone = MinHashIndex(self.spark, dest)
+        if clone.snapshot_manifest() is None:
+            raise RuntimeError(
+                f"sync_to(): {dest} has no snapshot attestation — sync "
+                "only updates a completed snapshot_to() clone; take a "
+                "full snapshot first"
+            )
+        with WriterLease(self.spark, self.base_path):
+            if (
+                self._read_json(self.fold_commit_path) is not None
+                or self._read_json(self.fold_intent_path) is not None
+            ):
+                raise RuntimeError(
+                    f"sync_to(): a fold manifest is pending on "
+                    f"{self.base_path} (compact() crashed or is "
+                    "running) — run compact() to recover, then retry."
+                )
+            self._deleted_cache = _UNSET
+            deleted, _ = self._deleted_docs()
+            if deleted is not None:
+                deleted = deleted.persist()
+            shipped: dict = {}
+            try:
+                fs, HPath = self._fs()
+                dfs, _ = self._fs_for(dest)
+                src_idx = self._landed_ids(self.landed_path)
+                src_pairs = self._landed_ids(self.landed_pairs_path)
+
+                def _mask(df, rel):
+                    if deleted is None:
+                        return df
+                    if rel == "pairs":
+                        return df.join(
+                            F.broadcast(
+                                deleted.select(F.col("doc_id").alias("da"))
+                            ),
+                            "da",
+                            "left_anti",
+                        ).join(
+                            F.broadcast(
+                                deleted.select(F.col("doc_id").alias("db"))
+                            ),
+                            "db",
+                            "left_anti",
+                        )
+                    return df.join(F.broadcast(deleted), "doc_id", "left_anti")
+
+                def _ship(rel, missing):
+                    """Pre-delete the clone's partials of these deltas
+                    (a prior crashed sync), then land the masked rows."""
+                    for did in missing:
+                        for d in clone._delta_dirs(rel, did):
+                            dfs.delete(HPath(d), True)
+                    schema = (
+                        self._pairs_read_schema()
+                        if rel == "pairs"
+                        else self._rel_schema(rel)
+                    )
+                    df = _mask(
+                        self.spark.read.schema(schema)
+                        .parquet(self._rel_path(rel))
+                        .where(F.col("delta_id").isin(missing)),
+                        rel,
+                    )
+                    parts = (
+                        ("band", "delta_id")
+                        if rel == "postings"
+                        else ("delta_id",)
+                    )
+                    (
+                        df.write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy(*parts)
+                        .parquet(clone._rel_path(rel))
+                    )
+
+                def _missing(rel):
+                    src_land = (
+                        src_pairs if rel == "pairs" else src_idx
+                    ) & self._partition_ids(rel)
+                    have = (
+                        clone._landed_ids(clone.landed_pairs_path)
+                        if rel == "pairs"
+                        else clone._landed_ids(clone.landed_path)
+                    ) & clone._partition_ids(rel)
+                    foreign = sorted(have - src_land)
+                    if foreign:
+                        raise RuntimeError(
+                            f"sync_to(): {dest} holds landed {rel} "
+                            f"deltas {foreign} the source "
+                            f"{self.base_path} does not — the clone "
+                            "diverged, or a source compact() folded "
+                            "that history. Take a fresh snapshot."
+                        )
+                    return sorted(src_land - have)
+
+                # both index relations land BEFORE any landed marker
+                # flips: a delta marked on the clone must never be
+                # missing one relation's rows (the insert flow's
+                # mark-after-both-writes discipline)
+                idx_missing = {rel: _missing(rel) for rel in ("arrays", "postings")}
+                for rel in ("arrays", "postings"):
+                    shipped[rel] = idx_missing[rel]
+                    if idx_missing[rel]:
+                        _ship(rel, idx_missing[rel])
+                for did in sorted(
+                    set(idx_missing["arrays"]) | set(idx_missing["postings"])
+                ):
+                    clone._mark_landed(clone.landed_path, did)
+
+                pairs_missing = _missing("pairs")
+                shipped["pairs"] = pairs_missing
+                if pairs_missing:
+                    _ship("pairs", pairs_missing)
+                log = self._log_entries()
+                for did in pairs_missing:
+                    clone._mark_landed(clone.landed_pairs_path, did)
+                    for seq, d2 in sorted(log.items()):
+                        if d2 == did:
+                            dfs.create(
+                                HPath(f"{clone.log_path}/{seq:08d}.{did}"),
+                                True,
+                            ).close()
+            finally:
+                if deleted is not None:
+                    deleted.unpersist()
+            hwm = self._read_json(self.log_hwm_path)
+            if hwm is not None:
+                clone._write_json(clone.log_hwm_path, hwm)
+            for did in sorted(self._landed_ids(self.folded_path)):
+                clone._mark_landed(clone.folded_path, did)
+            fids = self._tombstone_fingerprints()
+            for fid in sorted(fids):
+                ids = self.spark.read.parquet(
+                    f"{self.deleted_path}/forget_id={fid}"
+                ).select(self.TOMBSTONE_KEY)
+                clone.forget(ids, fid)
+            manifest = {
+                "source": self.base_path,
+                "index_deltas": sorted(src_idx),
+                "pairs_history": [
+                    [s, d]
+                    for s, d in sorted(self._log_entries().items())
+                    if d in src_pairs
+                ],
+                "tombstones_applied": [],
+                "tombstones_mirrored": sorted(fids),
+            }
+            clone._write_json(f"{dest}/_snapshot.json", manifest)
+        return {**manifest, "dest": dest, "shipped": shipped}
+
     def _pairs_read_schema(self):
         """The pinned pairs/ read schema incl. delta_id (the
         pairs_as_of construction, shared with snapshot_to)."""

@@ -405,6 +405,83 @@ def test_sync_crash_midway_rerun_completes(spark, tmp_path):
     ] == [0, 1, 2]
 
 
+def test_cc_sync_ships_patches_and_refuses_folded_history(spark, tmp_path):
+    """ComponentStore sync: only the missing marked patches ship (with
+    tombstones mirrored), a re-sync is a no-op, and a source compact()
+    after the snapshot makes the clone unsyncable (history collapsed) —
+    the refusal names the fresh-snapshot remedy."""
+    src = _cc_source(spark, tmp_path)
+    dest = str(tmp_path / "ccclone")
+    src.snapshot_to(dest)
+
+    src.apply_pairs(
+        spark.createDataFrame([(4, 5), (30, 31)], "da: bigint, db: bigint"),
+        "d2",
+    )
+    src.forget(spark.createDataFrame([(21,)], "node: bigint"), "t21")
+
+    receipt = src.sync_to(dest)
+    assert [d for _, d in receipt["patches_shipped"]] == ["d2"]
+    assert receipt["tombstones_mirrored"] == ["t11", "t21"]
+    clone = ComponentStore(spark, dest)
+    assert _labels(clone.labels()) == _labels(src.labels())
+    assert clone.history() == src.history()
+
+    receipt2 = src.sync_to(dest)
+    assert receipt2["patches_shipped"] == []
+
+    src.compact()
+    with pytest.raises(RuntimeError, match="fresh snapshot"):
+        src.sync_to(dest)
+
+
+def test_minhash_sync_ships_deltas_log_and_tombstones(spark, tmp_path):
+    """MinHash sync: the post-snapshot probe delta ships to the clone
+    (arrays+postings marked only after both land, pairs with their log
+    entries), takedowns mirror, the synced clone's pairs history
+    matches the source, and a source compact() since the snapshot
+    makes the clone unsyncable."""
+    docs = _docs(spark)
+    src = MinHashIndex(spark, str(tmp_path / "mh"))
+    src.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    dest = str(tmp_path / "mhclone")
+    src.snapshot_to(dest)
+
+    src.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0)).count()
+    src.forget(spark.createDataFrame([(0,)], "doc_id: bigint"), "t0")
+
+    receipt = src.sync_to(dest)
+    assert len(receipt["shipped"]["arrays"]) == 1
+    assert receipt["shipped"]["arrays"] == receipt["shipped"]["postings"]
+    assert receipt["tombstones_mirrored"] == ["t0"]
+    clone = MinHashIndex(spark, dest)
+    assert clone.history() == src.history()
+    if src.history():
+        top = src.history()[-1][0]
+        assert _pairs(clone.pairs_as_of(top)) == _pairs(src.pairs_as_of(top))
+    for rel in ("arrays", "postings"):
+        assert (
+            clone._read_relation(rel).count()
+            == src._read_relation(rel)
+            .join(
+                spark.createDataFrame([(0,)], "doc_id: bigint"),
+                "doc_id",
+                "left_anti",
+            )
+            .count()
+        )
+    # shipped bytes are clean of the takedown
+    raw = spark.read.parquet(clone.arrays_path)
+    assert raw.filter(F.col("doc_id") == 0).count() == 0
+
+    receipt2 = src.sync_to(dest)
+    assert receipt2["shipped"] == {"arrays": [], "postings": [], "pairs": []}
+
+    src.compact()
+    with pytest.raises(RuntimeError, match="fresh snapshot"):
+        src.sync_to(dest)
+
+
 def test_snapshot_everywhere_writes_catalog_last(spark, tmp_path):
     ivf = _ivf_source(spark, tmp_path)
     cc = _cc_source(spark, tmp_path)
