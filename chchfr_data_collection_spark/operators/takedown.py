@@ -113,3 +113,49 @@ def snapshot_everywhere(dest_root: str, *stores) -> dict:
     catalog = {"dest_root": root, "stores": receipts}
     catalog_store._write_json(f"{root}/_catalog.json", catalog)
     return catalog
+
+
+def restore_everywhere(spark, dest_root: str, registry: dict) -> dict:
+    """Open a `snapshot_everywhere` backup as live stores — the restore
+    half of the DR pair. `registry` maps store CLASS NAMES (as the
+    catalog recorded them) to constructors taking (spark, base_path) —
+    explicit at the call site, because unpickling class names from a
+    manifest into arbitrary imports would be an injection surface.
+
+    All-or-nothing: refuses when the catalog manifest is absent (the
+    fan-out crashed mid-backup — each clone may individually be fine,
+    but the SET was never attested) or when any listed clone lacks its
+    own completeness attestation. Returns {name: store instance};
+    restored stores are full stores — serve, append, forget, snapshot
+    again. Remember the takedown bound: forgets issued around the
+    backup window must be re-landed over the restored set via
+    `forget_everywhere`."""
+    from .store_base import StoreKernel
+
+    root = dest_root.rstrip("/")
+    probe = StoreKernel()
+    probe._init_kernel(spark, root)
+    catalog = probe._read_json(f"{root}/_catalog.json")
+    if catalog is None:
+        raise RuntimeError(
+            f"restore refused: {root} has no _catalog.json — the backup "
+            "fan-out never completed (per-store clones may exist, but "
+            "the set was not attested). Re-run snapshot_everywhere."
+        )
+    out: dict = {}
+    for key, rec in catalog["stores"].items():
+        cls_name = key.split("@", 1)[0]
+        ctor = registry.get(cls_name)
+        if ctor is None:
+            raise RuntimeError(
+                f"restore refused: catalog lists {cls_name} but the "
+                "registry has no constructor for it"
+            )
+        store = ctor(spark, rec["dest"])
+        if store.snapshot_manifest() is None:
+            raise RuntimeError(
+                f"restore refused: clone {rec['dest']} has no snapshot "
+                "attestation — its export never completed"
+            )
+        out[rec["name"]] = store
+    return out

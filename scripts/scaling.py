@@ -23,6 +23,8 @@ SCALING_r{N}.json and SCALE.md carries the per-family summary.
 
 Usage:
   SPARK_GRAFT_CPUS=32 python3 scripts/scaling.py > SCALING_r12.json
+  # or a subset (late-added entries, merged into the artifact by hand):
+  SPARK_GRAFT_CPUS=32 python3 scripts/scaling.py name1 name2 ...
 """
 
 from __future__ import annotations
@@ -47,6 +49,12 @@ def main() -> None:
     spark = get_spark("scaling")
     cat = catalog()
     names = sorted(cat)
+    if len(sys.argv) > 1:
+        wanted = set(sys.argv[1:])
+        unknown = sorted(wanted - set(names))
+        if unknown:
+            raise SystemExit(f"unknown entries: {unknown}")
+        names = sorted(wanted)
     spark.range(1).count()
 
     load_before = os.getloadavg()[0]

@@ -16,6 +16,7 @@ from chchfr_data_collection_spark.operators.component_store import (
 )
 from chchfr_data_collection_spark.operators.minhash_index import MinHashIndex
 from chchfr_data_collection_spark.operators.takedown import (
+    restore_everywhere,
     snapshot_everywhere,
 )
 from chchfr_data_collection_spark.streaming.embeddings import (
@@ -514,3 +515,17 @@ def test_snapshot_everywhere_writes_catalog_last(spark, tmp_path):
     finally:
         ComponentStore.snapshot_to = real
     assert ivf._read_json(f"{root2}/_catalog.json") is None
+
+    # restore: the catalog-gated open of the whole set
+    registry = {
+        "IvfAssignmentStore": IvfAssignmentStore,
+        "ComponentStore": ComponentStore,
+    }
+    restored = restore_everywhere(spark, root, registry)
+    assert set(restored) == {"ivf", "cc"}
+    assert _ivf_rows(restored["ivf"].read()) == _ivf_rows(ivf.read())
+    assert _labels(restored["cc"].labels()) == _labels(cc.labels())
+    # the crashed fan-out's root refuses as a SET even though store 1's
+    # clone individually completed
+    with pytest.raises(RuntimeError, match="no _catalog.json"):
+        restore_everywhere(spark, root2, registry)
