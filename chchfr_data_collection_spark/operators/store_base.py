@@ -688,7 +688,15 @@ class BatchAppendStore(StoreKernel):
         mirrored tombstones mask them immediately and the clone's own
         `purge_forgotten()` erases them; a sync is therefore
         "compliance-masked now, byte-clean at the clone's next purge",
-        where a fresh snapshot is byte-clean at once. And the clone
+        where a fresh snapshot is byte-clean at once. Corollary: a
+        source-side purge_forgotten() BEFORE a sync clears the very
+        tombstones the sync would have mirrored, so the clone keeps
+        serving rows the source already erased — syncs cannot
+        reconstruct an erasure whose id list is gone. This is the
+        standing takedown contract, not a sync special case: route
+        forgets through `forget_everywhere` with every live clone
+        listed (each clone then purges itself), or purge the source
+        only after its clones are synced. And the clone
         must genuinely be a clone: a destination without a snapshot
         manifest, or with committed batches the source never had, is
         refused — syncing into an unrelated store is not a defined

@@ -353,6 +353,41 @@ def test_sync_ships_missing_batches_and_mirrors_takedowns(spark, tmp_path):
         src.sync_to(dest)
 
 
+def test_purge_before_sync_is_the_documented_takedown_boundary(
+    spark, tmp_path
+):
+    """A source purge BEFORE a sync clears the tombstones the sync
+    would have mirrored — the clone keeps the already-erased rows
+    (pinned here so the boundary is visible, not latent). The standing
+    contract closes it: fan the forget to source AND clone via
+    forget_everywhere, purge each; then both are byte-clean."""
+    from chchfr_data_collection_spark.operators.takedown import (
+        forget_everywhere,
+    )
+
+    cent = ivf_centroids(spark, SF_DIR)
+    src = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    src.bootstrap(ivf_assign(_emb(spark), cent))
+    dest = str(tmp_path / "clone")
+    src.snapshot_to(dest)
+
+    victim = _emb(spark).filter(F.col("vec_id") == 9).select("vec_id")
+    src.forget(victim, "t9")
+    assert src.purge_forgotten()["tombstones_cleared"] == ["t9"]
+    src.sync_to(dest)
+    clone = IvfAssignmentStore(spark, dest)
+    # the boundary: the clone still serves what the source erased
+    assert clone.read().filter(F.col("vec_id") == 9).count() == 1
+    assert src.read().filter(F.col("vec_id") == 9).count() == 0
+
+    # the contract: the takedown fans out to every live clone
+    forget_everywhere(victim, "t9", src, clone)
+    assert clone.read().filter(F.col("vec_id") == 9).count() == 0
+    clone.purge_forgotten()
+    raw = spark.read.parquet(clone.data_path)
+    assert raw.filter(F.col("vec_id") == 9).count() == 0
+
+
 def test_sync_crash_midway_rerun_completes(spark, tmp_path):
     """A sync that dies between shipped batches re-runs to completion:
     the partially-landed batch is replaced, the rest ship, and the
