@@ -961,14 +961,18 @@ class MinHashIndex(StoreKernel):
                 )
             self._deleted_cache = _UNSET  # re-list under the lease
             fids = sorted(self._tombstone_fingerprints())
-            deleted, _ = self._deleted_docs()
+            deleted, small = self._deleted_docs()
             if deleted is not None:
                 deleted = deleted.persist()
             idx_marked = self._landed_ids(self.landed_path)
-            pairs_live = sorted(
-                self._landed_ids(self.landed_pairs_path)
-                & self._partition_ids("pairs")
-            )
+            # markers and log entries travel for EVERY landed delta —
+            # a zero-row delta (an insert or probe whose masked output
+            # was empty writes no partition) still owns its marker and
+            # its log seq, and dropping them would fork the clone's
+            # history; only the DATA ship is restricted to deltas that
+            # actually have partitions
+            pairs_marked = self._landed_ids(self.landed_pairs_path)
+            pairs_live = sorted(pairs_marked & self._partition_ids("pairs"))
             rows: dict = {}
             try:
                 fs, HPath = self._fs()
@@ -992,25 +996,7 @@ class MinHashIndex(StoreKernel):
                         .parquet(self._rel_path(rel))
                         .where(F.col("delta_id").isin(land))
                     )
-                    if deleted is not None:
-                        if rel == "pairs":
-                            df = df.join(
-                                F.broadcast(
-                                    deleted.select(F.col("doc_id").alias("da"))
-                                ),
-                                "da",
-                                "left_anti",
-                            ).join(
-                                F.broadcast(
-                                    deleted.select(F.col("doc_id").alias("db"))
-                                ),
-                                "db",
-                                "left_anti",
-                            )
-                        else:
-                            df = df.join(
-                                F.broadcast(deleted), "doc_id", "left_anti"
-                            )
+                    df = self._mask_deleted(df, rel, deleted, small)
                     expected = df.count()
                     parts = (
                         ("band", "delta_id")
@@ -1045,11 +1031,11 @@ class MinHashIndex(StoreKernel):
                 clone._mark_landed(clone.landed_path, did)
             log = self._log_entries()
             for seq, did in sorted(log.items()):
-                if did in pairs_live:
+                if did in pairs_marked:
                     dfs.create(
                         HPath(f"{clone.log_path}/{seq:08d}.{did}"), True
                     ).close()
-            for did in pairs_live:
+            for did in sorted(pairs_marked):
                 clone._mark_landed(clone.landed_pairs_path, did)
             hwm = self._read_json(self.log_hwm_path)
             if hwm is not None:
@@ -1066,13 +1052,50 @@ class MinHashIndex(StoreKernel):
                 "source": self.base_path,
                 "rows": rows,
                 "index_deltas": sorted(idx_marked),
+                "index_delta_fps": {
+                    did: self._index_delta_fp(did)
+                    for did in sorted(idx_marked)
+                },
                 "pairs_history": [
-                    [s, d] for s, d in sorted(log.items()) if d in pairs_live
+                    [s, d] for s, d in sorted(log.items()) if d in pairs_marked
                 ],
                 "tombstones_applied": fids,
             }
             clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {**manifest, "dest": dest}
+
+    def _mask_deleted(self, df, rel: str, deleted, small: bool):
+        """Anti-join tombstoned docs out of an export frame — pairs on
+        EITHER endpoint, index relations on doc_id. Respects the
+        byte-bounded broadcast decision (`small`), exactly as the read
+        paths do: a years-unpurged takedown list must not be force-
+        broadcast by the one operation (a backup) that has to work on
+        the largest stores."""
+        if deleted is None:
+            return df
+        excl = F.broadcast(deleted) if small else deleted
+        if rel == "pairs":
+            return df.join(
+                excl.select(F.col("doc_id").alias("da")), "da", "left_anti"
+            ).join(
+                excl.select(F.col("doc_id").alias("db")), "db", "left_anti"
+            )
+        return df.join(excl, "doc_id", "left_anti")
+
+    def _index_delta_fp(self, did: str) -> list:
+        """Content identity of one landed delta across arrays/ and
+        postings/: base-relative dir -> partition fingerprint. Recorded
+        in snapshot manifests so a later sync can detect a RE-DELIVERED
+        delta (same delta_id, rewritten content) and re-ship it — the
+        landed marker alone cannot tell the two apart."""
+        out = []
+        for rel in ("arrays", "postings"):
+            for d in self._delta_dirs(rel, did):
+                out.append(
+                    [d[len(self.base_path) + 1:],
+                     self._partition_fingerprint(d)]
+                )
+        return sorted(out)
 
     def sync_to(self, dest_path: str) -> dict:
         """INCREMENTAL backup of the index (the BatchAppendStore
@@ -1118,7 +1141,7 @@ class MinHashIndex(StoreKernel):
                     "running) — run compact() to recover, then retry."
                 )
             self._deleted_cache = _UNSET
-            deleted, _ = self._deleted_docs()
+            deleted, small = self._deleted_docs()
             if deleted is not None:
                 deleted = deleted.persist()
             shipped: dict = {}
@@ -1127,42 +1150,44 @@ class MinHashIndex(StoreKernel):
                 dfs, _ = self._fs_for(dest)
                 src_idx = self._landed_ids(self.landed_path)
                 src_pairs = self._landed_ids(self.landed_pairs_path)
+                prior = clone.snapshot_manifest()
+                prior_fps = prior.get("index_delta_fps", {})
 
-                def _mask(df, rel):
-                    if deleted is None:
-                        return df
-                    if rel == "pairs":
-                        return df.join(
-                            F.broadcast(
-                                deleted.select(F.col("doc_id").alias("da"))
-                            ),
-                            "da",
-                            "left_anti",
-                        ).join(
-                            F.broadcast(
-                                deleted.select(F.col("doc_id").alias("db"))
-                            ),
-                            "db",
-                            "left_anti",
+                def _refuse_foreign(have: set, src: set, what: str):
+                    foreign = sorted(have - src)
+                    if foreign:
+                        raise RuntimeError(
+                            f"sync_to(): {dest} holds landed {what} "
+                            f"deltas {foreign} the source "
+                            f"{self.base_path} does not — the clone "
+                            "diverged, or a source compact() folded "
+                            "that history. Take a fresh snapshot."
                         )
-                    return df.join(F.broadcast(deleted), "doc_id", "left_anti")
 
-                def _ship(rel, missing):
-                    """Pre-delete the clone's partials of these deltas
-                    (a prior crashed sync), then land the masked rows."""
-                    for did in missing:
+                def _ship(rel, dids):
+                    """Pre-delete the clone's copies of these deltas (a
+                    prior crashed sync's partials, or a re-delivered
+                    delta's stale rows), then land the masked rows."""
+                    for did in dids:
                         for d in clone._delta_dirs(rel, did):
                             dfs.delete(HPath(d), True)
+                    present = sorted(
+                        set(dids) & self._partition_ids(rel)
+                    )
+                    if not present:
+                        return
                     schema = (
                         self._pairs_read_schema()
                         if rel == "pairs"
                         else self._rel_schema(rel)
                     )
-                    df = _mask(
+                    df = self._mask_deleted(
                         self.spark.read.schema(schema)
                         .parquet(self._rel_path(rel))
-                        .where(F.col("delta_id").isin(missing)),
+                        .where(F.col("delta_id").isin(present)),
                         rel,
+                        deleted,
+                        small,
                     )
                     parts = (
                         ("band", "delta_id")
@@ -1176,53 +1201,73 @@ class MinHashIndex(StoreKernel):
                         .parquet(clone._rel_path(rel))
                     )
 
-                def _missing(rel):
-                    src_land = (
-                        src_pairs if rel == "pairs" else src_idx
-                    ) & self._partition_ids(rel)
-                    have = (
-                        clone._landed_ids(clone.landed_pairs_path)
-                        if rel == "pairs"
-                        else clone._landed_ids(clone.landed_path)
-                    ) & clone._partition_ids(rel)
-                    foreign = sorted(have - src_land)
-                    if foreign:
-                        raise RuntimeError(
-                            f"sync_to(): {dest} holds landed {rel} "
-                            f"deltas {foreign} the source "
-                            f"{self.base_path} does not — the clone "
-                            "diverged, or a source compact() folded "
-                            "that history. Take a fresh snapshot."
-                        )
-                    return sorted(src_land - have)
-
-                # both index relations land BEFORE any landed marker
-                # flips: a delta marked on the clone must never be
-                # missing one relation's rows (the insert flow's
-                # mark-after-both-writes discipline)
-                idx_missing = {rel: _missing(rel) for rel in ("arrays", "postings")}
+                # ---- index relations (arrays + postings move as one) --
+                clone_idx = clone._landed_ids(clone.landed_path)
+                _refuse_foreign(clone_idx, src_idx, "index")
+                cur_fps = {
+                    did: self._index_delta_fp(did) for did in sorted(src_idx)
+                }
+                # a RE-DELIVERED delta (same id, content rewritten by an
+                # insert retry since the last export) is invisible to
+                # the marker diff — the manifest's recorded source
+                # fingerprints are what detect it
+                idx_changed = sorted(
+                    did
+                    for did in (src_idx & clone_idx)
+                    if prior_fps.get(did) != cur_fps[did]
+                )
+                idx_to_ship = sorted((src_idx - clone_idx) | set(idx_changed))
+                shipped["index"] = idx_to_ship
+                shipped["index_redelivered"] = idx_changed
+                # retract markers of re-shipped deltas while their rows
+                # are mid-rewrite, land BOTH relations, then re-mark —
+                # the insert flow's mark-after-both-writes discipline
+                for did in idx_to_ship:
+                    clone._unmark_landed(clone.landed_path, did)
                 for rel in ("arrays", "postings"):
-                    shipped[rel] = idx_missing[rel]
-                    if idx_missing[rel]:
-                        _ship(rel, idx_missing[rel])
-                for did in sorted(
-                    set(idx_missing["arrays"]) | set(idx_missing["postings"])
-                ):
+                    if idx_to_ship:
+                        _ship(rel, idx_to_ship)
+                for did in idx_to_ship:
                     clone._mark_landed(clone.landed_path, did)
 
-                pairs_missing = _missing("pairs")
-                shipped["pairs"] = pairs_missing
-                if pairs_missing:
-                    _ship("pairs", pairs_missing)
+                # ---- pairs (+ write log) ------------------------------
+                clone_pairs = clone._landed_ids(clone.landed_pairs_path)
+                _refuse_foreign(clone_pairs, src_pairs, "pairs")
                 log = self._log_entries()
-                for did in pairs_missing:
+                src_seq = {d: s for s, d in log.items()}
+                clone_seq = {d: s for s, d in clone._log_entries().items()}
+                # a pairs retry re-lands under a FRESH seq: a shared
+                # delta whose log seq moved was re-delivered — re-ship
+                # its rows and replace its log entry
+                pairs_changed = sorted(
+                    did
+                    for did in (src_pairs & clone_pairs)
+                    if clone_seq.get(did) != src_seq.get(did)
+                )
+                pairs_to_ship = sorted(
+                    (src_pairs - clone_pairs) | set(pairs_changed)
+                )
+                shipped["pairs"] = pairs_to_ship
+                shipped["pairs_redelivered"] = pairs_changed
+                for did in pairs_to_ship:
+                    clone._unmark_landed(clone.landed_pairs_path, did)
+                    clone._unlog_pairs(did)
+                if pairs_to_ship:
+                    _ship("pairs", pairs_to_ship)
+                # log entries BEFORE the landed markers: a crash in
+                # between leaves an unmarked delta the re-run re-ships;
+                # the reverse order would leave a marked delta whose
+                # log entry never arrives
+                for did in pairs_to_ship:
+                    if did in src_seq:
+                        dfs.create(
+                            HPath(
+                                f"{clone.log_path}/{src_seq[did]:08d}.{did}"
+                            ),
+                            True,
+                        ).close()
+                for did in pairs_to_ship:
                     clone._mark_landed(clone.landed_pairs_path, did)
-                    for seq, d2 in sorted(log.items()):
-                        if d2 == did:
-                            dfs.create(
-                                HPath(f"{clone.log_path}/{seq:08d}.{did}"),
-                                True,
-                            ).close()
             finally:
                 if deleted is not None:
                     deleted.unpersist()
@@ -1240,6 +1285,7 @@ class MinHashIndex(StoreKernel):
             manifest = {
                 "source": self.base_path,
                 "index_deltas": sorted(src_idx),
+                "index_delta_fps": cur_fps,
                 "pairs_history": [
                     [s, d]
                     for s, d in sorted(self._log_entries().items())

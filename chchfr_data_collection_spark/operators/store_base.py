@@ -664,9 +664,29 @@ class BatchAppendStore(StoreKernel):
                 "batches": hist,
                 "rows": got,
                 "tombstones_applied": fids,
+                # geometry generation stamps: sync_to refuses when
+                # either side's trained aux (centroids/codebook) moved
+                # since this export — a retrain migrates EVERY landed
+                # row, so shipping pre/post-retrain batches across
+                # generations would mix geometries silently
+                "aux_fp_source": self._aux_live_fp(),
+                "aux_fp_clone": clone._aux_live_fp(),
             }
             clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {**manifest, "dest": dest}
+
+    def _aux_live_fp(self):
+        """Content fingerprint of the live auxiliary relation (trained
+        centroids / codebook), or None when untrained — the geometry-
+        generation identity snapshot/sync manifests record."""
+        aux = self._aux_swap()
+        if aux is None:
+            return None
+        live = aux[1]
+        fs, HPath = self._fs()
+        if not fs.exists(HPath(live)):
+            return None
+        return self._partition_fingerprint(live)
 
     def sync_to(self, dest_path: str) -> dict:
         """INCREMENTAL backup: bring a previously-exported clone up to
@@ -729,6 +749,29 @@ class BatchAppendStore(StoreKernel):
                     "diverged: clones are forks once appended to). "
                     "Refusing to merge histories."
                 )
+            # geometry-generation gate: a retrain on EITHER side since
+            # the last export migrated every landed row to a new
+            # centroid/codebook geometry the other side doesn't have —
+            # shipping batches across that line would mix geometries
+            # silently (probes prune wrong cells, codes decode against
+            # the wrong codebook). The manifest's aux fingerprints are
+            # the generation stamps; batch history can't see this
+            # (retrain preserves it by design).
+            prior = clone.snapshot_manifest()
+            if prior.get("aux_fp_source") != self._aux_live_fp():
+                raise RuntimeError(
+                    f"sync_to(): the source {self.base_path} retrained "
+                    "since this clone's last export — its landed rows "
+                    "were migrated to a new geometry the clone's old "
+                    "batches don't carry. Take a fresh snapshot."
+                )
+            if prior.get("aux_fp_clone") != clone._aux_live_fp():
+                raise RuntimeError(
+                    f"sync_to(): the clone {dest} retrained since its "
+                    "last export — it serves its own geometry now and "
+                    "is a fork, not a replica. Take a fresh snapshot "
+                    "(or stop syncing this fork)."
+                )
             missing = sorted(set(hist) - set(have))
             masked = self.read()
             for bid in missing:
@@ -742,26 +785,17 @@ class BatchAppendStore(StoreKernel):
                     f"{self.deleted_path}/forget_id={fid}"
                 ).select(self.TOMBSTONE_KEY)
                 clone.forget(ids, fid)
-            aux = self._aux_swap()
-            if aux is not None:
-                live = aux[1]
-                sfs, SP = self._fs()
-                if sfs.exists(SP(live)):
-                    # stage beside, then swap — the crash window is two
-                    # metadata ops, and a re-run of the sync repairs it
-                    rel = live[len(self.base_path) + 1:]
-                    dfs, DP = self._fs_for(dest)
-                    tmp = f"{dest}/{rel}__sync_tmp"
-                    dfs.delete(DP(tmp), True)
-                    self._copy_tree(live, tmp)
-                    dfs.delete(DP(f"{dest}/{rel}"), True)
-                    dfs.rename(DP(tmp), DP(f"{dest}/{rel}"))
+            # no aux refresh: the geometry gate above just proved both
+            # sides still sit on the fingerprinted generations, so the
+            # clone's aux IS current by construction
             manifest = {
                 "source": self.base_path,
                 "batches": hist,
                 "rows": clone.read().count(),
                 "tombstones_applied": [],
                 "tombstones_mirrored": sorted(fids),
+                "aux_fp_source": prior.get("aux_fp_source"),
+                "aux_fp_clone": prior.get("aux_fp_clone"),
             }
             clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {**manifest, "dest": dest, "batches_shipped": missing}
@@ -801,8 +835,10 @@ class BatchAppendStore(StoreKernel):
             # ComponentStore purge-deferral contract on this layout).
             # Committed leaves are still rewritten below — result-level
             # erasure holds — and the receipt surfaces the deferral.
+            # ints, like history(): marker names are strings, and a
+            # string sort would misreport ["10", "2"] orderings
             in_flight = sorted(
-                b
+                int(b)
                 for b in self._landed_ids(self.intent_path)
                 if b not in self._landed_ids(self.landed_path)
             )

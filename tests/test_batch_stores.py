@@ -386,7 +386,7 @@ def test_purge_defers_clearing_while_append_in_flight(spark, tmp_path):
         spark.createDataFrame([(9,), (35,)], "vec_id: bigint"), "t1"
     )
     receipt = store.purge_forgotten()
-    assert receipt["purge_deferred"] == ["1"], "in-flight append not surfaced"
+    assert receipt["purge_deferred"] == [1], "in-flight append not surfaced"
     assert receipt["tombstones_cleared"] == [], "cleared despite the orphan"
     assert store._deleted_vecs()[0] is not None
     # committed leaves still byte-erased (vec 9 lives in batch 0)

@@ -487,8 +487,8 @@ def test_minhash_sync_ships_deltas_log_and_tombstones(spark, tmp_path):
     src.forget(spark.createDataFrame([(0,)], "doc_id: bigint"), "t0")
 
     receipt = src.sync_to(dest)
-    assert len(receipt["shipped"]["arrays"]) == 1
-    assert receipt["shipped"]["arrays"] == receipt["shipped"]["postings"]
+    assert len(receipt["shipped"]["index"]) == 1
+    assert receipt["shipped"]["index_redelivered"] == []
     assert receipt["tombstones_mirrored"] == ["t0"]
     clone = MinHashIndex(spark, dest)
     assert clone.history() == src.history()
@@ -511,11 +511,132 @@ def test_minhash_sync_ships_deltas_log_and_tombstones(spark, tmp_path):
     assert raw.filter(F.col("doc_id") == 0).count() == 0
 
     receipt2 = src.sync_to(dest)
-    assert receipt2["shipped"] == {"arrays": [], "postings": [], "pairs": []}
+    assert receipt2["shipped"] == {
+        "index": [],
+        "index_redelivered": [],
+        "pairs": [],
+        "pairs_redelivered": [],
+    }
 
     src.compact()
     with pytest.raises(RuntimeError, match="fresh snapshot"):
         src.sync_to(dest)
+
+
+def test_minhash_sync_reships_redelivered_delta(spark, tmp_path):
+    """A delta RE-DELIVERED on the source after a sync (insert retry:
+    same delta_id, content rewritten, pairs re-seq'd) is invisible to
+    the marker diff — the manifest's recorded fingerprints and the log
+    seqs detect it, and the next sync re-ships rows AND log entry so
+    the clone stops serving the superseded attempt."""
+    docs = _docs(spark)
+    src = MinHashIndex(spark, str(tmp_path / "mh"))
+    src.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    src.probe_and_insert(delta, delta_id="d1").count()
+    dest = str(tmp_path / "mhclone")
+    src.snapshot_to(dest)
+    clone = MinHashIndex(spark, dest)
+    assert clone.history() == src.history()
+
+    # the retry: same delta_id, one doc fewer — content changed
+    src.probe_and_insert(
+        delta.filter(F.col("doc_id") != 0), delta_id="d1"
+    ).count()
+    assert src.history() != clone.history(), "retry re-seqs the log"
+
+    receipt = src.sync_to(dest)
+    assert receipt["shipped"]["index_redelivered"] == ["d1"]
+    assert receipt["shipped"]["pairs_redelivered"] == ["d1"]
+    clone = MinHashIndex(spark, dest)
+    assert clone.history() == src.history()
+    assert (
+        clone._read_relation("arrays").count()
+        == src._read_relation("arrays").count()
+    )
+    top = src.history()[-1][0]
+    assert _pairs(clone.pairs_as_of(top)) == _pairs(src.pairs_as_of(top))
+    # and the next sync is a no-op again
+    r2 = src.sync_to(dest)
+    assert r2["shipped"]["index"] == [] and r2["shipped"]["pairs"] == []
+
+
+def test_minhash_zero_pair_delta_markers_travel(spark, tmp_path):
+    """A landed delta whose verified pairs were EMPTY owns a marker and
+    a log seq but no pairs partition; snapshot and sync must still ship
+    the marker+log (else the clone's history forks), and pairs_as_of of
+    that seq returns zero rows on both sides."""
+    docs = _docs(spark)
+    src = MinHashIndex(spark, str(tmp_path / "mh"))
+    src.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    # a delta with no near-dups in the corpus: synthetic unique text
+    lone = spark.createDataFrame(
+        [(900001, "zq wv xk pf mj lt rb dn hc gy sa eu io")],
+        "doc_id: bigint, text: string",
+    )
+    src.probe_and_insert(lone, delta_id="lone").count()
+    pairs_dirs = src._partition_ids("pairs")
+    assert "lone" not in pairs_dirs, "fixture must yield zero pairs"
+    assert "lone" in {d for _, d in src.history()}
+
+    src.snapshot_to(str(tmp_path / "clone"))
+    clone = MinHashIndex(spark, str(tmp_path / "clone"))
+    assert clone.history() == src.history()
+    lone_seq = {d: s for s, d in src.history()}["lone"]
+    assert _pairs(clone.pairs_as_of(lone_seq)) == _pairs(
+        src.pairs_as_of(lone_seq)
+    )
+
+    # and through sync: a second zero-pair delta lands post-snapshot
+    lone2 = spark.createDataFrame(
+        [(900002, "qq ww ee rr tt yy uu ii oo pp aa ss dd")],
+        "doc_id: bigint, text: string",
+    )
+    src.probe_and_insert(lone2, delta_id="lone2").count()
+    src.sync_to(str(tmp_path / "clone"))
+    clone = MinHashIndex(spark, str(tmp_path / "clone"))
+    assert clone.history() == src.history()
+
+
+def test_sync_refuses_cross_generation_geometry(spark, tmp_path):
+    """A retrain on EITHER side since the last export migrated every
+    landed row to a new geometry; sync must refuse rather than mix
+    generations (source-trained batches into a clone-trained store, or
+    post-retrain source batches into a pre-retrain clone)."""
+    cent = ivf_centroids(spark, SF_DIR)
+    src = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    src.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 300), cent))
+    dest = str(tmp_path / "clone")
+    src.snapshot_to(dest)
+
+    # clone retrains → it is a fork now
+    clone = IvfAssignmentStore(spark, dest)
+    clone.retrain(_emb(spark).filter(F.col("vec_id") < 300), 1)
+    src.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 300), cent), 1
+    )
+    with pytest.raises(RuntimeError, match="clone .* retrained|retrained since its"):
+        src.sync_to(dest)
+
+    # source retrains → old clone batches carry the dead geometry
+    dest2 = str(tmp_path / "clone2")
+    src.snapshot_to(dest2)
+    src.retrain(_emb(spark), 1)
+    src.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") < 5), cent)
+        .withColumn("vec_id", F.col("vec_id") + 800000),
+        2,
+    )
+    with pytest.raises(RuntimeError, match="source .* retrained"):
+        src.sync_to(dest2)
+    # the remedy works: a fresh snapshot of the retrained source
+    import shutil
+
+    shutil.rmtree(dest2)
+    src.snapshot_to(dest2)
+    assert _ivf_rows(IvfAssignmentStore(spark, dest2).read()) == _ivf_rows(
+        src.read()
+    )
 
 
 def test_snapshot_everywhere_writes_catalog_last(spark, tmp_path):
