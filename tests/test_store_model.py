@@ -218,6 +218,130 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
 
 
 # --------------------------------------------------------------------------
+# DR composition: snapshot/sync/clone-purge interleaved with the write
+# ops, vs a model that carries BOTH sides. The model encodes the
+# documented boundaries exactly: a snapshot applies source tombstones
+# at the byte level (the clone starts clean), a sync ships only the
+# missing committed batches masked by the tombstones AT SYNC TIME and
+# mirrors the source's standing forget_ids by REPLACEMENT (clone fids
+# the source has since purged stay active on the clone), and a source
+# purge between syncs leaves the clone serving the erased rows until
+# its own takedown lands — the purge-before-sync boundary.
+
+_dr_op_st = st.one_of(
+    st.tuples(st.just("append"), _ids_st),
+    st.tuples(st.just("crash"), _ids_st),
+    st.tuples(st.just("forget"), st.integers(0, 2), _ids_st),
+    st.tuples(st.just("purge")),
+    st.tuples(st.just("snapshot")),
+    st.tuples(st.just("sync")),
+    st.tuples(st.just("clone_purge")),
+)
+
+
+@MODEL
+@given(first=_ids_st, ops=st.lists(_dr_op_st, max_size=6))
+def test_snapshot_sync_match_model_under_interleavings(
+    spark, tmp_path, first, ops
+):
+    base = tmp_path / f"dr{next(_dirs)}"
+    store = _ToyStore(spark, str(base))
+
+    committed: dict[int, set] = {}
+    crashed: dict[int, set] = {}
+    tombstones: dict[str, set] = {}
+    clone = None
+    clone_committed: dict[int, set] = {}
+    clone_tombs: dict[str, set] = {}
+    next_bid = itertools.count()
+
+    def tomb_ids(t) -> set:
+        return set().union(*t.values()) if t else set()
+
+    def masked(rows) -> set:
+        dead = tomb_ids(tombstones)
+        return {r for r in rows if r[0] not in dead}
+
+    def clone_expected() -> set:
+        dead = tomb_ids(clone_tombs)
+        return {
+            r for rows in clone_committed.values() for r in rows
+            if r[0] not in dead
+        }
+
+    def do_append(ids, crash: bool):
+        bid = next(next_bid)
+        rows = _batch_rows(bid, ids)
+        if crash:
+            _crash_append(store, _df(spark, rows), bid)
+            crashed[bid] = rows
+        else:
+            store.append_batch(_df(spark, rows), bid)
+            committed[bid] = set(rows)
+
+    do_append(first, crash=False)
+
+    for op in ops:
+        kind = op[0]
+        if kind == "append":
+            do_append(op[1], crash=False)
+        elif kind == "crash":
+            do_append(op[1], crash=True)
+        elif kind == "forget":
+            fid = f"f{op[1]}"
+            ids = set(op[2])
+            store.forget(_df(spark, _batch_rows(0, ids)).select("id"), fid)
+            tombstones[fid] = ids
+        elif kind == "purge":
+            store.purge_forgotten()
+            if tomb_ids(tombstones):
+                for b in committed:
+                    committed[b] = masked(committed[b])
+                if not crashed:
+                    tombstones.clear()
+        elif kind == "snapshot":
+            if clone is not None:
+                continue
+            store.snapshot_to(str(base) + "_clone")
+            clone = _ToyStore(spark, str(base) + "_clone")
+            clone_committed = {b: masked(r) for b, r in committed.items()}
+            clone_tombs = {}
+        elif kind == "sync":
+            if clone is None:
+                continue
+            store.sync_to(clone.base_path)
+            for b in set(committed) - set(clone_committed):
+                clone_committed[b] = masked(committed[b])
+            for fid, ids in tombstones.items():
+                clone_tombs[fid] = set(ids)
+        elif kind == "clone_purge":
+            if clone is None:
+                continue
+            clone.purge_forgotten()
+            if tomb_ids(clone_tombs):
+                dead = tomb_ids(clone_tombs)
+                for b in clone_committed:
+                    clone_committed[b] = {
+                        r for r in clone_committed[b] if r[0] not in dead
+                    }
+                clone_tombs.clear()
+        if clone is not None:
+            assert _read_set(clone) == clone_expected(), f"clone after {op}"
+            assert clone.history() == sorted(clone_committed)
+
+    # end of sequence: a fresh instance over the clone agrees, and the
+    # source still matches its own model
+    dead = tomb_ids(tombstones)
+    src_expected = {
+        r for rows in committed.values() for r in rows if r[0] not in dead
+    }
+    assert _read_set(store) == src_expected
+    if clone is not None:
+        fresh = _ToyStore(spark, clone.base_path)
+        assert _read_set(fresh) == clone_expected()
+
+
+# --------------------------------------------------------------------------
 # ComponentStore vs an independent union-find model. The subtle part the
 # model encodes (and the store documents): PURGE severs a node's FUTURE
 # bridging — its membership rows are byte-erased, so a re-arrival starts
