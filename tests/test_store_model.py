@@ -231,6 +231,7 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
 _dr_op_st = st.one_of(
     st.tuples(st.just("append"), _ids_st),
     st.tuples(st.just("crash"), _ids_st),
+    st.tuples(st.just("redeliver"), st.integers(0, 5)),
     st.tuples(st.just("forget"), st.integers(0, 2), _ids_st),
     st.tuples(st.just("purge")),
     st.tuples(st.just("snapshot")),
@@ -269,9 +270,12 @@ def test_snapshot_sync_match_model_under_interleavings(
             if r[0] not in dead
         }
 
+    original: dict[int, set] = {}
+
     def do_append(ids, crash: bool):
         bid = next(next_bid)
         rows = _batch_rows(bid, ids)
+        original[bid] = rows
         if crash:
             _crash_append(store, _df(spark, rows), bid)
             crashed[bid] = rows
@@ -287,6 +291,13 @@ def test_snapshot_sync_match_model_under_interleavings(
             do_append(op[1], crash=False)
         elif kind == "crash":
             do_append(op[1], crash=True)
+        elif kind == "redeliver":
+            if not crashed:
+                continue
+            bid = sorted(crashed)[op[1] % len(crashed)]
+            store.append_batch(_df(spark, original[bid]), bid)
+            del crashed[bid]
+            committed[bid] = set(original[bid])
         elif kind == "forget":
             fid = f"f{op[1]}"
             ids = set(op[2])
