@@ -906,12 +906,7 @@ class MinHashIndex(StoreKernel):
             .drop("delta_id")
         )
         deleted, small = self._deleted_docs()
-        if deleted is not None:
-            excl = F.broadcast(deleted) if small else deleted
-            df = df.join(
-                excl.select(F.col("doc_id").alias("da")), "da", "left_anti"
-            ).join(excl.select(F.col("doc_id").alias("db")), "db", "left_anti")
-        return df
+        return self._mask_deleted(df, "pairs", deleted, small)
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -1204,14 +1199,26 @@ class MinHashIndex(StoreKernel):
                 # ---- index relations (arrays + postings move as one) --
                 clone_idx = clone._landed_ids(clone.landed_path)
                 _refuse_foreign(clone_idx, src_idx, "index")
+                # fingerprinting cost, stated: O(landed deltas) metadata
+                # listings per sync — the same asymptotic class every
+                # probe's partition glob already pays, and compact()
+                # keeps the landed-delta count small by the store's own
+                # lifecycle contract
                 cur_fps = {
                     did: self._index_delta_fp(did) for did in sorted(src_idx)
                 }
                 # a RE-DELIVERED delta (same id, content rewritten by an
                 # insert retry since the last export) is invisible to
                 # the marker diff — the manifest's recorded source
-                # fingerprints are what detect it
-                idx_changed = sorted(
+                # fingerprints are what detect it. A manifest from
+                # before the fingerprints existed can't make the
+                # comparison: treat shared deltas as unchanged for THIS
+                # sync (the pre-fingerprint code's own blind spot, one
+                # last time) rather than mass re-shipping the corpus;
+                # the manifest written below records fps, so detection
+                # engages from the next sync on.
+                legacy = "index_delta_fps" not in prior
+                idx_changed = [] if legacy else sorted(
                     did
                     for did in (src_idx & clone_idx)
                     if prior_fps.get(did) != cur_fps[did]
@@ -1251,7 +1258,16 @@ class MinHashIndex(StoreKernel):
                 shipped["pairs_redelivered"] = pairs_changed
                 for did in pairs_to_ship:
                     clone._unmark_landed(clone.landed_pairs_path, did)
-                    clone._unlog_pairs(did)
+                    # direct delete via the already-listed clone log —
+                    # _unlog_pairs would re-list the whole log per did
+                    if did in clone_seq:
+                        dfs.delete(
+                            HPath(
+                                f"{clone.log_path}/"
+                                f"{clone_seq[did]:08d}.{did}"
+                            ),
+                            False,
+                        )
                 if pairs_to_ship:
                     _ship("pairs", pairs_to_ship)
                 # log entries BEFORE the landed markers: a crash in

@@ -758,6 +758,21 @@ class BatchAppendStore(StoreKernel):
             # the generation stamps; batch history can't see this
             # (retrain preserves it by design).
             prior = clone.snapshot_manifest()
+            if "aux_fp_source" not in prior and (
+                self._aux_live_fp() is not None
+                or clone._aux_live_fp() is not None
+            ):
+                # a manifest from before the generation stamps existed
+                # cannot prove the trained geometries ever matched —
+                # refusing with the honest reason beats either blindly
+                # trusting it or misdiagnosing it as a retrain
+                raise RuntimeError(
+                    f"sync_to(): the manifest at {dest} predates the "
+                    "geometry-generation stamps and at least one side "
+                    "is trained — whether the geometries match cannot "
+                    "be verified. Take a fresh snapshot (stamps are "
+                    "recorded from then on)."
+                )
             if prior.get("aux_fp_source") != self._aux_live_fp():
                 raise RuntimeError(
                     f"sync_to(): the source {self.base_path} retrained "

@@ -639,6 +639,72 @@ def test_sync_refuses_cross_generation_geometry(spark, tmp_path):
     )
 
 
+def _strip_manifest_keys(store, keys):
+    m = store.snapshot_manifest()
+    for k in keys:
+        m.pop(k, None)
+    store._write_json(f"{store.base_path}/_snapshot.json", m)
+
+
+def test_sync_legacy_manifests_upgrade_paths(spark, tmp_path):
+    """Clones exported before the generation stamps / delta
+    fingerprints existed must neither hard-fail with a false
+    'retrained' diagnosis nor mass re-ship: an UNTRAINED batch store
+    syncs fine (nothing to verify), a TRAINED one refuses with the
+    honest 'predates the stamps' message, and a MinHash legacy clone
+    gets one stamp-initializing sync after which redelivery detection
+    engages."""
+    cent = ivf_centroids(spark, SF_DIR)
+
+    # untrained batch store, legacy manifest: sync proceeds
+    src = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    src.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 200), cent))
+    dest = str(tmp_path / "clone")
+    src.snapshot_to(dest)
+    clone = IvfAssignmentStore(spark, dest)
+    _strip_manifest_keys(clone, ["aux_fp_source", "aux_fp_clone"])
+    src.append_batch(
+        ivf_assign(
+            _emb(spark).filter(
+                (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)
+            ),
+            cent,
+        ),
+        1,
+    )
+    assert src.sync_to(dest)["batches_shipped"] == [1]
+
+    # trained source, legacy manifest: refuse with the distinct reason
+    src.retrain(_emb(spark).filter(F.col("vec_id") < 300), 1)
+    dest2 = str(tmp_path / "clone2")
+    src.snapshot_to(dest2)
+    _strip_manifest_keys(
+        IvfAssignmentStore(spark, dest2), ["aux_fp_source", "aux_fp_clone"]
+    )
+    with pytest.raises(RuntimeError, match="predates the geometry"):
+        src.sync_to(dest2)
+
+    # MinHash legacy manifest: first sync initializes fps without a
+    # mass re-ship; the NEXT sync detects a redelivery
+    docs = _docs(spark)
+    mh = MinHashIndex(spark, str(tmp_path / "mh"))
+    mh.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    delta = docs.filter(F.col("doc_id") % 4 == 0)
+    mh.probe_and_insert(delta, delta_id="d1").count()
+    mdest = str(tmp_path / "mhclone")
+    mh.snapshot_to(mdest)
+    _strip_manifest_keys(MinHashIndex(spark, mdest), ["index_delta_fps"])
+    r1 = mh.sync_to(mdest)
+    assert r1["shipped"]["index"] == [], "legacy sync must not mass re-ship"
+    mh.probe_and_insert(
+        delta.filter(F.col("doc_id") != 0), delta_id="d1"
+    ).count()
+    r2 = mh.sync_to(mdest)
+    assert r2["shipped"]["index_redelivered"] == ["d1"], (
+        "fingerprints recorded by the legacy sync must engage detection"
+    )
+
+
 def test_snapshot_everywhere_writes_catalog_last(spark, tmp_path):
     ivf = _ivf_source(spark, tmp_path)
     cc = _cc_source(spark, tmp_path)
