@@ -583,6 +583,18 @@ class ComponentStore(StoreKernel):
             )
         with WriterLease(self.spark, self.base_path):
             self._deleted_cache = _UNSET
+            # identity gate: the manifest records which store the clone
+            # was exported from — (seq, delta_id) overlap alone is not
+            # an identity (round-12 ADVICE, medium, on the batch
+            # stores; same discipline here)
+            recorded = clone.snapshot_manifest().get("source")
+            if recorded != self.base_path:
+                raise RuntimeError(
+                    f"sync_to(): the clone at {dest} was exported from "
+                    f"{recorded!r}, not from {self.base_path} — syncing "
+                    "into another store's clone would merge unrelated "
+                    "corpora. Snapshot THIS store to a fresh path."
+                )
             marked = self._marked()
             have = clone._marked()
             foreign = sorted(
@@ -619,7 +631,12 @@ class ComponentStore(StoreKernel):
             manifest = {
                 "source": self.base_path,
                 "history": [[s, d] for s, d in sorted(marked.items())],
-                "rows": clone.labels().count(),
+                # same meaning as snapshot_to's "rows": raw staged
+                # marked-patch rows on the clone — NOT the resolved
+                # per-node serving view, which would give the one
+                # attestation field two meanings depending on which
+                # writer last touched it (round-12 ADVICE, low)
+                "rows": clone._assign_marked().count(),
                 "tombstones_applied": [],
                 "tombstones_mirrored": sorted(fids),
             }

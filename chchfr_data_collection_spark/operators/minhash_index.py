@@ -1146,6 +1146,19 @@ class MinHashIndex(StoreKernel):
                 src_idx = self._landed_ids(self.landed_path)
                 src_pairs = self._landed_ids(self.landed_pairs_path)
                 prior = clone.snapshot_manifest()
+                # identity gate: delta-id overlap alone is not an
+                # identity (round-12 ADVICE, medium, on the batch
+                # stores; delta_ids here are usually unique strings but
+                # "bootstrap" is a universal default — same discipline)
+                recorded = prior.get("source")
+                if recorded != self.base_path:
+                    raise RuntimeError(
+                        f"sync_to(): the clone at {dest} was exported "
+                        f"from {recorded!r}, not from {self.base_path} "
+                        "— syncing into another store's clone would "
+                        "merge unrelated corpora. Snapshot THIS index "
+                        "to a fresh path."
+                    )
                 prior_fps = prior.get("index_delta_fps", {})
 
                 def _refuse_foreign(have: set, src: set, what: str):

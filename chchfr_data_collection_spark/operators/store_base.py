@@ -409,6 +409,32 @@ class BatchAppendStore(StoreKernel):
         self._mark_landed(self.landed_path, str(bid))
         self._unmark_landed(self.intent_path, str(bid))
 
+    def _delete_batch_partitions(self, bid: int) -> None:
+        """Delete every (*CELL_COLS, batch_id=bid) leaf partition —
+        the explicit pre-delete used where dynamic overwrite alone is
+        not a true replace (a retry/re-ship whose new content writes
+        FEWER partitions than the stale attempt would leave the
+        difference's bytes serving). O(cells) metadata ops."""
+        fs, HPath = self._fs()
+
+        def _walk(path: str, depth: int) -> None:
+            if depth == 0:
+                p = HPath(f"{path}/batch_id={int(bid)}")
+                if fs.exists(p):
+                    fs.delete(p, True)
+                return
+            root = HPath(path)
+            if not fs.exists(root):
+                return
+            col = self.CELL_COLS[len(self.CELL_COLS) - depth]
+            for st in fs.listStatus(root):
+                if st.isDirectory() and st.getPath().getName().startswith(
+                    f"{col}="
+                ):
+                    _walk(st.getPath().toString(), depth - 1)
+
+        _walk(self.data_path, len(self.CELL_COLS))
+
     def _bootstrap_extra_paths(self) -> tuple:
         """Subclass maintenance state a (re)bootstrap must also clear
         (e.g. the IVF store's trained centroids and retrain manifest —
@@ -740,6 +766,24 @@ class BatchAppendStore(StoreKernel):
             self._deleted_cache = _UNSET
             hist = self.history()
             have = clone.history()
+            # identity gate FIRST: the manifest records which store the
+            # clone was exported from. A batch-id subset test alone is
+            # not an identity — batch ids are small sequential ints, so
+            # a clone of unrelated store B (batches [0]) passes the
+            # foreign check against any source, and for untrained
+            # stores the aux-fingerprint gate can't catch it either:
+            # the sync would silently merge two unrelated corpora
+            # (round-12 ADVICE, medium).
+            prior = clone.snapshot_manifest()
+            recorded = prior.get("source")
+            if recorded != self.base_path:
+                raise RuntimeError(
+                    f"sync_to(): the clone at {dest} was exported from "
+                    f"{recorded!r}, not from {self.base_path} — syncing "
+                    "into another store's clone would merge unrelated "
+                    "corpora. Snapshot THIS store to a fresh path (or "
+                    "sync from the recorded source)."
+                )
             foreign = sorted(set(have) - set(hist))
             if foreign:
                 raise RuntimeError(
@@ -757,7 +801,6 @@ class BatchAppendStore(StoreKernel):
             # the wrong codebook). The manifest's aux fingerprints are
             # the generation stamps; batch history can't see this
             # (retrain preserves it by design).
-            prior = clone.snapshot_manifest()
             if "aux_fp_source" not in prior and (
                 self._aux_live_fp() is not None
                 or clone._aux_live_fp() is not None
@@ -790,6 +833,16 @@ class BatchAppendStore(StoreKernel):
             missing = sorted(set(hist) - set(have))
             masked = self.read()
             for bid in missing:
+                # pre-delete the clone's existing partitions for this
+                # batch (the MinHash _ship discipline): a PRIOR crashed
+                # sync attempt may have landed partial partitions, and
+                # append_batch's dynamic overwrite only replaces the
+                # partitions the NEW content writes — a cell whose
+                # surviving rows are now empty (its rows were forgotten
+                # on the source between the attempts) would keep the
+                # stale attempt's forgotten bytes visible under the
+                # committed marker (round-12 ADVICE, low)
+                clone._delete_batch_partitions(bid)
                 clone.append_batch(
                     masked.filter(F.col("batch_id") == bid).drop("batch_id"),
                     bid,
@@ -806,7 +859,14 @@ class BatchAppendStore(StoreKernel):
             manifest = {
                 "source": self.base_path,
                 "batches": hist,
-                "rows": clone.read().count(),
+                # same meaning as snapshot_to's "rows": raw rows under
+                # committed markers on the clone (a fresh clone holds
+                # no tombstones, so the export's masked count IS its
+                # raw count) — NOT the tombstone-masked serving view,
+                # which would give the one attestation field two
+                # meanings depending on which writer last touched the
+                # manifest (round-12 ADVICE, low)
+                "rows": clone._data_read().count(),
                 "tombstones_applied": [],
                 "tombstones_mirrored": sorted(fids),
                 "aux_fp_source": prior.get("aux_fp_source"),

@@ -100,15 +100,30 @@ def snapshot_everywhere(dest_root: str, *stores) -> dict:
     if not stores:
         raise ValueError("snapshot_everywhere: no stores given")
     root = dest_root.rstrip("/")
+    names = [name for _, name in stores]
+    if len(set(names)) != len(names):
+        # receipts are keyed by name: a duplicate would silently
+        # overwrite the first clone's receipt, and restore_everywhere
+        # would then omit a clone that exists on disk (round-12
+        # ADVICE, low). _require_fresh_dest already forces distinct
+        # dests, so duplicate names are always a caller bug.
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"snapshot_everywhere: duplicate store names {dupes} — "
+            "each (store, name) pair needs a unique name"
+        )
     receipts: dict = {}
     catalog_store = None
     for store, name in stores:
         receipt = store.snapshot_to(f"{root}/{name}")
         base = getattr(store, "base_path", None)
-        key = type(store).__name__ if base is None else (
-            f"{type(store).__name__}@{base}"
-        )
-        receipts[key] = {"dest": receipt["dest"], "name": name}
+        receipts[name] = {
+            "dest": receipt["dest"],
+            "class": type(store).__name__,
+            "store": None if base is None else (
+                f"{type(store).__name__}@{base}"
+            ),
+        }
         catalog_store = store
     catalog = {"dest_root": root, "stores": receipts}
     catalog_store._write_json(f"{root}/_catalog.json", catalog)
@@ -144,7 +159,11 @@ def restore_everywhere(spark, dest_root: str, registry: dict) -> dict:
         )
     out: dict = {}
     for key, rec in catalog["stores"].items():
-        cls_name = key.split("@", 1)[0]
+        # current catalogs key receipts by NAME and carry the class as
+        # a value field; pre-round-13 catalogs keyed by "Cls@base" and
+        # carried the name as a value field — accept both
+        name = rec.get("name", key)
+        cls_name = rec.get("class") or key.split("@", 1)[0]
         ctor = registry.get(cls_name)
         if ctor is None:
             raise RuntimeError(
@@ -157,5 +176,5 @@ def restore_everywhere(spark, dest_root: str, registry: dict) -> dict:
                 f"restore refused: clone {rec['dest']} has no snapshot "
                 "attestation — its export never completed"
             )
-        out[rec["name"]] = store
+        out[name] = store
     return out

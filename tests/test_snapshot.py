@@ -711,10 +711,12 @@ def test_snapshot_everywhere_writes_catalog_last(spark, tmp_path):
     root = str(tmp_path / "backup")
 
     catalog = snapshot_everywhere(root, (ivf, "ivf"), (cc, "cc"))
-    assert set(catalog["stores"]) == {
-        f"IvfAssignmentStore@{ivf.base_path}",
-        f"ComponentStore@{cc.base_path}",
-    }
+    # receipts key by NAME (round-12 ADVICE, low: two clones of the
+    # same store in one call must not collapse into one receipt); the
+    # class travels as a value field for restore
+    assert set(catalog["stores"]) == {"ivf", "cc"}
+    assert catalog["stores"]["ivf"]["class"] == "IvfAssignmentStore"
+    assert catalog["stores"]["cc"]["class"] == "ComponentStore"
     assert ivf._read_json(f"{root}/_catalog.json") == catalog
     assert _ivf_rows(
         IvfAssignmentStore(spark, f"{root}/ivf").read()
@@ -751,3 +753,172 @@ def test_snapshot_everywhere_writes_catalog_last(spark, tmp_path):
     # clone individually completed
     with pytest.raises(RuntimeError, match="no _catalog.json"):
         restore_everywhere(spark, root2, registry)
+
+
+# -- round-13 ADVICE pins ----------------------------------------------------
+
+
+def test_sync_refuses_foreign_clone_same_batch_ids(spark, tmp_path):
+    """The r12 MEDIUM: batch ids are small sequential ints, so a clone
+    of unrelated store B (batches [0]) passes a subset test against
+    any source A — the manifest's recorded source identity is what
+    must refuse the merge of two unrelated corpora."""
+    cent = ivf_centroids(spark, SF_DIR)
+    a = IvfAssignmentStore(spark, str(tmp_path / "a"))
+    a.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 300), cent))
+    a.append_batch(
+        ivf_assign(
+            _emb(spark).filter(
+                (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+            ),
+            cent,
+        ),
+        1,
+    )
+    b = IvfAssignmentStore(spark, str(tmp_path / "b"))
+    b.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") >= 400), cent))
+    dest = str(tmp_path / "b_clone")
+    b.snapshot_to(dest)
+
+    before = _ivf_rows(IvfAssignmentStore(spark, dest).read())
+    with pytest.raises(RuntimeError, match="was exported from"):
+        a.sync_to(dest)
+    assert _ivf_rows(IvfAssignmentStore(spark, dest).read()) == before
+    # the true source still syncs fine
+    assert b.sync_to(dest)["batches_shipped"] == []
+
+    # same gate on the ComponentStore layout
+    cc_a = _cc_source(spark, tmp_path)
+    cc_b = ComponentStore(spark, str(tmp_path / "cc_b"))
+    cc_b.bootstrap(
+        spark.createDataFrame([(100, 101)], "da: bigint, db: bigint")
+    )
+    cc_dest = str(tmp_path / "cc_b_clone")
+    cc_b.snapshot_to(cc_dest)
+    with pytest.raises(RuntimeError, match="was exported from"):
+        cc_a.sync_to(cc_dest)
+
+    # and on the MinHash layout (delta_ids collide via "bootstrap")
+    mh_a = MinHashIndex(spark, str(tmp_path / "mh_a"))
+    mh_a.bootstrap(_docs(spark).filter(F.col("doc_id") < 40))
+    mh_b = MinHashIndex(spark, str(tmp_path / "mh_b"))
+    mh_b.bootstrap(_docs(spark).filter(F.col("doc_id") >= 40))
+    mh_dest = str(tmp_path / "mh_b_clone")
+    mh_b.snapshot_to(mh_dest)
+    with pytest.raises(RuntimeError, match="was exported from"):
+        mh_a.sync_to(mh_dest)
+
+
+def test_sync_reship_predeletes_crashed_batch_partitions(spark, tmp_path):
+    """The r12 LOW: a crashed sync's partially-landed batch is
+    re-shipped through dynamic overwrite, which only replaces the
+    partitions the NEW content writes — if rows were forgotten on the
+    source between the attempts, a cell whose surviving rows are now
+    empty kept the stale attempt's forgotten bytes. The pre-delete
+    makes the re-run a true replace."""
+    cent = ivf_centroids(spark, SF_DIR)
+    src = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    src.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 200), cent))
+    dest = str(tmp_path / "clone")
+    src.snapshot_to(dest)
+    src.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 200), cent), 1
+    )
+
+    # crash the sync AFTER batch 1's partitions land but BEFORE its
+    # landed marker
+    real = IvfAssignmentStore._mark_landed
+
+    def boom(self, root, name):
+        if root.endswith("clone/_landed") and name == "1":
+            raise RuntimeError("crash mid-ship")
+        real(self, root, name)
+
+    IvfAssignmentStore._mark_landed = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash mid-ship"):
+            src.sync_to(dest)
+    finally:
+        IvfAssignmentStore._mark_landed = real
+    clone = IvfAssignmentStore(spark, dest)
+    stale = spark.read.parquet(clone.data_path).filter(
+        F.col("batch_id") == 1
+    )
+    assert stale.count() > 0, "the crashed attempt left batch-1 bytes"
+
+    # between the attempts, a whole CELL of batch 1 is forgotten on
+    # the source: pick the cell with the fewest batch-1 rows and
+    # tombstone all of them
+    rows1 = src.read().filter(F.col("batch_id") == 1)
+    cell = (
+        rows1.groupBy("cent_id").count().orderBy("count", "cent_id").first()
+    )
+    victims = rows1.filter(F.col("cent_id") == cell.cent_id).select("vec_id")
+    n_victims = victims.count()
+    assert n_victims > 0
+    src.forget(victims, "tcell")
+
+    receipt = src.sync_to(dest)
+    assert receipt["batches_shipped"] == [1]
+    clone = IvfAssignmentStore(spark, dest)
+    # the re-shipped batch is byte-clean: the emptied cell's stale
+    # partition was pre-deleted, not left behind by dynamic overwrite
+    raw1 = spark.read.parquet(clone.data_path).filter(
+        (F.col("batch_id") == 1) & (F.col("cent_id") == cell.cent_id)
+    )
+    assert raw1.count() == 0, (
+        "the stale crashed-attempt partition must not survive the "
+        "re-ship"
+    )
+    assert _ivf_rows(clone.read()) == _ivf_rows(src.read())
+
+
+def test_snapshot_everywhere_two_clones_of_one_store(spark, tmp_path):
+    """The r12 LOW: receipts key by name now, so snapshotting the SAME
+    store under two names in one call yields two receipts and a
+    restore opens both clones; duplicate names are refused loudly."""
+    ivf = _ivf_source(spark, tmp_path)
+    root = str(tmp_path / "backup")
+    catalog = snapshot_everywhere(root, (ivf, "ivf_a"), (ivf, "ivf_b"))
+    assert set(catalog["stores"]) == {"ivf_a", "ivf_b"}
+    restored = restore_everywhere(
+        spark, root, {"IvfAssignmentStore": IvfAssignmentStore}
+    )
+    assert set(restored) == {"ivf_a", "ivf_b"}
+    want = _ivf_rows(ivf.read())
+    assert _ivf_rows(restored["ivf_a"].read()) == want
+    assert _ivf_rows(restored["ivf_b"].read()) == want
+
+    with pytest.raises(ValueError, match="duplicate store names"):
+        snapshot_everywhere(
+            str(tmp_path / "backup2"), (ivf, "x"), (ivf, "x")
+        )
+
+
+def test_cc_sync_manifest_rows_matches_snapshot_meaning(spark, tmp_path):
+    """The r12 LOW: snapshot_to and sync_to must record the SAME
+    quantity in the manifest's "rows" field (raw staged marked-patch
+    rows on the clone), not two different views of the store."""
+    src = _cc_source(spark, tmp_path)
+    dest = str(tmp_path / "ccclone")
+    snap_rows = src.snapshot_to(dest)["rows"]
+    clone = ComponentStore(spark, dest)
+    raw = clone._assign_marked().count()
+    assert snap_rows == raw
+
+    src.apply_pairs(
+        spark.createDataFrame([(4, 5)], "da: bigint, db: bigint"), "d2"
+    )
+    sync_rows = src.sync_to(dest)["rows"]
+    clone2 = ComponentStore(spark, dest)
+    assert sync_rows == clone2._assign_marked().count()
+    # and the IVF layout's pair agrees the same way
+    ivf = _ivf_source(spark, tmp_path, name="ivf_rows")
+    ivf_dest = str(tmp_path / "ivf_rows_clone")
+    snap = ivf.snapshot_to(ivf_dest)
+    ivf_clone = IvfAssignmentStore(spark, ivf_dest)
+    assert snap["rows"] == ivf_clone._data_read().count()
+    sync = ivf.sync_to(ivf_dest)
+    assert sync["rows"] == IvfAssignmentStore(
+        spark, ivf_dest
+    )._data_read().count()
