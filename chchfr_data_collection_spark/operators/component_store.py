@@ -507,49 +507,63 @@ class ComponentStore(StoreKernel):
         from .lease import WriterLease
 
         self._require_bootstrapped()
+        with WriterLease(self.spark, self.base_path):
+            return self._snapshot_locked(dest_path)
+
+    def high_water(self) -> dict:
+        """Last committed position (the highest marked patch seq)
+        — the fleet-catalog skew mark (round-12 verdict, next #3);
+        seq coordinates are store-local."""
+        marked = self._marked()
+        return {"kind": "seq", "value": (max(marked) if marked else None)}
+
+    def _snapshot_locked(self, dest_path: str) -> dict:
+        """snapshot_to's body; the CALLER holds this store's
+        WriterLease (snapshot_everywhere's quiesce mode holds the
+        fleet's leases and calls this directly)."""
         dest = dest_path.rstrip("/")
         self._require_fresh_dest(dest)
         clone = ComponentStore(self.spark, dest)
-        with WriterLease(self.spark, self.base_path):
-            self._deleted_cache = _UNSET  # re-list under the lease
-            marked = self._marked()
-            fids = sorted(self._tombstone_fingerprints())
-            rows = self._excl_deleted(self._assign_marked())
-            expected = rows.count()
-            (
-                rows.write.mode("overwrite")
-                .option("partitionOverwriteMode", "static")
-                .partitionBy("seq")
-                .parquet(clone.assign_path)
+        self._deleted_cache = _UNSET  # re-list under the lease
+        marked = self._marked()
+        fids = sorted(self._tombstone_fingerprints())
+        rows = self._excl_deleted(self._assign_marked())
+        expected = rows.count()
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "static")
+            .partitionBy("seq")
+            .parquet(clone.assign_path)
+        )
+        # a fully-masked export writes no files; the dir must still
+        # exist so the clone's schema-pinned reads resolve as empty
+        dfs, DP = self._fs_for(clone.assign_path)
+        dfs.mkdirs(DP(clone.assign_path))
+        got = (
+            self.spark.read.schema(self._read_schema())
+            .parquet(clone.assign_path)
+            .count()
+        )
+        if got != expected:
+            raise IOError(
+                f"snapshot row mismatch exporting {self.base_path} "
+                f"-> {dest}: expected {expected}, staged {got}; the "
+                "destination has no schema sidecar (unreadable) — "
+                "delete it and snapshot again"
             )
-            # a fully-masked export writes no files; the dir must still
-            # exist so the clone's schema-pinned reads resolve as empty
-            dfs, DP = self._fs_for(clone.assign_path)
-            dfs.mkdirs(DP(clone.assign_path))
-            got = (
-                self.spark.read.schema(self._read_schema())
-                .parquet(clone.assign_path)
-                .count()
-            )
-            if got != expected:
-                raise IOError(
-                    f"snapshot row mismatch exporting {self.base_path} "
-                    f"-> {dest}: expected {expected}, staged {got}; the "
-                    "destination has no schema sidecar (unreadable) — "
-                    "delete it and snapshot again"
-                )
-            for seq, did in sorted(marked.items()):
-                clone._mark(seq, did)
-            clone._write_json(
-                clone.schema_path, self._read_schema().jsonValue()
-            )
-            manifest = {
-                "source": self.base_path,
-                "history": [[s, d] for s, d in sorted(marked.items())],
-                "rows": got,
-                "tombstones_applied": fids,
-            }
-            clone._write_json(f"{dest}/_snapshot.json", manifest)
+        for seq, did in sorted(marked.items()):
+            clone._mark(seq, did)
+        clone._write_json(
+            clone.schema_path, self._read_schema().jsonValue()
+        )
+        manifest = {
+            "source": self.base_path,
+            "history": [[s, d] for s, d in sorted(marked.items())],
+            "rows": got,
+            "tombstones_applied": fids,
+            "high_water": self.high_water(),
+        }
+        clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {**manifest, "dest": dest}
 
     def sync_to(self, dest_path: str) -> dict:
@@ -639,6 +653,7 @@ class ComponentStore(StoreKernel):
                 "rows": clone._assign_marked().count(),
                 "tombstones_applied": [],
                 "tombstones_mirrored": sorted(fids),
+                "high_water": self.high_water(),
             }
             clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {

@@ -941,122 +941,139 @@ class MinHashIndex(StoreKernel):
         from .lease import WriterLease
 
         self._require_format()
+        with WriterLease(self.spark, self.base_path):
+            return self._snapshot_locked(dest_path)
+
+    def high_water(self) -> dict:
+        """Last committed position (the pairs write log's highest
+        seq) — the fleet-catalog skew mark (round-12 verdict, next
+        #3); log-seq coordinates are store-local."""
+        entries = self._log_entries()
+        return {
+            "kind": "log_seq",
+            "value": (max(entries) if entries else None),
+        }
+
+    def _snapshot_locked(self, dest_path: str) -> dict:
+        """snapshot_to's body; the CALLER holds this index's
+        WriterLease (snapshot_everywhere's quiesce mode holds the
+        fleet's leases and calls this directly)."""
         dest = dest_path.rstrip("/")
         self._require_fresh_dest(dest)
         clone = MinHashIndex(self.spark, dest)
-        with WriterLease(self.spark, self.base_path):
-            if (
-                self._read_json(self.fold_commit_path) is not None
-                or self._read_json(self.fold_intent_path) is not None
-            ):
-                raise RuntimeError(
-                    f"snapshot_to(): a fold manifest is pending on "
-                    f"{self.base_path} (compact() crashed or is "
-                    "running) — run compact() to recover, then retry."
-                )
-            self._deleted_cache = _UNSET  # re-list under the lease
-            fids = sorted(self._tombstone_fingerprints())
-            deleted, small = self._deleted_docs()
-            if deleted is not None:
-                deleted = deleted.persist()
-            idx_marked = self._landed_ids(self.landed_path)
-            # markers and log entries travel for EVERY landed delta —
-            # a zero-row delta (an insert or probe whose masked output
-            # was empty writes no partition) still owns its marker and
-            # its log seq, and dropping them would fork the clone's
-            # history; only the DATA ship is restricted to deltas that
-            # actually have partitions
-            pairs_marked = self._landed_ids(self.landed_pairs_path)
-            pairs_live = sorted(pairs_marked & self._partition_ids("pairs"))
-            rows: dict = {}
-            try:
-                fs, HPath = self._fs()
-                dfs, _ = self._fs_for(dest)
-                for rel in ("arrays", "postings", "pairs"):
-                    if rel == "pairs":
-                        land = pairs_live
-                        schema = self._pairs_read_schema()
-                    else:
-                        land = sorted(
-                            idx_marked & self._partition_ids(rel)
-                        )
-                        schema = self._rel_schema(rel)
-                    dst = clone._rel_path(rel)
-                    if not land:
-                        dfs.mkdirs(HPath(dst))
-                        rows[rel] = 0
-                        continue
-                    df = (
-                        self.spark.read.schema(schema)
-                        .parquet(self._rel_path(rel))
-                        .where(F.col("delta_id").isin(land))
+        if (
+            self._read_json(self.fold_commit_path) is not None
+            or self._read_json(self.fold_intent_path) is not None
+        ):
+            raise RuntimeError(
+                f"snapshot_to(): a fold manifest is pending on "
+                f"{self.base_path} (compact() crashed or is "
+                "running) — run compact() to recover, then retry."
+            )
+        self._deleted_cache = _UNSET  # re-list under the lease
+        fids = sorted(self._tombstone_fingerprints())
+        deleted, small = self._deleted_docs()
+        if deleted is not None:
+            deleted = deleted.persist()
+        idx_marked = self._landed_ids(self.landed_path)
+        # markers and log entries travel for EVERY landed delta —
+        # a zero-row delta (an insert or probe whose masked output
+        # was empty writes no partition) still owns its marker and
+        # its log seq, and dropping them would fork the clone's
+        # history; only the DATA ship is restricted to deltas that
+        # actually have partitions
+        pairs_marked = self._landed_ids(self.landed_pairs_path)
+        pairs_live = sorted(pairs_marked & self._partition_ids("pairs"))
+        rows: dict = {}
+        try:
+            fs, HPath = self._fs()
+            dfs, _ = self._fs_for(dest)
+            for rel in ("arrays", "postings", "pairs"):
+                if rel == "pairs":
+                    land = pairs_live
+                    schema = self._pairs_read_schema()
+                else:
+                    land = sorted(
+                        idx_marked & self._partition_ids(rel)
                     )
-                    df = self._mask_deleted(df, rel, deleted, small)
-                    expected = df.count()
-                    parts = (
-                        ("band", "delta_id")
-                        if rel == "postings"
-                        else ("delta_id",)
-                    )
-                    (
-                        df.write.mode("overwrite")
-                        .option("partitionOverwriteMode", "static")
-                        .partitionBy(*parts)
-                        .parquet(dst)
-                    )
+                    schema = self._rel_schema(rel)
+                dst = clone._rel_path(rel)
+                if not land:
                     dfs.mkdirs(HPath(dst))
-                    got = (
-                        self.spark.read.schema(schema).parquet(dst).count()
-                    )
-                    if got != expected:
-                        raise IOError(
-                            f"snapshot row mismatch exporting {rel} of "
-                            f"{self.base_path} -> {dest}: expected "
-                            f"{expected}, staged {got}; the destination "
-                            "has no format marker (unreadable) — delete "
-                            "it and snapshot again"
-                        )
-                    rows[rel] = got
-            finally:
-                if deleted is not None:
-                    deleted.unpersist()
-            # markers, write log, folded tombstones, sidecars — then the
-            # format marker flips the clone readable, manifest attests
-            for did in sorted(idx_marked):
-                clone._mark_landed(clone.landed_path, did)
-            log = self._log_entries()
-            for seq, did in sorted(log.items()):
-                if did in pairs_marked:
-                    dfs.create(
-                        HPath(f"{clone.log_path}/{seq:08d}.{did}"), True
-                    ).close()
-            for did in sorted(pairs_marked):
-                clone._mark_landed(clone.landed_pairs_path, did)
-            hwm = self._read_json(self.log_hwm_path)
-            if hwm is not None:
-                clone._write_json(clone.log_hwm_path, hwm)
-            for did in sorted(self._landed_ids(self.folded_path)):
-                clone._mark_landed(clone.folded_path, did)
-            for rel in ("postings", "arrays"):
-                clone._write_json(
-                    clone.schema_paths[rel],
-                    self._rel_schema(rel).jsonValue(),
+                    rows[rel] = 0
+                    continue
+                df = (
+                    self.spark.read.schema(schema)
+                    .parquet(self._rel_path(rel))
+                    .where(F.col("delta_id").isin(land))
                 )
-            clone._write_format_marker()
-            manifest = {
-                "source": self.base_path,
-                "rows": rows,
-                "index_deltas": sorted(idx_marked),
-                "index_delta_fps": {
-                    did: self._index_delta_fp(did)
-                    for did in sorted(idx_marked)
-                },
-                "pairs_history": [
-                    [s, d] for s, d in sorted(log.items()) if d in pairs_marked
-                ],
-                "tombstones_applied": fids,
-            }
-            clone._write_json(f"{dest}/_snapshot.json", manifest)
+                df = self._mask_deleted(df, rel, deleted, small)
+                expected = df.count()
+                parts = (
+                    ("band", "delta_id")
+                    if rel == "postings"
+                    else ("delta_id",)
+                )
+                (
+                    df.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "static")
+                    .partitionBy(*parts)
+                    .parquet(dst)
+                )
+                dfs.mkdirs(HPath(dst))
+                got = (
+                    self.spark.read.schema(schema).parquet(dst).count()
+                )
+                if got != expected:
+                    raise IOError(
+                        f"snapshot row mismatch exporting {rel} of "
+                        f"{self.base_path} -> {dest}: expected "
+                        f"{expected}, staged {got}; the destination "
+                        "has no format marker (unreadable) — delete "
+                        "it and snapshot again"
+                    )
+                rows[rel] = got
+        finally:
+            if deleted is not None:
+                deleted.unpersist()
+        # markers, write log, folded tombstones, sidecars — then the
+        # format marker flips the clone readable, manifest attests
+        for did in sorted(idx_marked):
+            clone._mark_landed(clone.landed_path, did)
+        log = self._log_entries()
+        for seq, did in sorted(log.items()):
+            if did in pairs_marked:
+                dfs.create(
+                    HPath(f"{clone.log_path}/{seq:08d}.{did}"), True
+                ).close()
+        for did in sorted(pairs_marked):
+            clone._mark_landed(clone.landed_pairs_path, did)
+        hwm = self._read_json(self.log_hwm_path)
+        if hwm is not None:
+            clone._write_json(clone.log_hwm_path, hwm)
+        for did in sorted(self._landed_ids(self.folded_path)):
+            clone._mark_landed(clone.folded_path, did)
+        for rel in ("postings", "arrays"):
+            clone._write_json(
+                clone.schema_paths[rel],
+                self._rel_schema(rel).jsonValue(),
+            )
+        clone._write_format_marker()
+        manifest = {
+            "source": self.base_path,
+            "rows": rows,
+            "index_deltas": sorted(idx_marked),
+            "index_delta_fps": {
+                did: self._index_delta_fp(did)
+                for did in sorted(idx_marked)
+            },
+            "pairs_history": [
+                [s, d] for s, d in sorted(log.items()) if d in pairs_marked
+            ],
+            "tombstones_applied": fids,
+            "high_water": self.high_water(),
+        }
+        clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {**manifest, "dest": dest}
 
     def _mask_deleted(self, df, rel: str, deleted, small: bool):
@@ -1322,6 +1339,7 @@ class MinHashIndex(StoreKernel):
                 ],
                 "tombstones_applied": [],
                 "tombstones_mirrored": sorted(fids),
+                "high_water": self.high_water(),
             }
             clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {**manifest, "dest": dest, "shipped": shipped}

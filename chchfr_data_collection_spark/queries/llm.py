@@ -2630,6 +2630,60 @@ def similarity_ivf_store_sync_probe(spark, sf_dir):
     return _ivf_view_topk(IvfAssignmentStore(spark, dest).read(), emb)
 
 
+@register(
+    "similarity_ivf_store_compacted_probe",
+    sql=_IVF_DUCK,
+    tags=("llm", "similarity", "ann", "ivf", "store", "compaction"),
+)
+def similarity_ivf_store_compacted_probe(spark, sf_dir):
+    """LOG COMPACTION on the batch store (round-12 verdict, next #1):
+    a maintenance stream lands one (cent_id, batch_id) partition set
+    per micro-batch forever — at production cadence that is tens of
+    thousands of partitions per cell (small files, ballooning marker
+    LISTs). `BatchAppendStore.compact()` folds the committed batches
+    into ONE generation partition set under the WriterLease with a
+    two-phase manifest (intent -> footer-exact verify -> commit), and
+    this entry certifies the contract cross-engine: the ANN probe
+    served from the COMPACTED store equals the probe over the never-
+    compacted corpus — which IS the oracle (the plain IVF SQL; the
+    fold is byte-preserving, so the serving view cannot move).
+
+    Self-contained per invocation (compact mutates the store): two
+    appends build the corpus split, compact() folds them, the probe
+    reads the folded generation. What the fold also preserves, pinned
+    in tests/test_batch_stores.py: redelivered folded batches are
+    recognized via the `_folded.json` ledger and dropped, as-of reads
+    inside the folded prefix refuse loudly (VACUUM semantics), purge
+    still byte-erases generation leaves, and reads stay consistent
+    through both crash windows (manifest-resolved exclusions).
+
+    100 TB shape: the fold is one scan + one write of the committed
+    data; after it, read()'s marker LISTs are bounded by generations-
+    plus-unfolded-batches, not total batches ever landed."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming.embeddings import (
+        IvfAssignmentStore,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    cent = ivf_centroids(spark, sf_dir)
+    store = IvfAssignmentStore(
+        spark, tempfile.mkdtemp(prefix=f"ivf_cmp_{_uuid.uuid4().hex[:8]}_")
+    )
+    store.bootstrap(ivf_assign(emb.filter(F.col("vec_id") % 2 == 0), cent))
+    store.append_batch(
+        ivf_assign(emb.filter(F.col("vec_id") % 2 == 1), cent), 1
+    )
+    receipt = store.compact()
+    if not receipt["compacted"] or store._landed_batch_values() != [-1]:
+        raise RuntimeError(f"compact did not fold: {receipt}")
+    return _ivf_view_topk(store.read(), emb)
+
+
 def _ivf_tt_store_cached(spark, sf_dir):
     """An IvfAssignmentStore whose batch 0 holds the LANDED slice's
     assignments (vec_id % 4 != 0) — the time-travel fixture: entries
@@ -6115,6 +6169,43 @@ def similarity_ivf_store_retrain(spark, sf_dir):
     + one partitioned write; nothing is all-pairs and the driver holds
     only the k x 64 centroid relation."""
     store = _ivf_retrained_store_cached(spark, sf_dir)
+    return store.read().select("vec_id", "cent_id", "cos_c")
+
+
+@register(
+    "similarity_ivf_store_retrain_full",
+    sql=_ivf_retrain_duck(),
+    tags=("llm", "similarity", "ann", "ivf", "kmeans", "store"),
+)
+def similarity_ivf_store_retrain_full(spark, sf_dir):
+    """The retrain MIGRATION priced honestly (round-12 verdict, wrong
+    #2): `similarity_ivf_store_retrain` serves from a session-cached
+    fixture that retrains once, so its bench row certifies the
+    steady-state READ of a migrated store at ~0.05 s — the migration's
+    real cost lives in the first invocation the cache hides. This twin
+    is fully SELF-CONTAINED per invocation (the `*_incremental` bench
+    idiom): bootstrap on the seed geometry, retrain() — 2 exact
+    integer Lloyd iterations over the serving corpus, verify-then-swap
+    migration of every landed assignment under the WriterLease — then
+    the read-back. The bench row therefore records bootstrap + train +
+    migrate + read: the price a production store pays per retrain
+    cycle. Same oracle as the cached entry (the migrated table equals
+    a fresh trained bootstrap, bit-replayed by the kmeans CTEs)."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming.embeddings import (
+        IvfAssignmentStore,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    store = IvfAssignmentStore(
+        spark, tempfile.mkdtemp(prefix=f"ivf_rtf_{_uuid.uuid4().hex[:8]}_")
+    )
+    store.bootstrap(ivf_assign(emb, ivf_centroids(spark, sf_dir)))
+    store.retrain(emb, n_iter=2)
     return store.read().select("vec_id", "cent_id", "cos_c")
 
 

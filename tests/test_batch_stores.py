@@ -555,3 +555,321 @@ def test_pq_retrain_migrates_and_trained_appends(spark, tmp_path):
     assert got_new == _pq_rows(pq_encode_trained(new_q, fresh.codebook())), (
         "post-retrain append used the stale seed codebook"
     )
+
+
+# -- log compaction (round-12 verdict, next #1) ------------------------------
+
+
+def _ivf3(spark, tmp_path, name="ivf"):
+    """A 3-batch store: the fold fixture."""
+    store = IvfAssignmentStore(spark, str(tmp_path / name))
+    cent = ivf_centroids(spark, SF_DIR)
+    store.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 200), cent))
+    store.append_batch(
+        ivf_assign(
+            _emb(spark).filter(
+                (F.col("vec_id") >= 200) & (F.col("vec_id") < 400)
+            ),
+            cent,
+        ),
+        1,
+    )
+    store.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 400), cent), 2
+    )
+    return store, cent
+
+
+def test_compact_folds_serves_identical_and_vacuums_history(spark, tmp_path):
+    """compact() folds the committed batches into one generation: the
+    serving read is identical before and after, history() reports the
+    folded prefix as its highest real batch id, as-of reads inside the
+    folded prefix refuse loudly (VACUUM), and the leaf partition /
+    landed marker counts drop to O(generations)."""
+    store, cent = _ivf3(spark, tmp_path)
+    want = _ivf_rows(store.read())
+    before_leaves = len(store._batch_leaf_dirs([0, 1, 2]))
+
+    receipt = store.compact()
+    assert receipt["compacted"] is True
+    assert receipt["generation"] == -1
+    assert receipt["folded"] == [0, 1, 2]
+    assert receipt["upto"] == 2
+    assert receipt["leaf_partitions_before"] == before_leaves
+    assert receipt["leaf_partitions_after"] < before_leaves
+
+    # serving identity, from this instance AND a fresh one
+    assert _ivf_rows(store.read()) == want
+    fresh = IvfAssignmentStore(spark, store.base_path)
+    assert _ivf_rows(fresh.read()) == want
+
+    # the write log is bounded by generations now
+    assert store._landed_batch_values() == [-1]
+    assert store.history() == [2]
+    assert _ivf_rows(store.read(as_of_batch=2)) == want
+
+    # VACUUM: folded points refuse loudly, with the earliest readable
+    # point named
+    for b in (0, 1):
+        with pytest.raises(ValueError, match="VACUUM"):
+            store.read(as_of_batch=b)
+
+    # no pending manifests survive a clean fold
+    assert store._read_json(store.compact_intent_path) is None
+    assert store._read_json(store.compact_commit_path) is None
+
+
+def test_compact_drops_redelivered_folded_batch(spark, tmp_path):
+    """An at-least-once redelivery of a batch the fold already
+    consumed is recognized via the ledger and dropped — its rows live
+    in the generation; appends of genuinely new batches land beside
+    the generation; negative batch ids are refused."""
+    store, cent = _ivf3(spark, tmp_path)
+    want = _ivf_rows(store.read())
+    store.compact()
+
+    # redelivery of folded batch 1: dropped, nothing changes
+    redelivered = ivf_assign(
+        _emb(spark).filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400)),
+        cent,
+    )
+    store.append_batch(redelivered, 1)
+    assert _ivf_rows(store.read()) == want
+    assert store._landed_batch_values() == [-1]
+
+    # a genuinely new batch lands beside the generation
+    extra = ivf_assign(_emb(spark).filter(F.col("vec_id") < 5), cent).withColumn(
+        "vec_id", F.col("vec_id") + 700000
+    )
+    store.append_batch(extra, 3)
+    assert store.history() == [2, 3]
+    assert store.read().filter(F.col("vec_id") >= 700000).count() == 5
+    assert _ivf_rows(store.read(as_of_batch=2)) == want
+
+    with pytest.raises(ValueError, match="reserved"):
+        store.append_batch(extra, -7)
+
+
+def test_second_compact_folds_prior_generation(spark, tmp_path):
+    store, cent = _ivf3(spark, tmp_path)
+    store.compact()
+    extra = ivf_assign(_emb(spark).filter(F.col("vec_id") < 5), cent).withColumn(
+        "vec_id", F.col("vec_id") + 700000
+    )
+    store.append_batch(extra, 3)
+    want = _ivf_rows(store.read())
+
+    receipt = store.compact()
+    assert receipt["generation"] == -2
+    assert sorted(receipt["folded"]) == [-1, 3]
+    assert receipt["upto"] == 3
+    assert store._landed_batch_values() == [-2]
+    assert store.history() == [3]
+    assert _ivf_rows(store.read()) == want
+    # the cumulative ledger covers every real batch ever folded
+    led = store._read_json(store.folded_ledger_path)
+    assert led["batches"] == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="VACUUM"):
+        store.read(as_of_batch=2)
+
+    # a third call with one partition set is a no-op
+    assert store.compact()["compacted"] is False
+
+
+def test_compact_crash_windows(spark, tmp_path):
+    """Crash before the commit manifest: the unverified generation is
+    invisible (intent-gated reads), and recovery rolls it back. Crash
+    mid-finish: the committed fold serves consistently throughout
+    (manifest-resolved reads) and recovery rolls it forward."""
+    store, cent = _ivf3(spark, tmp_path)
+    want = _ivf_rows(store.read())
+
+    # window 1: die before _compact_commit.json lands
+    real_wj = IvfAssignmentStore._write_json
+
+    def boom_commit(self, path, obj):
+        if path.endswith("_compact_commit.json"):
+            raise RuntimeError("crash before commit")
+        real_wj(self, path, obj)
+
+    IvfAssignmentStore._write_json = boom_commit
+    try:
+        with pytest.raises(RuntimeError, match="crash before commit"):
+            store.compact()
+    finally:
+        IvfAssignmentStore._write_json = real_wj
+    # rollback ran in compact()'s except path: manifests gone, gen
+    # partitions gone, store exactly its pre-fold self
+    assert store._read_json(store.compact_intent_path) is None
+    assert store._landed_batch_values() == [0, 1, 2]
+    assert _ivf_rows(store.read()) == want
+    assert _ivf_rows(IvfAssignmentStore(spark, store.base_path).read()) == want
+
+    # window 1b: intent manifest left on disk (a hard kill, no except
+    # path) — reads exclude the unverified generation; the next
+    # maintenance call recovers
+    plan = {"gen": -1, "folded": [0, 1, 2], "upto": 2, "batches": [0, 1, 2]}
+    store._write_json(store.compact_intent_path, plan)
+    assert _ivf_rows(store.read()) == want  # gen absent anyway
+    store.purge_forgotten()  # any maintenance op recovers
+    assert store._read_json(store.compact_intent_path) is None
+    assert store._landed_batch_values() == [0, 1, 2]
+
+    # window 2: die mid-finish (after the commit manifest, during the
+    # source deletions) — reads stay consistent via the commit
+    # exclusions; recovery completes the fold
+    real_unmark = IvfAssignmentStore._unmark_landed
+    calls = {"n": 0}
+
+    def boom_unmark(self, root, name):
+        if root == store.landed_path:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("crash mid-finish")
+        real_unmark(self, root, name)
+
+    IvfAssignmentStore._unmark_landed = boom_unmark
+    try:
+        with pytest.raises(RuntimeError, match="crash mid-finish"):
+            store.compact()
+    finally:
+        IvfAssignmentStore._unmark_landed = real_unmark
+    # the commit manifest is still present; reads resolve through it
+    assert store._read_json(store.compact_commit_path) is not None
+    assert _ivf_rows(store.read()) == want
+    assert _ivf_rows(IvfAssignmentStore(spark, store.base_path).read()) == want
+
+    # recovery (any maintenance call) rolls the fold forward
+    store.purge_forgotten()
+    assert store._read_json(store.compact_commit_path) is None
+    assert store._landed_batch_values() == [-1]
+    assert store.history() == [2]
+    assert _ivf_rows(store.read()) == want
+
+
+def test_compact_preserves_forget_purge_interplay(spark, tmp_path):
+    """The fold is byte-preserving: tombstoned rows travel into the
+    generation still masked, and purge_forgotten() stays the one
+    byte-eraser — generation partitions are ordinary leaves to it."""
+    store, cent = _ivf3(spark, tmp_path)
+    store.forget(spark.createDataFrame([(9,), (35,)], "vec_id: bigint"), "t1")
+    masked = _ivf_rows(store.read())
+    store.compact()
+    assert _ivf_rows(store.read()) == masked
+    # the bytes traveled (byte-preserving fold)...
+    raw = spark.read.parquet(store.data_path)
+    assert raw.filter(F.col("vec_id").isin(9, 35)).count() == 2
+    # ...and the purge erases them from the generation
+    receipt = store.purge_forgotten()
+    assert receipt["rows_removed"] == 2
+    assert receipt["tombstones_cleared"] == ["t1"]
+    raw2 = spark.read.parquet(store.data_path)
+    assert raw2.filter(F.col("vec_id").isin(9, 35)).count() == 0
+    assert _ivf_rows(store.read()) == masked
+
+
+def test_compact_leaves_inflight_append_alone(spark, tmp_path):
+    """A crashed (in-flight) append is outside the fold set: its
+    partial partitions survive the fold untouched and its redelivery
+    lands normally BESIDE the generation."""
+    store = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    cent = ivf_centroids(spark, SF_DIR)
+    store.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 200), cent))
+    store.append_batch(
+        ivf_assign(
+            _emb(spark).filter(
+                (F.col("vec_id") >= 200) & (F.col("vec_id") < 400)
+            ),
+            cent,
+        ),
+        1,
+    )
+    committed = _ivf_rows(store.read())
+
+    b2 = ivf_assign(_emb(spark).filter(F.col("vec_id") >= 400), cent)
+    real_mark = store._mark_landed
+
+    def crash_on_landed(root, name):
+        if root == store.landed_path and name == "2":
+            raise RuntimeError("crash before marker")
+        real_mark(root, name)
+
+    store._mark_landed = crash_on_landed
+    with pytest.raises(RuntimeError, match="crash before marker"):
+        store.append_batch(b2, 2)
+    store._mark_landed = real_mark
+
+    receipt = store.compact()
+    assert receipt["folded"] == [0, 1], "in-flight batch 2 must not fold"
+    assert _ivf_rows(store.read()) == committed
+
+    # redelivery of the in-flight batch lands beside the generation
+    store.append_batch(b2, 2)
+    assert store.history() == [1, 2]
+    assert _ivf_rows(store.read()) == _ivf_rows(ivf_assign(_emb(spark), cent))
+
+
+def test_pq_store_compact(spark, tmp_path):
+    """The fold on the cell-less layout (CELL_COLS=()): same identity,
+    ledger, and VACUUM contracts."""
+    store = PqCodesStore(spark, str(tmp_path / "pq"))
+    cent = pq_codebook(spark, SF_DIR)
+    store.bootstrap(pq_encode(_emb(spark).filter(F.col("vec_id") < 300), cent))
+    store.append_batch(
+        pq_encode(_emb(spark).filter(F.col("vec_id") >= 300), cent), 1
+    )
+    want = _pq_rows(store.read())
+    receipt = store.compact()
+    assert receipt["compacted"] is True and receipt["folded"] == [0, 1]
+    assert _pq_rows(store.read()) == want
+    assert store.history() == [1]
+    with pytest.raises(ValueError, match="VACUUM"):
+        store.read(as_of_batch=0)
+    # redelivered folded batch is dropped on this layout too
+    store.append_batch(
+        pq_encode(_emb(spark).filter(F.col("vec_id") >= 300), cent), 1
+    )
+    assert _pq_rows(store.read()) == want
+
+
+def test_compact_then_snapshot_and_sync_semantics(spark, tmp_path):
+    """DR x compaction: a snapshot of a compacted store carries the
+    generation AND the ledger (the clone refuses folded as-of points
+    and drops folded redeliveries); a source compact() AFTER a
+    snapshot makes the clone unsyncable with the fresh-snapshot remedy
+    named."""
+    store, cent = _ivf3(spark, tmp_path)
+    dest_old = str(tmp_path / "clone_pre")
+    store.snapshot_to(dest_old)
+
+    store.compact()
+    want = _ivf_rows(store.read())
+
+    # the pre-compact clone can no longer sync — history collapsed
+    with pytest.raises(RuntimeError, match="fresh snapshot"):
+        store.sync_to(dest_old)
+
+    dest = str(tmp_path / "clone_post")
+    store.snapshot_to(dest)
+    clone = IvfAssignmentStore(spark, dest)
+    assert _ivf_rows(clone.read()) == want
+    assert clone._landed_batch_values() == [-1]
+    assert clone.history() == [2]
+    with pytest.raises(ValueError, match="VACUUM"):
+        clone.read(as_of_batch=1)
+    # folded redelivery is dropped on the clone too (ledger traveled)
+    clone.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") < 200), cent), 0
+    )
+    assert _ivf_rows(clone.read()) == want
+
+    # and the synced-forward path still works on the compacted pair
+    extra = ivf_assign(_emb(spark).filter(F.col("vec_id") < 5), cent).withColumn(
+        "vec_id", F.col("vec_id") + 700000
+    )
+    store.append_batch(extra, 3)
+    receipt = store.sync_to(dest)
+    assert receipt["batches_shipped"] == [3]
+    assert _ivf_rows(IvfAssignmentStore(spark, dest).read()) == _ivf_rows(
+        store.read()
+    )

@@ -349,7 +349,7 @@ def test_sync_ships_missing_batches_and_mirrors_takedowns(spark, tmp_path):
         .withColumn("vec_id", F.col("vec_id") + 500000),
         77,
     )
-    with pytest.raises(RuntimeError, match="not a clone"):
+    with pytest.raises(RuntimeError, match="diverged"):
         src.sync_to(dest)
 
 
@@ -922,3 +922,169 @@ def test_cc_sync_manifest_rows_matches_snapshot_meaning(spark, tmp_path):
     assert sync["rows"] == IvfAssignmentStore(
         spark, ivf_dest
     )._data_read().count()
+
+
+# -- round-13: fleet sync, high-water marks, quiesce ------------------------
+
+
+def _two_batch_stores(spark, tmp_path, skewed: bool):
+    """IVF + PQ stores fed by the same 'stream': batches 0 and 1 on
+    the IVF store; the PQ store gets batch 1 only when not skewed."""
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        PqCodesStore,
+        pq_codebook,
+        pq_encode,
+    )
+
+    cent = ivf_centroids(spark, SF_DIR)
+    ivf = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    ivf.bootstrap(ivf_assign(_emb(spark).filter(F.col("vec_id") < 300), cent))
+    ivf.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 300), cent), 1
+    )
+    cb = pq_codebook(spark, SF_DIR)
+    pq = PqCodesStore(spark, str(tmp_path / "pq"))
+    pq.bootstrap(pq_encode(_emb(spark).filter(F.col("vec_id") < 300), cb))
+    if not skewed:
+        pq.append_batch(
+            pq_encode(_emb(spark).filter(F.col("vec_id") >= 300), cb), 1
+        )
+    return ivf, pq
+
+
+def test_catalog_records_high_water_and_surfaces_skew(spark, tmp_path):
+    """A non-quiesced backup taken mid-pipeline (IVF holds crawl batch
+    1, PQ doesn't yet) records the disagreeing marks in the catalog and
+    restore_everywhere surfaces them; a quiesced backup of an aligned
+    fleet records no skew and restores silently."""
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        PqCodesStore,
+        pq_codebook,
+        pq_encode,
+    )
+
+    ivf, pq = _two_batch_stores(spark, tmp_path, skewed=True)
+    root = str(tmp_path / "backup_skew")
+    catalog = snapshot_everywhere(root, (ivf, "ivf"), (pq, "pq"))
+    assert catalog["quiesced"] is False
+    assert catalog["stores"]["ivf"]["high_water"] == {
+        "kind": "batch", "value": 1,
+    }
+    assert catalog["stores"]["pq"]["high_water"] == {
+        "kind": "batch", "value": 0,
+    }
+    assert catalog["skew"] == {"batch": {"ivf": 1, "pq": 0}}
+
+    registry = {
+        "IvfAssignmentStore": IvfAssignmentStore,
+        "PqCodesStore": PqCodesStore,
+    }
+    with pytest.raises(RuntimeError, match="SKEWED"):
+        restore_everywhere(spark, root, registry, on_skew="raise")
+    with pytest.warns(UserWarning, match="SKEWED"):
+        restored = restore_everywhere(spark, root, registry)
+    assert set(restored) == {"ivf", "pq"}
+
+    # align the fleet; a QUIESCED snapshot reports no skew — and the
+    # fact it completes proves the coordinator holds the fleet leases
+    # itself (snapshot_to's own lease take would deadlock here)
+    cb = pq_codebook(spark, SF_DIR)
+    pq.append_batch(
+        pq_encode(_emb(spark).filter(F.col("vec_id") >= 300), cb), 1
+    )
+    root2 = str(tmp_path / "backup_quiesced")
+    catalog2 = snapshot_everywhere(
+        root2, (ivf, "ivf"), (pq, "pq"), quiesce=True
+    )
+    assert catalog2["quiesced"] is True
+    assert catalog2["skew"] == {}
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        restored2 = restore_everywhere(spark, root2, registry)
+    assert set(restored2) == {"ivf", "pq"}
+    # seq-kind marks (store-local coordinates) are recorded, never
+    # flagged: add a CC store to the fleet and skew stays batch-only
+    cc = _cc_source(spark, tmp_path)
+    root3 = str(tmp_path / "backup_mixed")
+    catalog3 = snapshot_everywhere(root3, (ivf, "i2"), (cc, "cc"))
+    assert catalog3["stores"]["cc"]["high_water"]["kind"] == "seq"
+    assert catalog3["skew"] == {}
+
+
+def test_sync_everywhere_updates_fleet_and_catalog_last(spark, tmp_path):
+    """sync_everywhere fans sync_to over the fleet, rewrites the
+    catalog LAST (a crash mid-fleet leaves the prior catalog
+    attesting the prior set), and the retry completes the remainder."""
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        PqCodesStore,
+        pq_codebook,
+        pq_encode,
+    )
+    from chchfr_data_collection_spark.operators.takedown import (
+        sync_everywhere,
+    )
+
+    ivf, pq = _two_batch_stores(spark, tmp_path, skewed=False)
+    root = str(tmp_path / "backup")
+    # refuse before any fleet snapshot exists
+    with pytest.raises(RuntimeError, match="no _catalog.json"):
+        sync_everywhere(root, (ivf, "ivf"), (pq, "pq"))
+    snapshot_everywhere(root, (ivf, "ivf"), (pq, "pq"))
+
+    # fleet moves on: batch 2 lands on both stores, plus a takedown
+    cent = ivf_centroids(spark, SF_DIR)
+    cb = pq_codebook(spark, SF_DIR)
+    extra = _emb(spark).filter(F.col("vec_id") < 8)
+    ivf.append_batch(
+        ivf_assign(extra, cent).withColumn(
+            "vec_id", F.col("vec_id") + 800000
+        ),
+        2,
+    )
+    pq.append_batch(
+        pq_encode(extra, cb).withColumn("vec_id", F.col("vec_id") + 800000),
+        2,
+    )
+
+    # crash on the SECOND store's sync: the catalog must still attest
+    # the PRIOR set (high-water marks at batch 1)
+    real = PqCodesStore.sync_to
+
+    def boom(self, dest):
+        raise RuntimeError("pq sync crashed")
+
+    PqCodesStore.sync_to = boom
+    try:
+        with pytest.raises(RuntimeError, match="pq sync crashed"):
+            sync_everywhere(root, (ivf, "ivf"), (pq, "pq"))
+    finally:
+        PqCodesStore.sync_to = real
+    stale = ivf._read_json(f"{root}/_catalog.json")
+    assert stale["stores"]["ivf"]["high_water"]["value"] == 1, (
+        "a crashed fleet sync must not refresh the catalog"
+    )
+    assert stale["stores"]["pq"]["high_water"]["value"] == 1
+
+    # retry completes: ivf re-diffs to nothing, pq ships, catalog
+    # refreshes with the new marks
+    receipt = sync_everywhere(root, (ivf, "ivf"), (pq, "pq"))
+    assert receipt["shipped"]["ivf"] == []
+    assert receipt["shipped"]["pq"] == [2]
+    fresh = ivf._read_json(f"{root}/_catalog.json")
+    assert fresh["stores"]["ivf"]["high_water"]["value"] == 2
+    assert fresh["stores"]["pq"]["high_water"]["value"] == 2
+    assert fresh["skew"] == {}
+
+    # the first (crashed) fleet call had already synced ivf, so its
+    # clone served batch 2 while the catalog lagged — exactly the
+    # window the catalog-last ordering makes visible; end state agrees
+    assert _ivf_rows(
+        IvfAssignmentStore(spark, f"{root}/ivf").read()
+    ) == _ivf_rows(ivf.read())
+
+    # membership is attested: a store name the catalog never listed
+    # cannot sync into the set
+    with pytest.raises(RuntimeError, match="not in the catalog"):
+        sync_everywhere(root, (ivf, "rogue_name"))

@@ -104,6 +104,7 @@ _op_st = st.one_of(
     st.tuples(st.just("redeliver_committed"), st.integers(0, 5)),
     st.tuples(st.just("forget"), st.integers(0, 2), _ids_st),
     st.tuples(st.just("purge")),
+    st.tuples(st.just("compact")),
 )
 
 _dirs = itertools.count()
@@ -125,11 +126,15 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
     base = tmp_path / f"s{next(_dirs)}"
     store = _ToyStore(spark, str(base))
 
-    # model state
-    committed: dict[int, set] = {}   # bid -> rows currently on disk & landed
+    # model state. `committed` is keyed by the LANDED PARTITION VALUE —
+    # real batch ids, plus the negative generation value once a compact
+    # folds (exactly the store's own write-log coordinate)
+    committed: dict[int, set] = {}   # value -> rows currently on disk & landed
     original: dict[int, set] = {}    # bid -> the batch's full transform output
     crashed: dict[int, set] = {}     # bid -> rows on disk, intent only
     tombstones: dict[str, set] = {}  # forget_id -> ids
+    folded: set = set()              # real bids consumed by a compact
+    upto: list = [None]              # highest real bid ever folded
 
     def tomb_ids() -> set:
         return set().union(*tombstones.values()) if tombstones else set()
@@ -143,6 +148,11 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
             for r in rows
             if r[0] not in dead
         }
+
+    def model_history() -> list:
+        return sorted(
+            {upto[0] if v < 0 else v for v in committed}
+        ) if committed else []
 
     next_bid = itertools.count()
 
@@ -174,9 +184,13 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
             del crashed[bid]
             committed[bid] = set(original[bid])
         elif kind == "redeliver_committed":
-            bid = sorted(committed)[op[1] % len(committed)]
+            reals = sorted(set(original) - set(crashed))
+            bid = reals[op[1] % len(reals)]
             store.append_batch(_df(spark, original[bid]), bid)
-            committed[bid] = set(original[bid])
+            if bid not in folded:
+                # a folded bid's redelivery is DROPPED by the ledger —
+                # the model changes nothing; an unfolded one replaces
+                committed[bid] = set(original[bid])
         elif kind == "forget":
             fid = f"f{op[1]}"
             ids = set(op[2])
@@ -204,17 +218,41 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
             else:
                 assert receipt["rows_removed"] == 0
                 assert receipt["tombstones_cleared"] == []
+        elif kind == "compact":
+            receipt = store.compact()
+            vals = sorted(committed)
+            if len(vals) < 2:
+                assert receipt["compacted"] is False
+            else:
+                assert receipt["compacted"] is True
+                gen = receipt["generation"]
+                merged = set().union(*(committed[v] for v in vals))
+                reals = [v for v in vals if v >= 0]
+                folded.update(reals)
+                upto[0] = max(
+                    reals + ([upto[0]] if upto[0] is not None else [])
+                )
+                committed.clear()
+                committed[gen] = merged
         # the serving view equals the model after EVERY operation
         assert _read_set(store) == expected(), f"after {op}"
-        assert store.history() == sorted(committed)
+        assert store.history() == model_history()
 
-    # end-of-sequence: time travel at every committed point, and a
-    # fresh instance (cold caches, marker re-resolution) agrees
+    # end-of-sequence: time travel at every readable committed point —
+    # points inside a folded prefix refuse (VACUUM) — and a fresh
+    # instance (cold caches, marker re-resolution) agrees
     for b in store.history():
-        assert _read_set(store, as_of=b) == expected(as_of=b), f"as_of {b}"
+        if upto[0] is not None and b < upto[0]:
+            with pytest.raises(ValueError, match="VACUUM"):
+                store.read(as_of_batch=b)
+        else:
+            assert _read_set(store, as_of=b) == expected(as_of=b), f"as_of {b}"
+    if upto[0] is not None and upto[0] > 0:
+        with pytest.raises(ValueError, match="VACUUM"):
+            store.read(as_of_batch=upto[0] - 1)
     fresh = _ToyStore(spark, str(base))
     assert _read_set(fresh) == expected()
-    assert fresh.history() == sorted(committed)
+    assert fresh.history() == model_history()
 
 
 # --------------------------------------------------------------------------
