@@ -502,16 +502,7 @@ class BatchAppendStore(StoreKernel):
                 "values are reserved for compact()'s generation "
                 f"partitions ({self.base_path})"
             )
-        led = self._read_json(self.folded_ledger_path)
-        if led is not None and bid in set(led["batches"]):
-            # an at-least-once REDELIVERY of a batch a compact() has
-            # since folded into the generation: the original landed and
-            # its rows live in the gen partition, so re-landing under
-            # the retired batch_id would duplicate them beside the
-            # folded copy. Recognized and dropped — redelivery is a
-            # normal streaming event here, unlike the MinHash index's
-            # caller-chosen delta_ids where a same-id re-insert is
-            # ambiguous and fails fast (round-12 verdict, next #1).
+        if self._drop_if_folded(bid):
             return
         self._mark_landed(self.intent_path, str(bid))
         (
@@ -521,8 +512,40 @@ class BatchAppendStore(StoreKernel):
             .partitionBy(*self.CELL_COLS, "batch_id")
             .parquet(self.data_path)
         )
+        # RE-CHECK the fold ledger after the write commits: an
+        # unfenced redelivery racing a compact() can pass the entry
+        # check, have the fold consume (or delete) its batch, and then
+        # land a second copy of rows the generation already holds.
+        # compact()'s finish writes the ledger BEFORE deleting source
+        # partitions, so by the time our write commits either the
+        # ledger is visible here (we unwind) or our files landed
+        # before the finish's delete pass (it removed them) — no
+        # interleaving leaves a duplicate (round-13 self-review, high;
+        # fenced appends with lease=True never race at all).
+        if self._drop_if_folded(bid):
+            return
         self._mark_landed(self.landed_path, str(bid))
         self._unmark_landed(self.intent_path, str(bid))
+
+    def _drop_if_folded(self, bid: int) -> bool:
+        """True when `bid` is an at-least-once REDELIVERY of a batch a
+        compact() has folded into the generation: the original landed
+        and its rows live in the gen partition, so re-landing under
+        the retired batch_id would duplicate them beside the folded
+        copy. Recognized and dropped — redelivery is a normal
+        streaming event here, unlike the MinHash index's caller-chosen
+        delta_ids where a same-id re-insert is ambiguous and fails
+        fast (round-12 verdict, next #1). Dropping also CLEANS UP any
+        bytes/markers this or a prior crashed attempt left for the
+        retired id — a lingering intent marker would defer every
+        future purge's tombstone clearing, forever, for a batch no
+        redelivery will ever complete (round-13 self-review, high)."""
+        led = self._read_json(self.folded_ledger_path)
+        if led is None or int(bid) not in set(led["batches"]):
+            return False
+        self._delete_batch_partitions(int(bid))
+        self._unmark_landed(self.intent_path, str(int(bid)))
+        return True
 
     def _delete_batch_partitions(self, bid: int) -> None:
         """Delete every (*CELL_COLS, batch_id=bid) leaf partition —
@@ -636,13 +659,25 @@ class BatchAppendStore(StoreKernel):
         df = self._data_read()
         if as_of_batch is not None:
             led = self._read_json(self.folded_ledger_path)
-            if led is not None and int(as_of_batch) < int(led["upto"]):
+            upto = int(led["upto"]) if led is not None else None
+            # a COMMITTED fold whose finish crashed before the ledger
+            # write has roll-FORWARD semantics already: the serving
+            # view resolves to the generation (commit exclusions), so
+            # a pre-fold as-of point must refuse here too — otherwise
+            # the `batch_id <= b` filter over the gen-only view would
+            # silently serve the FULL folded corpus at a historical
+            # point (round-13 self-review, high)
+            commit = self._read_json(self.compact_commit_path)
+            if commit is not None:
+                cu = int(commit["upto"])
+                upto = cu if upto is None else max(upto, cu)
+            if upto is not None and int(as_of_batch) < upto:
                 raise ValueError(
                     f"read(as_of_batch={as_of_batch}): batches up to "
-                    f"{led['upto']} were folded into a generation by "
+                    f"{upto} were folded into a generation by "
                     f"compact() on {self.base_path} — that historical "
                     "point no longer exists (VACUUM semantics). "
-                    f"Earliest readable point: {led['upto']}."
+                    f"Earliest readable point: {upto}."
                 )
             if not any(b <= as_of_batch for b in self.history()):
                 raise ValueError(

@@ -227,12 +227,27 @@ def sync_everywhere(dest_root: str, *stores) -> dict:
             "full fleet snapshot first."
         )
     listed = set(catalog["stores"])
-    unknown = sorted(n for _, n in stores if n not in listed)
+    given = {n for _, n in stores}
+    unknown = sorted(given - listed)
     if unknown:
         raise RuntimeError(
             f"sync_everywhere: stores {unknown} are not in the catalog "
             f"at {root} — a sync cannot add members to a backup set; "
             "re-run snapshot_everywhere to re-attest the new fleet."
+        )
+    absent = sorted(listed - given)
+    if absent:
+        # a partial fleet sync would rewrite the catalog with a MIX of
+        # fresh and stale high-water marks, and the skew report
+        # computed from them would lie in both directions (round-13
+        # self-review, medium). A fleet backup is all-or-nothing; the
+        # retry contract already makes passing every member cheap
+        # (in-sync stores diff to nothing).
+        raise RuntimeError(
+            f"sync_everywhere: catalog members {absent} were not "
+            "passed — sync the whole attested fleet (already-current "
+            "stores ship nothing), or re-run snapshot_everywhere to "
+            "shrink the set."
         )
     receipts = dict(catalog["stores"])
     shipped: dict = {}

@@ -2764,6 +2764,135 @@ def similarity_ivf_store_time_travel(spark, sf_dir):
     return store.read(as_of_batch=0).select("vec_id", "cent_id", "cos_c")
 
 
+@register(
+    "store_fleet_backup_probe",
+    sql=_IVF_DUCK,
+    tags=("llm", "similarity", "ann", "ivf", "store", "snapshot", "fleet"),
+)
+def store_fleet_backup_probe(spark, sf_dir):
+    """FLEET backup/restore end-to-end (round-12 verdict, next #2/#3):
+    `snapshot_everywhere(quiesce=True)` exports the IVF and PQ stores
+    in ONE coordinated call — all fleet WriterLeases held for the
+    export window, so the catalog records mutually consistent
+    high-water marks (skew {} by construction) — and
+    `restore_everywhere` opens the attested set (catalog-gated,
+    all-or-nothing, skew surfaced if any). The probe is served FROM
+    THE RESTORED IVF clone; the oracle is the plain IVF SQL, proving
+    the round trip (export → catalog → restore) is semantically free.
+    The call refuses half-backups structurally: the catalog lands
+    LAST, each clone's own attestation lands last within it, and the
+    stores share the micro-batch coordinate the marks compare on.
+
+    100 TB shape: per store, one masked scan + one write + metadata;
+    the quiesce window costs ingest stall for exactly the export
+    duration and buys a zero-skew catalog."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.takedown import restore_everywhere, snapshot_everywhere
+    from ..streaming.embeddings import (
+        IvfAssignmentStore,
+        PqCodesStore,
+        ivf_assign,
+        ivf_centroids,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    ivf = IvfAssignmentStore(
+        spark, tempfile.mkdtemp(prefix=f"fleet_ivf_{_uuid.uuid4().hex[:8]}_")
+    )
+    ivf.bootstrap(ivf_assign(emb, ivf_centroids(spark, sf_dir)))
+    pq = PqCodesStore(
+        spark, tempfile.mkdtemp(prefix=f"fleet_pq_{_uuid.uuid4().hex[:8]}_")
+    )
+    pq.bootstrap(pq_encode(emb, pq_codebook(spark, sf_dir)))
+    root = tempfile.mkdtemp(prefix=f"fleet_bk_{_uuid.uuid4().hex[:8]}_")
+    catalog = snapshot_everywhere(
+        f"{root}/set", (ivf, "ivf"), (pq, "pq"), quiesce=True
+    )
+    if catalog["skew"] != {}:
+        raise RuntimeError(f"quiesced fleet backup reported skew: {catalog}")
+    restored = restore_everywhere(
+        spark,
+        f"{root}/set",
+        {"IvfAssignmentStore": IvfAssignmentStore, "PqCodesStore": PqCodesStore},
+        on_skew="raise",
+    )
+    return _ivf_view_topk(restored["ivf"].read(), emb)
+
+
+@register(
+    "ivf_store_schema_evolution_probe",
+    sql=f"""
+    WITH {_NORM2_DUCK},
+    cent AS (SELECT vec_id AS cent_id, embedding FROM embeddings WHERE vec_id < 8),
+    adot AS (
+      SELECT v.vec_id, c.cent_id,
+        SUM({_Q.format(e='v.embedding[i]')} * {_Q.format(e='c.embedding[i]')}) AS d
+      FROM embeddings v, cent c CROSS JOIN range(1, 65) t(i)
+      GROUP BY v.vec_id, c.cent_id)
+    SELECT vec_id, cent_id, cos_c,
+           CASE WHEN vec_id % 4 = 0 THEN 'cc-2026-08' END AS crawl_src
+    FROM (
+      SELECT a.vec_id, a.cent_id,
+        CAST(a.d AS DOUBLE) / (SQRT(CAST(nv.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) AS cos_c,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+          CAST(a.d AS DOUBLE) / (SQRT(CAST(nv.norm2 AS DOUBLE)) * SQRT(CAST(nc.norm2 AS DOUBLE))) DESC,
+          a.cent_id) AS rn
+      FROM adot a JOIN norms nv ON nv.vec_id = a.vec_id
+      JOIN norms nc ON nc.vec_id = a.cent_id) t
+    WHERE rn = 1
+    """,
+    tags=("llm", "similarity", "ivf", "store", "schema"),
+)
+def ivf_store_schema_evolution_probe(spark, sf_dir):
+    """ADDITIVE SCHEMA EVOLUTION on the batch store (round-12 verdict,
+    next #4): real pipelines add fields; until round 13 the only
+    options were the loud drifted-producer refusal or a rebootstrap.
+    `evolve_schema()` sanctions the additive path: the store
+    bootstraps on the landed slice (vec_id % 4 != 0) under the
+    original schema, evolves to add a nullable `crawl_src` column (one
+    sidecar write under the lease — zero data rewritten), and the
+    delta slice lands as batch 1 WITH the new column populated. The
+    serving read then carries the evolved schema for every batch:
+    pre-evolution rows null-fill (parquet name-based resolution),
+    post-evolution rows serve their values — which IS the oracle (the
+    full-corpus assignment with crawl_src = CASE on the delta slice).
+    Refusals stay loud for everything non-additive (removals, type
+    changes, non-nullable adds — tests/test_schema_evolution.py)."""
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import types as T_
+
+    from ..streaming.embeddings import (
+        IvfAssignmentStore,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    cent = ivf_centroids(spark, sf_dir)
+    store = IvfAssignmentStore(
+        spark, tempfile.mkdtemp(prefix=f"ivf_evo_{_uuid.uuid4().hex[:8]}_")
+    )
+    store.bootstrap(ivf_assign(emb.filter(F.col("vec_id") % 4 != 0), cent))
+    evolved = T_.StructType(
+        list(IvfAssignmentStore.DATA_SCHEMA.fields)
+        + [T_.StructField("crawl_src", T_.StringType(), True)]
+    )
+    store.evolve_schema(evolved)
+    store.append_batch(
+        ivf_assign(emb.filter(F.col("vec_id") % 4 == 0), cent).withColumn(
+            "crawl_src", F.lit("cc-2026-08")
+        ),
+        1,
+    )
+    return store.read().select("vec_id", "cent_id", "cos_c", "crawl_src")
+
+
 def _kmeans_iter_duck(n_iter: int = 2) -> str:
     """Unrolled Lloyd iterations as DuckDB CTEs, integer-exact: squared-L2
     over int64-quantized vectors, centroid update re-quantized via

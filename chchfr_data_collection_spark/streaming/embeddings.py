@@ -296,7 +296,11 @@ class IvfAssignmentStore(BatchAppendStore):
         from ..operators.lease import WriterLease
 
         with WriterLease(self.spark, self.base_path):
-            self._recover_retrain()
+            # FULL maintenance recovery (not just the retrain swap): a
+            # crashed compact() must resolve before the data-dir swap
+            # below replaces the relation it was folding (round-13
+            # self-review, medium — uniform "recover everything first")
+            self._recover()
             self._deleted_cache = _UNSET  # re-list under the lease
             self._require_no_inflight_appends("retrain()")
             serving = self.read().select("vec_id", "batch_id")
@@ -733,7 +737,11 @@ class PqCodesStore(BatchAppendStore):
         from ..operators.lease import WriterLease
 
         with WriterLease(self.spark, self.base_path):
-            self._recover_retrain()
+            # FULL maintenance recovery (not just the retrain swap): a
+            # crashed compact() must resolve before the data-dir swap
+            # below replaces the relation it was folding (round-13
+            # self-review, medium — uniform "recover everything first")
+            self._recover()
             self._deleted_cache = _UNSET  # re-list under the lease
             self._require_no_inflight_appends("retrain()")
             vec_batch = self.read().select("vec_id", "batch_id").distinct()

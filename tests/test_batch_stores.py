@@ -873,3 +873,183 @@ def test_compact_then_snapshot_and_sync_semantics(spark, tmp_path):
     assert _ivf_rows(IvfAssignmentStore(spark, dest).read()) == _ivf_rows(
         store.read()
     )
+
+
+# -- round-13 self-review pins ----------------------------------------------
+
+
+def test_as_of_refuses_during_committed_fold_crash_window(spark, tmp_path):
+    """HIGH: with the commit manifest pending (fold verified, finish
+    crashed before the ledger write), the serving view already
+    resolves to the generation — an as-of read inside the folded
+    prefix must refuse HERE too, not silently serve the full folded
+    corpus at a historical point."""
+    store, cent = _ivf3(spark, tmp_path)
+    want = _ivf_rows(store.read())
+
+    # crash the finish BEFORE the ledger lands: patch _write_json to
+    # die on _folded.json (the first finish step)
+    real_wj = IvfAssignmentStore._write_json
+
+    def boom(self, path, obj):
+        if path.endswith("_folded.json"):
+            raise RuntimeError("crash before ledger")
+        real_wj(self, path, obj)
+
+    IvfAssignmentStore._write_json = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash before ledger"):
+            store.compact()
+    finally:
+        IvfAssignmentStore._write_json = real_wj
+    assert store._read_json(store.compact_commit_path) is not None
+    assert store._read_json(store.folded_ledger_path) is None
+
+    # serving read resolves to the generation (commit exclusions)...
+    assert _ivf_rows(store.read()) == want
+    # ...and pre-fold as-of points refuse instead of serving it whole
+    for b in (0, 1):
+        with pytest.raises(ValueError, match="VACUUM"):
+            store.read(as_of_batch=b)
+    assert _ivf_rows(store.read(as_of_batch=2)) == want
+
+    # recovery completes the fold; semantics unchanged
+    store.purge_forgotten()
+    assert store._landed_batch_values() == [-1]
+    assert _ivf_rows(store.read()) == want
+
+
+def test_dropped_redelivery_cleans_stale_intent(spark, tmp_path):
+    """HIGH: a redelivery attempt that crashed before its marker, then
+    had its batch folded by compact(), leaves intent-without-marker —
+    which would defer every future purge's tombstone clearing for a
+    batch no redelivery will ever complete (the ledger drops them).
+    The drop path must clean the stale intent and bytes up."""
+    store, cent = _ivf3(spark, tmp_path)
+    b1 = ivf_assign(
+        _emb(spark).filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 400)),
+        cent,
+    )
+    # a redelivery of committed batch 1 crashes before its marker
+    real_mark = store._mark_landed
+
+    def crash_on_landed(root, name):
+        if root == store.landed_path and name == "1":
+            raise RuntimeError("crash before marker")
+        real_mark(root, name)
+
+    store._mark_landed = crash_on_landed
+    with pytest.raises(RuntimeError, match="crash before marker"):
+        store.append_batch(b1, 1)
+    store._mark_landed = real_mark
+    # batch 1's ORIGINAL marker still stands, so nothing is in flight
+    # yet and compact folds it
+    store.compact()
+    want = _ivf_rows(store.read())
+    # the crashed attempt's intent now has no matching landed marker:
+    # a purge would defer forever if nothing cleans it
+    assert "1" in store._landed_ids(store.intent_path)
+
+    # the redelivery retries; the ledger drops it AND cleans up
+    store.append_batch(b1, 1)
+    assert "1" not in store._landed_ids(store.intent_path)
+    assert _ivf_rows(store.read()) == want
+
+    store.forget(spark.createDataFrame([(9,)], "vec_id: bigint"), "t9")
+    receipt = store.purge_forgotten()
+    assert receipt["purge_deferred"] == [], (
+        "a folded batch's stale intent must not defer purges"
+    )
+    assert receipt["tombstones_cleared"] == ["t9"]
+
+
+def test_append_unwinds_when_fold_commits_mid_write(spark, tmp_path):
+    """HIGH (the race leg): an unfenced redelivery that passes the
+    entry ledger check while a compact() is folding its batch must not
+    leave a second copy of the rows beside the generation — the
+    post-write re-check unwinds it."""
+    store, cent = _ivf3(spark, tmp_path)
+    led_after_fold = {"gen": -1, "upto": 2, "batches": [0, 1, 2]}
+
+    # simulate the interleaving: the fold's ledger lands AFTER this
+    # append's entry check (injected at the intent-marker step) — the
+    # append's write then commits into a world where its batch is
+    # already folded
+    real_mark = store._mark_landed
+
+    def inject_ledger(root, name):
+        real_mark(root, name)
+        if root == store.intent_path and name == "1":
+            store._write_json(store.folded_ledger_path, led_after_fold)
+
+    store._mark_landed = inject_ledger
+    try:
+        store.append_batch(
+            ivf_assign(
+                _emb(spark).filter(
+                    (F.col("vec_id") >= 200) & (F.col("vec_id") < 400)
+                ),
+                cent,
+            ),
+            1,
+        )
+    finally:
+        store._mark_landed = real_mark
+
+    # unwound: no re-landed partitions, no stale intent, marker set
+    # unchanged (batch 1's original marker still stands in this
+    # simulation — the real fold's finish retires it)
+    assert "1" not in store._landed_ids(store.intent_path)
+    fs, HPath = store._fs()
+    assert store._batch_leaf_dirs([1]) == [], "re-landed bytes survived"
+    # the unwind deleted the batch-1 partitions (in the real race the
+    # fold's finish deletes them — the generation holds the rows; this
+    # simulation has no generation, so batch 1's rows are simply gone):
+    # after dropping the injected ledger the view is batches 0 and 2,
+    # with not a single DUPLICATED row anywhere
+    fs.delete(HPath(store.folded_ledger_path), False)
+    got = _ivf_rows(store.read())
+    assert got == _ivf_rows(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") < 200), cent)
+    ) | _ivf_rows(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 400), cent)
+    )
+    raw = spark.read.parquet(store.data_path)
+    assert raw.count() == raw.select("vec_id").distinct().count(), (
+        "a duplicated row survived the unwind"
+    )
+
+
+def test_retrain_recovers_pending_fold_first(spark, tmp_path):
+    """MEDIUM: retrain() swaps the whole data directory — a crashed
+    compact()'s manifests must resolve BEFORE the swap replaces the
+    relation the fold was consuming. retrain now runs full
+    _recover(); the migrated store serves correctly and no stale
+    manifest survives."""
+    store, cent = _ivf3(spark, tmp_path)
+    want_ids = {r.vec_id for r in store.read().collect()}
+
+    real_unmark = IvfAssignmentStore._unmark_landed
+    calls = {"n": 0}
+
+    def boom(self, root, name):
+        if root == store.landed_path:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("crash mid-finish")
+        real_unmark(self, root, name)
+
+    IvfAssignmentStore._unmark_landed = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash mid-finish"):
+            store.compact()
+    finally:
+        IvfAssignmentStore._unmark_landed = real_unmark
+    assert store._read_json(store.compact_commit_path) is not None
+
+    store.retrain(_emb(spark), 2)
+    assert store._read_json(store.compact_commit_path) is None
+    assert store._read_json(store.compact_intent_path) is None
+    assert {r.vec_id for r in store.read().collect()} == want_ids
+    assert store._landed_batch_values() == [-1]
+    assert store.centroids() is not None

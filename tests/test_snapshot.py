@@ -1084,7 +1084,12 @@ def test_sync_everywhere_updates_fleet_and_catalog_last(spark, tmp_path):
         IvfAssignmentStore(spark, f"{root}/ivf").read()
     ) == _ivf_rows(ivf.read())
 
-    # membership is attested: a store name the catalog never listed
-    # cannot sync into the set
+    # membership is attested both ways: a name the catalog never
+    # listed cannot sync into the set, and a PARTIAL fleet sync is
+    # refused — it would rewrite the catalog with a mix of fresh and
+    # stale high-water marks, making the skew report lie (round-13
+    # self-review, medium)
     with pytest.raises(RuntimeError, match="not in the catalog"):
-        sync_everywhere(root, (ivf, "rogue_name"))
+        sync_everywhere(root, (ivf, "rogue_name"), (pq, "pq"))
+    with pytest.raises(RuntimeError, match="were not passed"):
+        sync_everywhere(root, (ivf, "ivf"))
