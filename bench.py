@@ -127,6 +127,11 @@ HEADLINE = [
     "similarity_ivf_store_retrain",
     "dedup_minhash_store_time_travel",
     "similarity_pq_store_retrain",
+    # round 13
+    "similarity_ivf_store_compacted_probe",
+    "similarity_ivf_store_retrain_full",
+    "store_fleet_backup_probe",
+    "ivf_store_schema_evolution_probe",
 ]
 
 

@@ -68,6 +68,9 @@ SHOWCASE = [
     # round 11
     ("similarity_ivf_forget_probe", "tombstone anti-join + query cells + query vectors all broadcast; cell equi-join candidates, no cartesian"),
     ("dedup_cc_incremental_persisted", "store read: marked-partition scan, per-node max_by resolve, tombstone anti-join"),
+    # round 13
+    ("similarity_ivf_store_compacted_probe", "probe over the folded generation: one (cent_id, batch_id) scan, cell equi-join, no extra exchanges vs the unfolded store"),
+    ("ivf_store_schema_evolution_probe", "evolved-schema read: pre-evolution batches null-fill in the scan, no rewrite job anywhere in the plan"),
 ]
 
 

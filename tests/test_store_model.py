@@ -275,6 +275,7 @@ _dr_op_st = st.one_of(
     st.tuples(st.just("snapshot")),
     st.tuples(st.just("sync")),
     st.tuples(st.just("clone_purge")),
+    st.tuples(st.just("compact")),
 )
 
 
@@ -292,6 +293,8 @@ def test_snapshot_sync_match_model_under_interleavings(
     clone = None
     clone_committed: dict[int, set] = {}
     clone_tombs: dict[str, set] = {}
+    upto: list = [None]        # source: highest real bid ever folded
+    clone_upto: list = [None]  # the ledger the snapshot shipped
     next_bid = itertools.count()
 
     def tomb_ids(t) -> set:
@@ -355,14 +358,23 @@ def test_snapshot_sync_match_model_under_interleavings(
             clone = _ToyStore(spark, str(base) + "_clone")
             clone_committed = {b: masked(r) for b, r in committed.items()}
             clone_tombs = {}
+            clone_upto[0] = upto[0]  # the copied ledger
         elif kind == "sync":
             if clone is None:
                 continue
-            store.sync_to(clone.base_path)
-            for b in set(committed) - set(clone_committed):
-                clone_committed[b] = masked(committed[b])
-            for fid, ids in tombstones.items():
-                clone_tombs[fid] = set(ids)
+            foreign = set(clone_committed) - set(committed)
+            if foreign:
+                # a source compact() since the snapshot folded history
+                # the clone still carries — sync must refuse, and the
+                # clone must be untouched by the refused call
+                with pytest.raises(RuntimeError, match="fresh snapshot"):
+                    store.sync_to(clone.base_path)
+            else:
+                store.sync_to(clone.base_path)
+                for b in set(committed) - set(clone_committed):
+                    clone_committed[b] = masked(committed[b])
+                for fid, ids in tombstones.items():
+                    clone_tombs[fid] = set(ids)
         elif kind == "clone_purge":
             if clone is None:
                 continue
@@ -374,9 +386,22 @@ def test_snapshot_sync_match_model_under_interleavings(
                         r for r in clone_committed[b] if r[0] not in dead
                     }
                 clone_tombs.clear()
+        elif kind == "compact":
+            receipt = store.compact()
+            if receipt["compacted"]:
+                gen = receipt["generation"]
+                merged = set().union(*committed.values())
+                reals = [v for v in committed if v >= 0]
+                upto[0] = max(
+                    reals + ([upto[0]] if upto[0] is not None else [])
+                )
+                committed.clear()
+                committed[gen] = merged
         if clone is not None:
             assert _read_set(clone) == clone_expected(), f"clone after {op}"
-            assert clone.history() == sorted(clone_committed)
+            assert clone.history() == sorted(
+                {clone_upto[0] if v < 0 else v for v in clone_committed}
+            )
 
     # end of sequence: a fresh instance over the clone agrees, and the
     # source still matches its own model
