@@ -521,6 +521,7 @@ class ComponentStore(StoreKernel):
         """snapshot_to's body; the CALLER holds this store's
         WriterLease (snapshot_everywhere's quiesce mode holds the
         fleet's leases and calls this directly)."""
+        self._require_bootstrapped()
         dest = dest_path.rstrip("/")
         self._require_fresh_dest(dest)
         clone = ComponentStore(self.spark, dest)
@@ -587,6 +588,14 @@ class ComponentStore(StoreKernel):
         from .lease import WriterLease
 
         self._require_bootstrapped()
+        with WriterLease(self.spark, self.base_path):
+            return self._sync_locked(dest_path)
+
+    def _sync_locked(self, dest_path: str) -> dict:
+        """sync_to's body; the CALLER holds this store's
+        WriterLease (sync_everywhere's quiesce mode holds the
+        fleet's leases and calls this directly)."""
+        self._require_bootstrapped()
         dest = dest_path.rstrip("/")
         clone = ComponentStore(self.spark, dest)
         if clone.snapshot_manifest() is None:
@@ -595,67 +604,66 @@ class ComponentStore(StoreKernel):
                 "only updates a completed snapshot_to() clone; take a "
                 "full snapshot first"
             )
-        with WriterLease(self.spark, self.base_path):
-            self._deleted_cache = _UNSET
-            # identity gate: the manifest records which store the clone
-            # was exported from — (seq, delta_id) overlap alone is not
-            # an identity (round-12 ADVICE, medium, on the batch
-            # stores; same discipline here)
-            recorded = clone.snapshot_manifest().get("source")
-            if recorded != self.base_path:
-                raise RuntimeError(
-                    f"sync_to(): the clone at {dest} was exported from "
-                    f"{recorded!r}, not from {self.base_path} — syncing "
-                    "into another store's clone would merge unrelated "
-                    "corpora. Snapshot THIS store to a fresh path."
-                )
-            marked = self._marked()
-            have = clone._marked()
-            foreign = sorted(
-                (s, d) for s, d in have.items() if marked.get(s) != d
+        self._deleted_cache = _UNSET
+        # identity gate: the manifest records which store the clone
+        # was exported from — (seq, delta_id) overlap alone is not
+        # an identity (round-12 ADVICE, medium, on the batch
+        # stores; same discipline here)
+        recorded = clone.snapshot_manifest().get("source")
+        if recorded != self.base_path:
+            raise RuntimeError(
+                f"sync_to(): the clone at {dest} was exported from "
+                f"{recorded!r}, not from {self.base_path} — syncing "
+                "into another store's clone would merge unrelated "
+                "corpora. Snapshot THIS store to a fresh path."
             )
-            if foreign:
-                raise RuntimeError(
-                    f"sync_to(): {dest} holds marked patches {foreign} "
-                    f"the source {self.base_path} does not — the clone "
-                    "diverged, or a source compact() folded that "
-                    "history. Take a fresh snapshot."
+        marked = self._marked()
+        have = clone._marked()
+        foreign = sorted(
+            (s, d) for s, d in have.items() if marked.get(s) != d
+        )
+        if foreign:
+            raise RuntimeError(
+                f"sync_to(): {dest} holds marked patches {foreign} "
+                f"the source {self.base_path} does not — the clone "
+                "diverged, or a source compact() folded that "
+                "history. Take a fresh snapshot."
+            )
+        missing = sorted(set(marked) - set(have))
+        if missing:
+            rows = self._excl_deleted(
+                self._assign_marked().filter(
+                    F.col("seq").isin([f"{s:08d}" for s in missing])
                 )
-            missing = sorted(set(marked) - set(have))
-            if missing:
-                rows = self._excl_deleted(
-                    self._assign_marked().filter(
-                        F.col("seq").isin([f"{s:08d}" for s in missing])
-                    )
-                )
-                (
-                    rows.write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("seq")
-                    .parquet(clone.assign_path)
-                )
-                for s in missing:
-                    clone._mark(s, marked[s])
-            fids = self._tombstone_fingerprints()
-            for fid in sorted(fids):
-                ids = self.spark.read.parquet(
-                    f"{self.deleted_path}/forget_id={fid}"
-                ).select(self.TOMBSTONE_KEY)
-                clone.forget(ids, fid)
-            manifest = {
-                "source": self.base_path,
-                "history": [[s, d] for s, d in sorted(marked.items())],
-                # same meaning as snapshot_to's "rows": raw staged
-                # marked-patch rows on the clone — NOT the resolved
-                # per-node serving view, which would give the one
-                # attestation field two meanings depending on which
-                # writer last touched it (round-12 ADVICE, low)
-                "rows": clone._assign_marked().count(),
-                "tombstones_applied": [],
-                "tombstones_mirrored": sorted(fids),
-                "high_water": self.high_water(),
-            }
-            clone._write_json(f"{dest}/_snapshot.json", manifest)
+            )
+            (
+                rows.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("seq")
+                .parquet(clone.assign_path)
+            )
+            for s in missing:
+                clone._mark(s, marked[s])
+        fids = self._tombstone_fingerprints()
+        for fid in sorted(fids):
+            ids = self.spark.read.parquet(
+                f"{self.deleted_path}/forget_id={fid}"
+            ).select(self.TOMBSTONE_KEY)
+            clone.forget(ids, fid)
+        manifest = {
+            "source": self.base_path,
+            "history": [[s, d] for s, d in sorted(marked.items())],
+            # same meaning as snapshot_to's "rows": raw staged
+            # marked-patch rows on the clone — NOT the resolved
+            # per-node serving view, which would give the one
+            # attestation field two meanings depending on which
+            # writer last touched it (round-12 ADVICE, low)
+            "rows": clone._assign_marked().count(),
+            "tombstones_applied": [],
+            "tombstones_mirrored": sorted(fids),
+            "high_water": self.high_water(),
+        }
+        clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {
             **manifest,
             "dest": dest,

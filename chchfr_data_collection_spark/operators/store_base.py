@@ -1228,7 +1228,14 @@ class BatchAppendStore(StoreKernel):
         steady-state nightly-backup shape; snapshot_to is the full
         backup it increments."""
         from .lease import WriterLease
+        with WriterLease(self.spark, self.base_path):
+            return self._sync_locked(dest_path)
 
+    def _sync_locked(self, dest_path: str) -> dict:
+        """sync_to's body; the CALLER holds this store's
+        WriterLease (sync_everywhere's quiesce mode holds the whole
+        fleet's leases for the sync window and calls this directly —
+        the lease is not re-entrant)."""
         dest = dest_path.rstrip("/")
         clone = self.__class__(self.spark, dest)
         if clone.snapshot_manifest() is None:
@@ -1237,158 +1244,157 @@ class BatchAppendStore(StoreKernel):
                 "only updates a completed snapshot_to() clone; take a "
                 "full snapshot first"
             )
-        with WriterLease(self.spark, self.base_path):
-            self._recover()
-            self._deleted_cache = _UNSET
-            # RAW landed values on both sides: the diff must see the
-            # generation partitions themselves, not history()'s mapped
-            # view — a source compact() since the snapshot shows up as
-            # clone-side real batches the source's raw log no longer
-            # carries, and refuses below with the fresh-snapshot remedy
-            hist = self._landed_batch_values()
-            have = clone._landed_batch_values()
-            # identity gate FIRST: the manifest records which store the
-            # clone was exported from. A batch-id subset test alone is
-            # not an identity — batch ids are small sequential ints, so
-            # a clone of unrelated store B (batches [0]) passes the
-            # foreign check against any source, and for untrained
-            # stores the aux-fingerprint gate can't catch it either:
-            # the sync would silently merge two unrelated corpora
-            # (round-12 ADVICE, medium).
-            prior = clone.snapshot_manifest()
-            recorded = prior.get("source")
-            if recorded != self.base_path:
+        self._recover()
+        self._deleted_cache = _UNSET
+        # RAW landed values on both sides: the diff must see the
+        # generation partitions themselves, not history()'s mapped
+        # view — a source compact() since the snapshot shows up as
+        # clone-side real batches the source's raw log no longer
+        # carries, and refuses below with the fresh-snapshot remedy
+        hist = self._landed_batch_values()
+        have = clone._landed_batch_values()
+        # identity gate FIRST: the manifest records which store the
+        # clone was exported from. A batch-id subset test alone is
+        # not an identity — batch ids are small sequential ints, so
+        # a clone of unrelated store B (batches [0]) passes the
+        # foreign check against any source, and for untrained
+        # stores the aux-fingerprint gate can't catch it either:
+        # the sync would silently merge two unrelated corpora
+        # (round-12 ADVICE, medium).
+        prior = clone.snapshot_manifest()
+        recorded = prior.get("source")
+        if recorded != self.base_path:
+            raise RuntimeError(
+                f"sync_to(): the clone at {dest} was exported from "
+                f"{recorded!r}, not from {self.base_path} — syncing "
+                "into another store's clone would merge unrelated "
+                "corpora. Snapshot THIS store to a fresh path (or "
+                "sync from the recorded source)."
+            )
+        foreign = sorted(set(have) - set(hist))
+        if foreign:
+            raise RuntimeError(
+                f"sync_to(): {dest} holds committed batches "
+                f"{foreign} the source {self.base_path} never "
+                "landed — the clone diverged (clones are forks once "
+                "appended to), or a compact() on either side folded "
+                "that history into a generation the other lacks. "
+                "Refusing to merge histories; take a fresh snapshot."
+            )
+        # geometry-generation gate: a retrain on EITHER side since
+        # the last export migrated every landed row to a new
+        # centroid/codebook geometry the other side doesn't have —
+        # shipping batches across that line would mix geometries
+        # silently (probes prune wrong cells, codes decode against
+        # the wrong codebook). The manifest's aux fingerprints are
+        # the generation stamps; batch history can't see this
+        # (retrain preserves it by design).
+        if "aux_fp_source" not in prior and (
+            self._aux_live_fp() is not None
+            or clone._aux_live_fp() is not None
+        ):
+            # a manifest from before the generation stamps existed
+            # cannot prove the trained geometries ever matched —
+            # refusing with the honest reason beats either blindly
+            # trusting it or misdiagnosing it as a retrain
+            raise RuntimeError(
+                f"sync_to(): the manifest at {dest} predates the "
+                "geometry-generation stamps and at least one side "
+                "is trained — whether the geometries match cannot "
+                "be verified. Take a fresh snapshot (stamps are "
+                "recorded from then on)."
+            )
+        if prior.get("aux_fp_source") != self._aux_live_fp():
+            raise RuntimeError(
+                f"sync_to(): the source {self.base_path} retrained "
+                "since this clone's last export — its landed rows "
+                "were migrated to a new geometry the clone's old "
+                "batches don't carry. Take a fresh snapshot."
+            )
+        if prior.get("aux_fp_clone") != clone._aux_live_fp():
+            raise RuntimeError(
+                f"sync_to(): the clone {dest} retrained since its "
+                "last export — it serves its own geometry now and "
+                "is a fork, not a replica. Take a fresh snapshot "
+                "(or stop syncing this fork)."
+            )
+        # schema-generation reconciliation (round-12 verdict, next
+        # #4): a source evolve_schema() since the snapshot means
+        # the batches about to ship carry columns the clone's
+        # pinned reads would silently DROP — carry the evolved
+        # sidecar to the clone first (additive evolution is
+        # backwards-compatible by construction: the clone's old
+        # batches null-fill). A clone whose schema is NOT an
+        # additive prefix of the source's evolved independently —
+        # that is a fork, refuse.
+        src_schema = self.data_schema()
+        clone_schema = clone.data_schema()
+        schema_evolved = False
+        if src_schema != clone_schema:
+            src_types = {f.name: f.dataType for f in src_schema.fields}
+            clone_types = {
+                f.name: f.dataType for f in clone_schema.fields
+            }
+            additive = all(
+                n in src_types and src_types[n] == t
+                for n, t in clone_types.items()
+            )
+            if not additive:
                 raise RuntimeError(
-                    f"sync_to(): the clone at {dest} was exported from "
-                    f"{recorded!r}, not from {self.base_path} — syncing "
-                    "into another store's clone would merge unrelated "
-                    "corpora. Snapshot THIS store to a fresh path (or "
-                    "sync from the recorded source)."
-                )
-            foreign = sorted(set(have) - set(hist))
-            if foreign:
-                raise RuntimeError(
-                    f"sync_to(): {dest} holds committed batches "
-                    f"{foreign} the source {self.base_path} never "
-                    "landed — the clone diverged (clones are forks once "
-                    "appended to), or a compact() on either side folded "
-                    "that history into a generation the other lacks. "
-                    "Refusing to merge histories; take a fresh snapshot."
-                )
-            # geometry-generation gate: a retrain on EITHER side since
-            # the last export migrated every landed row to a new
-            # centroid/codebook geometry the other side doesn't have —
-            # shipping batches across that line would mix geometries
-            # silently (probes prune wrong cells, codes decode against
-            # the wrong codebook). The manifest's aux fingerprints are
-            # the generation stamps; batch history can't see this
-            # (retrain preserves it by design).
-            if "aux_fp_source" not in prior and (
-                self._aux_live_fp() is not None
-                or clone._aux_live_fp() is not None
-            ):
-                # a manifest from before the generation stamps existed
-                # cannot prove the trained geometries ever matched —
-                # refusing with the honest reason beats either blindly
-                # trusting it or misdiagnosing it as a retrain
-                raise RuntimeError(
-                    f"sync_to(): the manifest at {dest} predates the "
-                    "geometry-generation stamps and at least one side "
-                    "is trained — whether the geometries match cannot "
-                    "be verified. Take a fresh snapshot (stamps are "
-                    "recorded from then on)."
-                )
-            if prior.get("aux_fp_source") != self._aux_live_fp():
-                raise RuntimeError(
-                    f"sync_to(): the source {self.base_path} retrained "
-                    "since this clone's last export — its landed rows "
-                    "were migrated to a new geometry the clone's old "
-                    "batches don't carry. Take a fresh snapshot."
-                )
-            if prior.get("aux_fp_clone") != clone._aux_live_fp():
-                raise RuntimeError(
-                    f"sync_to(): the clone {dest} retrained since its "
-                    "last export — it serves its own geometry now and "
-                    "is a fork, not a replica. Take a fresh snapshot "
+                    f"sync_to(): the clone at {dest} carries a "
+                    "schema that is not an additive prefix of the "
+                    "source's — it evolved independently and is a "
+                    "fork, not a replica. Take a fresh snapshot "
                     "(or stop syncing this fork)."
                 )
-            # schema-generation reconciliation (round-12 verdict, next
-            # #4): a source evolve_schema() since the snapshot means
-            # the batches about to ship carry columns the clone's
-            # pinned reads would silently DROP — carry the evolved
-            # sidecar to the clone first (additive evolution is
-            # backwards-compatible by construction: the clone's old
-            # batches null-fill). A clone whose schema is NOT an
-            # additive prefix of the source's evolved independently —
-            # that is a fork, refuse.
-            src_schema = self.data_schema()
-            clone_schema = clone.data_schema()
-            schema_evolved = False
-            if src_schema != clone_schema:
-                src_types = {f.name: f.dataType for f in src_schema.fields}
-                clone_types = {
-                    f.name: f.dataType for f in clone_schema.fields
-                }
-                additive = all(
-                    n in src_types and src_types[n] == t
-                    for n, t in clone_types.items()
-                )
-                if not additive:
-                    raise RuntimeError(
-                        f"sync_to(): the clone at {dest} carries a "
-                        "schema that is not an additive prefix of the "
-                        "source's — it evolved independently and is a "
-                        "fork, not a replica. Take a fresh snapshot "
-                        "(or stop syncing this fork)."
-                    )
-                clone._write_json(
-                    clone.schema_sidecar_path, src_schema.jsonValue()
-                )
-                schema_evolved = True
-            missing = sorted(set(hist) - set(have))
-            masked = self.read()
-            for bid in missing:
-                # pre-delete the clone's existing partitions for this
-                # batch (the MinHash _ship discipline): a PRIOR crashed
-                # sync attempt may have landed partial partitions, and
-                # append_batch's dynamic overwrite only replaces the
-                # partitions the NEW content writes — a cell whose
-                # surviving rows are now empty (its rows were forgotten
-                # on the source between the attempts) would keep the
-                # stale attempt's forgotten bytes visible under the
-                # committed marker (round-12 ADVICE, low)
-                clone._delete_batch_partitions(bid)
-                clone.append_batch(
-                    masked.filter(F.col("batch_id") == bid).drop("batch_id"),
-                    bid,
-                )
-            fids = self._tombstone_fingerprints()
-            for fid in sorted(fids):
-                ids = self.spark.read.parquet(
-                    f"{self.deleted_path}/forget_id={fid}"
-                ).select(self.TOMBSTONE_KEY)
-                clone.forget(ids, fid)
-            # no aux refresh: the geometry gate above just proved both
-            # sides still sit on the fingerprinted generations, so the
-            # clone's aux IS current by construction
-            manifest = {
-                "source": self.base_path,
-                "batches": hist,
-                # same meaning as snapshot_to's "rows": raw rows under
-                # committed markers on the clone (a fresh clone holds
-                # no tombstones, so the export's masked count IS its
-                # raw count) — NOT the tombstone-masked serving view,
-                # which would give the one attestation field two
-                # meanings depending on which writer last touched the
-                # manifest (round-12 ADVICE, low)
-                "rows": clone._data_read().count(),
-                "tombstones_applied": [],
-                "tombstones_mirrored": sorted(fids),
-                "aux_fp_source": prior.get("aux_fp_source"),
-                "aux_fp_clone": prior.get("aux_fp_clone"),
-                "high_water": self.high_water(),
-            }
-            clone._write_json(f"{dest}/_snapshot.json", manifest)
+            clone._write_json(
+                clone.schema_sidecar_path, src_schema.jsonValue()
+            )
+            schema_evolved = True
+        missing = sorted(set(hist) - set(have))
+        masked = self.read()
+        for bid in missing:
+            # pre-delete the clone's existing partitions for this
+            # batch (the MinHash _ship discipline): a PRIOR crashed
+            # sync attempt may have landed partial partitions, and
+            # append_batch's dynamic overwrite only replaces the
+            # partitions the NEW content writes — a cell whose
+            # surviving rows are now empty (its rows were forgotten
+            # on the source between the attempts) would keep the
+            # stale attempt's forgotten bytes visible under the
+            # committed marker (round-12 ADVICE, low)
+            clone._delete_batch_partitions(bid)
+            clone.append_batch(
+                masked.filter(F.col("batch_id") == bid).drop("batch_id"),
+                bid,
+            )
+        fids = self._tombstone_fingerprints()
+        for fid in sorted(fids):
+            ids = self.spark.read.parquet(
+                f"{self.deleted_path}/forget_id={fid}"
+            ).select(self.TOMBSTONE_KEY)
+            clone.forget(ids, fid)
+        # no aux refresh: the geometry gate above just proved both
+        # sides still sit on the fingerprinted generations, so the
+        # clone's aux IS current by construction
+        manifest = {
+            "source": self.base_path,
+            "batches": hist,
+            # same meaning as snapshot_to's "rows": raw rows under
+            # committed markers on the clone (a fresh clone holds
+            # no tombstones, so the export's masked count IS its
+            # raw count) — NOT the tombstone-masked serving view,
+            # which would give the one attestation field two
+            # meanings depending on which writer last touched the
+            # manifest (round-12 ADVICE, low)
+            "rows": clone._data_read().count(),
+            "tombstones_applied": [],
+            "tombstones_mirrored": sorted(fids),
+            "aux_fp_source": prior.get("aux_fp_source"),
+            "aux_fp_clone": prior.get("aux_fp_clone"),
+            "high_water": self.high_water(),
+        }
+        clone._write_json(f"{dest}/_snapshot.json", manifest)
         return {
             **manifest,
             "dest": dest,

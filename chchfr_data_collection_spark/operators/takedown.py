@@ -194,7 +194,7 @@ def snapshot_everywhere(dest_root: str, *stores, quiesce: bool = False) -> dict:
     return catalog
 
 
-def sync_everywhere(dest_root: str, *stores) -> dict:
+def sync_everywhere(dest_root: str, *stores, quiesce: bool = False) -> dict:
     """One coordinated INCREMENTAL backup call — `sync_to` fanned over
     the fleet in the `snapshot_everywhere` idiom (round-12 verdict,
     next #2: the nightly-backup story was four `sync_to`s by hand,
@@ -213,7 +213,15 @@ def sync_everywhere(dest_root: str, *stores) -> dict:
     sync one — call again with the same arguments: completed stores
     re-diff to nothing, the crashed store's partial landing is
     replaced (marker-gated), the rest complete, and only then does the
-    catalog refresh."""
+    catalog refresh.
+
+    `quiesce=True` mirrors the snapshot coordinator: ALL the fleet's
+    WriterLeases are held for the sync window (sorted base-path
+    acquisition), so no maintenance lands between the per-store syncs
+    and the refreshed catalog's high-water marks are mutually
+    consistent — `skew` {} means the synced backup really is a
+    single-point fleet image, not just "each store at its own
+    moment"."""
     if not stores:
         raise ValueError("sync_everywhere: no stores given")
     root = dest_root.rstrip("/")
@@ -251,17 +259,37 @@ def sync_everywhere(dest_root: str, *stores) -> dict:
         )
     receipts = dict(catalog["stores"])
     shipped: dict = {}
-    for store, name in stores:
-        receipt = store.sync_to(f"{root}/{name}")
+
+    def _one(store, name, locked: bool):
+        receipt = (
+            store._sync_locked(f"{root}/{name}")
+            if locked
+            else store.sync_to(f"{root}/{name}")
+        )
         receipts[name] = _store_receipt(store, name, receipt)
         shipped[name] = receipt.get(
             "batches_shipped",
             receipt.get("patches_shipped", receipt.get("shipped")),
         )
+
+    if quiesce:
+        from contextlib import ExitStack
+
+        from .lease import WriterLease
+
+        paths = sorted({store.base_path for store, _ in stores})
+        with ExitStack() as stack:
+            for p in paths:
+                stack.enter_context(WriterLease(stores[0][0].spark, p))
+            for store, name in stores:
+                _one(store, name, locked=True)
+    else:
+        for store, name in stores:
+            _one(store, name, locked=False)
     catalog = {
         "dest_root": root,
         "stores": receipts,
-        "quiesced": False,
+        "quiesced": bool(quiesce),
         "skew": _batch_skew(receipts),
     }
     probe._write_json(f"{root}/_catalog.json", catalog)

@@ -2824,6 +2824,76 @@ def store_fleet_backup_probe(spark, sf_dir):
 
 
 @register(
+    "store_fleet_sync_probe",
+    sql=_IVF_DUCK,
+    tags=("llm", "similarity", "ann", "ivf", "store", "snapshot", "fleet"),
+)
+def store_fleet_sync_probe(spark, sf_dir):
+    """QUIESCED INCREMENTAL FLEET BACKUP end-to-end — the nightly
+    shape of the DR story (round-12 verdict, next #2): a fleet
+    snapshot lands while the stores hold only the landed slice
+    (vec_id % 4 != 0); the crawl loop then delivers the delta slice as
+    batch 1 to BOTH batch stores; ONE `sync_everywhere(quiesce=True)`
+    call ships only the missing batch to each clone under the whole
+    fleet's WriterLeases and refreshes the catalog LAST with mutually
+    consistent high-water marks (skew {} asserted); the probe is
+    served from the RESTORED post-sync IVF clone and equals the
+    full-corpus oracle. The crashed-mid-fleet and partial-membership
+    refusals are pinned in tests/test_snapshot.py.
+
+    100 TB shape: per sync, O(missing batches) data + O(|tombstones|)
+    metadata per store, two catalog metadata writes; the quiesce
+    window costs ingest stall for the sync duration."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.takedown import (
+        restore_everywhere,
+        snapshot_everywhere,
+        sync_everywhere,
+    )
+    from ..streaming.embeddings import (
+        IvfAssignmentStore,
+        PqCodesStore,
+        ivf_assign,
+        ivf_centroids,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    cent = ivf_centroids(spark, sf_dir)
+    cb = pq_codebook(spark, sf_dir)
+    landed = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    ivf = IvfAssignmentStore(
+        spark, tempfile.mkdtemp(prefix=f"fsync_ivf_{_uuid.uuid4().hex[:8]}_")
+    )
+    ivf.bootstrap(ivf_assign(landed, cent))
+    pq = PqCodesStore(
+        spark, tempfile.mkdtemp(prefix=f"fsync_pq_{_uuid.uuid4().hex[:8]}_")
+    )
+    pq.bootstrap(pq_encode(landed, cb))
+    root = tempfile.mkdtemp(prefix=f"fsync_bk_{_uuid.uuid4().hex[:8]}_")
+    snapshot_everywhere(f"{root}/set", (ivf, "ivf"), (pq, "pq"))
+
+    ivf.append_batch(ivf_assign(delta, cent), 1)
+    pq.append_batch(pq_encode(delta, cb), 1)
+    catalog = sync_everywhere(
+        f"{root}/set", (ivf, "ivf"), (pq, "pq"), quiesce=True
+    )
+    if catalog["skew"] != {} or not catalog["quiesced"]:
+        raise RuntimeError(f"quiesced fleet sync reported skew: {catalog}")
+    restored = restore_everywhere(
+        spark,
+        f"{root}/set",
+        {"IvfAssignmentStore": IvfAssignmentStore, "PqCodesStore": PqCodesStore},
+        on_skew="raise",
+    )
+    return _ivf_view_topk(restored["ivf"].read(), emb)
+
+
+@register(
     "ivf_store_schema_evolution_probe",
     sql=f"""
     WITH {_NORM2_DUCK},

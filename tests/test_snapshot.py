@@ -1093,3 +1093,44 @@ def test_sync_everywhere_updates_fleet_and_catalog_last(spark, tmp_path):
         sync_everywhere(root, (ivf, "rogue_name"), (pq, "pq"))
     with pytest.raises(RuntimeError, match="were not passed"):
         sync_everywhere(root, (ivf, "ivf"))
+
+
+def test_sync_everywhere_quiesced_marks_are_consistent(spark, tmp_path):
+    """quiesce=True on the fleet SYNC mirrors the snapshot
+    coordinator: all fleet leases held for the window (completion
+    itself proves _sync_locked is used — sync_to's own lease take
+    would deadlock), refreshed marks mutually consistent, skew {}."""
+    from chchfr_data_collection_spark.operators.takedown import (
+        sync_everywhere,
+    )
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        PqCodesStore,
+        pq_codebook,
+        pq_encode,
+    )
+
+    ivf, pq = _two_batch_stores(spark, tmp_path, skewed=False)
+    root = str(tmp_path / "backup")
+    snapshot_everywhere(root, (ivf, "ivf"), (pq, "pq"))
+
+    cent = ivf_centroids(spark, SF_DIR)
+    cb = pq_codebook(spark, SF_DIR)
+    extra = _emb(spark).filter(F.col("vec_id") < 8)
+    ivf.append_batch(
+        ivf_assign(extra, cent).withColumn("vec_id", F.col("vec_id") + 800000),
+        2,
+    )
+    pq.append_batch(
+        pq_encode(extra, cb).withColumn("vec_id", F.col("vec_id") + 800000),
+        2,
+    )
+    receipt = sync_everywhere(root, (ivf, "ivf"), (pq, "pq"), quiesce=True)
+    assert receipt["quiesced"] is True
+    assert receipt["skew"] == {}
+    assert receipt["shipped"] == {"ivf": [2], "pq": [2]}
+    catalog = ivf._read_json(f"{root}/_catalog.json")
+    assert catalog["stores"]["ivf"]["high_water"]["value"] == 2
+    assert catalog["stores"]["pq"]["high_water"]["value"] == 2
+    assert _ivf_rows(
+        IvfAssignmentStore(spark, f"{root}/ivf").read()
+    ) == _ivf_rows(ivf.read())
