@@ -131,6 +131,7 @@ HEADLINE = [
     "similarity_ivf_store_compacted_probe",
     "similarity_ivf_store_retrain_full",
     "store_fleet_backup_probe",
+    "store_fleet_sync_probe",
     "ivf_store_schema_evolution_probe",
 ]
 

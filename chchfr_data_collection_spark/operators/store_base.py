@@ -376,6 +376,10 @@ class BatchAppendStore(StoreKernel):
         # additive schema evolution (round-12 verdict, next #4): when
         # present, this sidecar supersedes the class DATA_SCHEMA
         self.schema_sidecar_path = f"{self.base_path}/_schema_evolved.json"
+        # retention (round 13): batches below this ledger's `before`
+        # were expired — dropped from serving wholesale, their
+        # redeliveries refused, as-of points below the floor refused
+        self.expired_ledger_path = f"{self.base_path}/_expired.json"
 
     def data_schema(self):
         """The store's CURRENT pinned schema: the class DATA_SCHEMA
@@ -541,7 +545,16 @@ class BatchAppendStore(StoreKernel):
         future purge's tombstone clearing, forever, for a batch no
         redelivery will ever complete (round-13 self-review, high)."""
         led = self._read_json(self.folded_ledger_path)
-        if led is None or int(bid) not in set(led["batches"]):
+        retired = set(led["batches"]) if led is not None else set()
+        exp = self._read_json(self.expired_ledger_path)
+        if exp is not None:
+            # an expired batch's redelivery is the same event with the
+            # opposite data story: the rows were deliberately dropped
+            # by retention, so re-landing them would resurrect expired
+            # data under a retired batch_id
+            if int(bid) < int(exp["before"]):
+                retired.add(int(bid))
+        if int(bid) not in retired:
             return False
         self._delete_batch_partitions(int(bid))
         self._unmark_landed(self.intent_path, str(int(bid)))
@@ -589,7 +602,7 @@ class BatchAppendStore(StoreKernel):
         for p in (self.data_path, self.landed_path, self.intent_path,
                   self.deleted_path, self.folded_ledger_path,
                   self.compact_intent_path, self.compact_commit_path,
-                  self.schema_sidecar_path,
+                  self.schema_sidecar_path, self.expired_ledger_path,
                   *self._bootstrap_extra_paths()):
             fs.delete(HPath(p), True)
         self._deleted_cache = _UNSET
@@ -671,6 +684,15 @@ class BatchAppendStore(StoreKernel):
             if commit is not None:
                 cu = int(commit["upto"])
                 upto = cu if upto is None else max(upto, cu)
+            exp = self._read_json(self.expired_ledger_path)
+            if exp is not None and int(as_of_batch) < int(exp["before"]):
+                raise ValueError(
+                    f"read(as_of_batch={as_of_batch}): batches below "
+                    f"{exp['before']} were expired by retention on "
+                    f"{self.base_path} — that historical point no "
+                    "longer exists. Earliest readable point: "
+                    f"{exp['before']}."
+                )
             if upto is not None and int(as_of_batch) < upto:
                 raise ValueError(
                     f"read(as_of_batch={as_of_batch}): batches up to "
@@ -712,10 +734,13 @@ class BatchAppendStore(StoreKernel):
 
     def _recover(self) -> None:
         """Called under the lease at the top of every maintenance op:
-        finish or undo a retrain or compact a previous call died
-        inside of."""
+        finish or undo a retrain, compact, or expiry a previous call
+        died inside of (fold recovery runs before expiry — an expiry
+        boundary above the fold must see the rolled-forward
+        generation)."""
         self._recover_retrain()
         self._recover_compact()
+        self._apply_expiry()
 
     def _recover_retrain(self) -> None:
         """Commit manifest present => the staged data verified before
@@ -1032,6 +1057,131 @@ class BatchAppendStore(StoreKernel):
                 "leaf_partitions_after": len(self._batch_leaf_dirs([gen])),
             }
 
+    # -- retention / expiry (round 13) ----------------------------------------
+
+    def _expire_one(self, v: int) -> None:
+        """Drop one landed partition value with READ-ATOMIC visibility:
+        marking intent while the landed marker still stands changes
+        nothing (both present = committed); removing the landed marker
+        then flips the batch to intent-without-landed — invisible to
+        every read in one metadata op — after which the partition
+        deletes and the intent cleanup can crash anywhere and re-run."""
+        self._mark_landed(self.intent_path, str(int(v)))
+        self._unmark_landed(self.landed_path, str(int(v)))
+        self._delete_batch_partitions(int(v))
+        self._unmark_landed(self.intent_path, str(int(v)))
+
+    def _expiry_covers(self, v: int, before: int, upto) -> bool:
+        """Does the retention floor `before` expire landed value `v`?
+        Real ids compare directly; the generation (negative) is covered
+        only when the WHOLE folded prefix is below the floor."""
+        if v >= 0:
+            return v < before
+        return upto is not None and int(upto) < before
+
+    def _apply_expiry(self) -> list:
+        """Idempotently finish the expiry the ledger prescribes (also
+        the crash-recovery path): drop every landed value the floor
+        covers, then sweep stale intents of covered ids — a crashed
+        `_expire_one` between its partition delete and intent cleanup,
+        or a crashed append whose redelivery the ledger now refuses,
+        would otherwise defer every future purge forever."""
+        exp = self._read_json(self.expired_ledger_path)
+        if exp is None:
+            return []
+        before = int(exp["before"])
+        led = self._read_json(self.folded_ledger_path)
+        upto = led["upto"] if led is not None else None
+        expired = []
+        for v in self._landed_batch_values():
+            if self._expiry_covers(v, before, upto):
+                self._expire_one(v)
+                expired.append(v)
+        landed = self._landed_ids(self.landed_path)
+        for name in sorted(self._landed_ids(self.intent_path)):
+            if name in landed:
+                continue
+            try:
+                v = int(name)
+            except ValueError:
+                continue
+            if self._expiry_covers(v, before, upto):
+                self._delete_batch_partitions(v)
+                self._unmark_landed(self.intent_path, name)
+        return expired
+
+    def expire(self, before_batch: int) -> dict:
+        """RETENTION: drop every committed batch below `before_batch`
+        from the store — the rolling-window lifecycle op (a crawl
+        pipeline that keeps the last N days of batches; distinct from
+        `forget()`, which erases IDs for compliance, and from
+        `compact()`, which preserves every row). Whole-partition
+        deletes only: O(cells x expired batches) metadata ops, zero
+        data rewritten, each batch disappearing from reads atomically
+        (one marker flip — see `_expire_one`).
+
+        Contracts, aligned with the rest of the lifecycle:
+
+        - The `_expired.json` ledger lands FIRST: from that moment a
+          redelivery of an expired batch is recognized and dropped
+          (`_drop_if_folded` — resurrecting expired data under a
+          retired batch_id is the failure mode), and as-of reads below
+          the retention floor refuse loudly (the VACUUM idiom; points
+          at or above the floor serve the RETAINED corpus, like every
+          read serves the current tombstones).
+        - A crash mid-expiry leaves fully-committed-or-invisible
+          batches only; the ledger makes recovery automatic — any
+          maintenance call (or a retried expire()) finishes the
+          remainder (`_apply_expiry` via `_recover`).
+        - A boundary INSIDE a folded generation refuses (the fold
+          collapsed those batches into one partition set; expiring
+          part of it would require rewriting it — pick a boundary
+          above the fold's `upto`, which drops the whole generation,
+          or don't fold batches you intend to expire separately).
+        - Expiring EVERYTHING refuses (retention keeps at least the
+          newest committed batch; `bootstrap()` is the restart path).
+        - Snapshots carry the ledger (clones refuse the same
+          redeliveries and as-of points); a clone still holding
+          batches the source expired refuses to sync — expire the
+          clone to the same boundary first, or take a fresh snapshot.
+
+        Returns {"expired": [values dropped now], "before": floor};
+        raising the floor is idempotent-by-monotonicity (a lower or
+        equal boundary is a no-op reporting the standing floor)."""
+        from .lease import WriterLease
+
+        before = int(before_batch)
+        with WriterLease(self.spark, self.base_path):
+            self._recover()
+            vals = self._landed_batch_values()
+            led = self._read_json(self.folded_ledger_path)
+            upto = int(led["upto"]) if led is not None else None
+            exp = self._read_json(self.expired_ledger_path)
+            prior = int(exp["before"]) if exp is not None else None
+            if prior is not None and before <= prior:
+                return {"expired": [], "before": prior}
+            if any(v < 0 for v in vals) and upto is not None and before <= upto:
+                raise ValueError(
+                    f"expire(before_batch={before}): batches up to "
+                    f"{upto} are folded into one generation on "
+                    f"{self.base_path} — a retention boundary inside "
+                    "the fold would require rewriting it. Expire at "
+                    f">= {upto + 1} (drops the whole generation)."
+                )
+            if not any(v >= before for v in vals if v >= 0) and not any(
+                v < 0 and not self._expiry_covers(v, before, upto)
+                for v in vals
+            ):
+                raise ValueError(
+                    f"expire(before_batch={before}) would empty the "
+                    f"store at {self.base_path} — retention keeps at "
+                    "least the newest committed batch; bootstrap anew "
+                    "to restart the corpus."
+                )
+            self._write_json(self.expired_ledger_path, {"before": before})
+            expired = self._apply_expiry()
+            return {"expired": expired, "before": before}
+
     def snapshot_to(self, dest_path: str) -> dict:
         """Export a consistent, compliance-clean CLONE of the store to
         a fresh path — the disaster-recovery / fork surface on the
@@ -1154,6 +1304,11 @@ class BatchAppendStore(StoreKernel):
         sch = self._read_json(self.schema_sidecar_path)
         if sch is not None:
             clone._write_json(clone.schema_sidecar_path, sch)
+        # the retention floor travels: the clone refuses the same
+        # expired redeliveries and as-of points as the source
+        exp = self._read_json(self.expired_ledger_path)
+        if exp is not None:
+            clone._write_json(clone.expired_ledger_path, exp)
         for b in hist:
             clone._mark_landed(clone.landed_path, str(b))
             clone._unmark_landed(clone.intent_path, str(b))
@@ -1277,9 +1432,12 @@ class BatchAppendStore(StoreKernel):
                 f"sync_to(): {dest} holds committed batches "
                 f"{foreign} the source {self.base_path} never "
                 "landed — the clone diverged (clones are forks once "
-                "appended to), or a compact() on either side folded "
-                "that history into a generation the other lacks. "
-                "Refusing to merge histories; take a fresh snapshot."
+                "appended to), a compact() on either side folded "
+                "that history into a generation the other lacks, or "
+                "a source expire() dropped batches the clone still "
+                "holds. Refusing to merge histories; take a fresh "
+                "snapshot (or expire the clone to the source's "
+                "boundary first)."
             )
         # geometry-generation gate: a retrain on EITHER side since
         # the last export migrated every landed row to a new

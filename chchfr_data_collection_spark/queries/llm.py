@@ -2824,6 +2824,55 @@ def store_fleet_backup_probe(spark, sf_dir):
 
 
 @register(
+    "ivf_store_retention_probe",
+    sql=_ivf_duck_forget("c.vec_id >= 400"),
+    tags=("llm", "similarity", "ann", "ivf", "store", "retention"),
+)
+def ivf_store_retention_probe(spark, sf_dir):
+    """RETENTION on the batch store — the rolling-window lifecycle op
+    (round 13, beyond the verdict list): a crawl pipeline that keeps
+    the last N days of batches expires the old ones wholesale.
+    `expire(before_batch)` drops every committed batch below the
+    boundary by WHOLE-PARTITION deletes (O(cells x expired batches)
+    metadata ops, zero data rewritten), each batch disappearing from
+    reads atomically via one marker flip; the `_expired.json` ledger
+    lands first, so redeliveries of expired batches are recognized and
+    dropped and as-of reads below the retention floor refuse loudly
+    (the VACUUM idiom). Distinct from forget() (ID-level compliance
+    erasure) and compact() (row-preserving fold); crash recovery,
+    fold-boundary and empty-store refusals, and snapshot/sync travel
+    are pinned in tests/test_batch_stores.py.
+
+    This entry: the old slice (vec_id >= 400) lands as batch 0, the
+    current slice as batch 1, expire(1) retires batch 0, and the ANN
+    probe served from the retained store equals the reduced-corpus
+    oracle (assignment is per-row, so the retained view IS the
+    full-corpus assignment restricted to retained candidates)."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..streaming.embeddings import (
+        IvfAssignmentStore,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    cent = ivf_centroids(spark, sf_dir)
+    store = IvfAssignmentStore(
+        spark, tempfile.mkdtemp(prefix=f"ivf_ret_{_uuid.uuid4().hex[:8]}_")
+    )
+    store.bootstrap(ivf_assign(emb.filter(F.col("vec_id") >= 400), cent))
+    store.append_batch(
+        ivf_assign(emb.filter(F.col("vec_id") < 400), cent), 1
+    )
+    receipt = store.expire(1)
+    if receipt["expired"] != [0]:
+        raise RuntimeError(f"expire did not retire batch 0: {receipt}")
+    return _ivf_view_topk(store.read(), emb)
+
+
+@register(
     "store_fleet_sync_probe",
     sql=_IVF_DUCK,
     tags=("llm", "similarity", "ann", "ivf", "store", "snapshot", "fleet"),

@@ -1053,3 +1053,134 @@ def test_retrain_recovers_pending_fold_first(spark, tmp_path):
     assert {r.vec_id for r in store.read().collect()} == want_ids
     assert store._landed_batch_values() == [-1]
     assert store.centroids() is not None
+
+
+# -- retention / expiry (round 13) -------------------------------------------
+
+
+def test_expire_drops_batches_atomically_and_gates_redelivery(
+    spark, tmp_path
+):
+    store, cent = _ivf3(spark, tmp_path)
+    want2 = _ivf_rows(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 400), cent)
+    )
+
+    receipt = store.expire(2)
+    assert receipt == {"expired": [0, 1], "before": 2}
+    assert store.history() == [2]
+    assert _ivf_rows(store.read()) == want2
+    # bytes gone, not just masked
+    raw = spark.read.parquet(store.data_path)
+    assert raw.filter(F.col("batch_id") < 2).count() == 0
+    # a fresh instance agrees
+    assert _ivf_rows(IvfAssignmentStore(spark, store.base_path).read()) == want2
+
+    # redelivery of an expired batch is recognized and dropped
+    store.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") < 200), cent), 0
+    )
+    assert _ivf_rows(store.read()) == want2
+    assert store._landed_batch_values() == [2]
+
+    # as-of points below the retention floor refuse; at/above serve
+    for b in (0, 1):
+        with pytest.raises(ValueError, match="expired by retention"):
+            store.read(as_of_batch=b)
+    assert _ivf_rows(store.read(as_of_batch=2)) == want2
+
+    # raising the floor is monotone; lowering is a no-op
+    assert store.expire(1) == {"expired": [], "before": 2}
+
+
+def test_expire_fold_boundary_and_empty_refusals(spark, tmp_path):
+    store, cent = _ivf3(spark, tmp_path)
+    store.compact()  # folds [0,1,2] -> gen, upto 2
+
+    with pytest.raises(ValueError, match="inside"):
+        store.expire(2)  # boundary inside the fold
+    with pytest.raises(ValueError, match="empty the"):
+        store.expire(3)  # would drop the generation and retain nothing
+
+    extra = ivf_assign(_emb(spark).filter(F.col("vec_id") < 5), cent).withColumn(
+        "vec_id", F.col("vec_id") + 700000
+    )
+    store.append_batch(extra, 3)
+    receipt = store.expire(3)  # drops the whole generation, keeps batch 3
+    assert receipt["expired"] == [-1]
+    assert store.history() == [3]
+    got = _ivf_rows(store.read())
+    assert got == _ivf_rows(extra)
+    # folded redelivery still dropped (the fold ledger outlives the gen)
+    store.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") < 200), cent), 1
+    )
+    assert _ivf_rows(store.read()) == got
+
+
+def test_expire_crash_midway_recovers(spark, tmp_path):
+    store, cent = _ivf3(spark, tmp_path)
+    want2 = _ivf_rows(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 400), cent)
+    )
+    real = IvfAssignmentStore._delete_batch_partitions
+    calls = {"n": 0}
+
+    def boom(self, bid):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("crash mid-expiry")
+        real(self, bid)
+
+    IvfAssignmentStore._delete_batch_partitions = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash mid-expiry"):
+            store.expire(2)
+    finally:
+        IvfAssignmentStore._delete_batch_partitions = real
+    # the ledger landed; the crashed batch is already invisible (its
+    # landed marker was flipped before the delete) and batch 1 still
+    # serves committed — reads never see a partial batch
+    served = _ivf_rows(store.read())
+    assert served == _ivf_rows(
+        ivf_assign(
+            _emb(spark).filter(
+                (F.col("vec_id") >= 200) & (F.col("vec_id") < 400)
+            ),
+            cent,
+        )
+    ) | want2
+
+    # any maintenance call finishes the expiry
+    store.purge_forgotten()
+    assert store.history() == [2]
+    assert _ivf_rows(store.read()) == want2
+    assert store._landed_ids(store.intent_path) == set()
+
+
+def test_expire_travels_with_snapshot_and_gates_sync(spark, tmp_path):
+    store, cent = _ivf3(spark, tmp_path)
+    dest_pre = str(tmp_path / "clone_pre")
+    store.snapshot_to(dest_pre)
+
+    store.expire(2)
+    # the pre-expiry clone can no longer sync; the remedy is named
+    with pytest.raises(RuntimeError, match="expire the clone"):
+        store.sync_to(dest_pre)
+    # expire the clone to the source's boundary, then sync works
+    IvfAssignmentStore(spark, dest_pre).expire(2)
+    assert store.sync_to(dest_pre)["batches_shipped"] == []
+    assert _ivf_rows(IvfAssignmentStore(spark, dest_pre).read()) == _ivf_rows(
+        store.read()
+    )
+
+    # a post-expiry snapshot carries the floor outright
+    dest = str(tmp_path / "clone_post")
+    store.snapshot_to(dest)
+    clone = IvfAssignmentStore(spark, dest)
+    with pytest.raises(ValueError, match="expired by retention"):
+        clone.read(as_of_batch=0)
+    clone.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") < 200), cent), 0
+    )
+    assert _ivf_rows(clone.read()) == _ivf_rows(store.read())

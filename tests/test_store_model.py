@@ -105,6 +105,7 @@ _op_st = st.one_of(
     st.tuples(st.just("forget"), st.integers(0, 2), _ids_st),
     st.tuples(st.just("purge")),
     st.tuples(st.just("compact")),
+    st.tuples(st.just("expire"), st.integers(0, 5)),
 )
 
 _dirs = itertools.count()
@@ -135,6 +136,7 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
     tombstones: dict[str, set] = {}  # forget_id -> ids
     folded: set = set()              # real bids consumed by a compact
     upto: list = [None]              # highest real bid ever folded
+    floor: list = [None]             # retention floor (expired below)
 
     def tomb_ids() -> set:
         return set().union(*tombstones.values()) if tombstones else set()
@@ -187,9 +189,10 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
             reals = sorted(set(original) - set(crashed))
             bid = reals[op[1] % len(reals)]
             store.append_batch(_df(spark, original[bid]), bid)
-            if bid not in folded:
-                # a folded bid's redelivery is DROPPED by the ledger —
-                # the model changes nothing; an unfolded one replaces
+            if bid not in folded and (floor[0] is None or bid >= floor[0]):
+                # a folded or expired bid's redelivery is DROPPED by
+                # the ledgers — the model changes nothing; a live one
+                # replaces
                 committed[bid] = set(original[bid])
         elif kind == "forget":
             fid = f"f{op[1]}"
@@ -234,6 +237,34 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
                 )
                 committed.clear()
                 committed[gen] = merged
+        elif kind == "expire":
+            reals = sorted(v for v in committed if v >= 0)
+            cand = (
+                reals[op[1] % len(reals)] if reals
+                else (upto[0] + 1 if upto[0] is not None else 0)
+            )
+            gen_present = any(v < 0 for v in committed)
+            covered = [
+                v for v in committed
+                if (v >= 0 and v < cand)
+                or (v < 0 and upto[0] is not None and upto[0] < cand)
+            ]
+            if floor[0] is not None and cand <= floor[0]:
+                assert store.expire(cand) == {
+                    "expired": [], "before": floor[0],
+                }
+            elif gen_present and upto[0] is not None and cand <= upto[0]:
+                with pytest.raises(ValueError, match="inside"):
+                    store.expire(cand)
+            elif len(covered) == len(committed):
+                with pytest.raises(ValueError, match="empty the"):
+                    store.expire(cand)
+            else:
+                receipt = store.expire(cand)
+                assert sorted(receipt["expired"]) == sorted(covered)
+                for v in covered:
+                    del committed[v]
+                floor[0] = cand
         # the serving view equals the model after EVERY operation
         assert _read_set(store) == expected(), f"after {op}"
         assert store.history() == model_history()
