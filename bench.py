@@ -133,6 +133,7 @@ HEADLINE = [
     "store_fleet_backup_probe",
     "store_fleet_sync_probe",
     "ivf_store_schema_evolution_probe",
+    "ivf_store_retention_probe",
 ]
 
 
