@@ -174,12 +174,28 @@ class ComponentStore(StoreKernel):
             )
 
     def _read_schema(self):
+        """The pinned read schema from the `_schema.json` sidecar —
+        cached per instance, freshness-checked per call against the
+        sidecar file's (mtime, size): a REBOOTSTRAP through another
+        handle rewrites it, and a long-lived reader must not read the
+        new corpus under the old pinned node type (round-14 cache
+        audit, the `_deleted_seq` discipline at one getFileStatus per
+        call). A (None, schema) entry is the in-flight bootstrap's own
+        priming — the sidecar is written LAST, after the patch that
+        needs the schema."""
         from pyspark.sql.types import StructType
 
-        if self._schema is None:
-            self._require_bootstrapped()
-            self._schema = StructType.fromJson(self._read_json(self.schema_path))
-        return self._schema
+        if self._schema is not None and self._schema[0] is None:
+            return self._schema[1]
+        self._require_bootstrapped()
+        fs, HPath = self._fs()
+        st = fs.getFileStatus(HPath(self.schema_path))
+        stamp = (int(st.getModificationTime()), int(st.getLen()))
+        if self._schema is not None and self._schema[0] == stamp:
+            return self._schema[1]
+        schema = StructType.fromJson(self._read_json(self.schema_path))
+        self._schema = (stamp, schema)
+        return schema
 
     # -- tombstones (right-to-be-forgotten) ----------------------------------
 
@@ -319,6 +335,7 @@ class ComponentStore(StoreKernel):
             self.landed_path,
             self.intent_path,
             self.deleted_path,
+            self.deleted_seq_path,
         ):
             fs.delete(HPath(p), True)
         self._schema = None
@@ -333,9 +350,10 @@ class ComponentStore(StoreKernel):
                 StructField("seq", StringType()),
             ]
         )
-        self._schema = schema
+        self._schema = (None, schema)  # in-flight bootstrap priming
         self._land_patch(labels, "bootstrap")
         self._write_json(self.schema_path, schema.jsonValue())
+        self._schema = None  # re-stamp from disk on next read
 
     def apply_pairs(
         self, delta_pairs: DataFrame, delta_id: str, src: str = "da", dst: str = "db"

@@ -396,25 +396,34 @@ class MinHashIndex(StoreKernel):
 
     def _rel_schema(self, rel: str):
         """The pinned read schema of postings/ or arrays/, from the
-        bootstrap-written sidecar (cached per instance). Pinning buys
-        two things: no per-read footer inference, and a relation whose
+        bootstrap-written sidecar (cached per instance, freshness-
+        checked per call against the sidecar file's (mtime, size) — a
+        REBOOTSTRAP through another handle rewrites the sidecar, and a
+        long-lived reader must not read the new corpus under the old
+        pinned schema; round-14 cache audit, the `_deleted_seq`
+        discipline at one getFileStatus per call). Pinning buys two
+        things: no per-read footer inference, and a relation whose
         every row was purged (no data files left) reads as EMPTY
         instead of failing with unable-to-infer-schema (round-10
         ADVICE, low #2)."""
         from pyspark.sql.types import StructType
 
-        cached = self._schemas.get(rel)
-        if cached is not None:
-            return cached
-        obj = self._read_json(self.schema_paths[rel])
-        if obj is None:
+        fs, HPath = self._fs()
+        p = HPath(self.schema_paths[rel])
+        if not fs.exists(p):
             raise RuntimeError(
                 f"MinHash index at {self.base_path} is missing its "
                 f"_schema_{rel}.json sidecar (format v{MH_FORMAT_VERSION} "
                 "writes it at bootstrap). Rebootstrap required."
             )
+        st = fs.getFileStatus(p)
+        stamp = (int(st.getModificationTime()), int(st.getLen()))
+        cached = self._schemas.get(rel)
+        if cached is not None and cached[0] == stamp:
+            return cached[1]
+        obj = self._read_json(self.schema_paths[rel])
         schema = StructType.fromJson(obj)
-        self._schemas[rel] = schema
+        self._schemas[rel] = (stamp, schema)
         return schema
 
     def _write_schema_sidecars(self, sigs: DataFrame) -> None:
@@ -434,7 +443,8 @@ class MinHashIndex(StoreKernel):
         )
         self._write_json(self.schema_paths["arrays"], arrays.jsonValue())
         self._write_json(self.schema_paths["postings"], postings.jsonValue())
-        self._schemas = {"arrays": arrays, "postings": postings}
+        # re-stamp from disk on next read (the freshness discipline)
+        self._schemas = {}
 
     def _read_relation(self, rel: str) -> DataFrame:
         """Fold-consistent, schema-pinned read of postings/ or arrays/:
@@ -529,7 +539,9 @@ class MinHashIndex(StoreKernel):
         fs.delete(HPath(self.fold_intent_path), False)
         fs.delete(HPath(self.fold_commit_path), False)
         # a new store serves a new corpus: previous tombstones go too
+        # (stamp deletion announces the change to other handles)
         fs.delete(HPath(self.deleted_path), True)
+        fs.delete(HPath(self.deleted_seq_path), False)
         self._deleted_cache = _UNSET
         for p in self.schema_paths.values():
             fs.delete(HPath(p), False)

@@ -291,8 +291,10 @@ class IvfAssignmentStore(BatchAppendStore):
         or purge_forgotten() rolls the swap forward. Refuses to run
         while an append is in flight (intent without marker): its rows
         would keep the OLD geometry and the index would serve two
-        inconsistent generations. Returns {iterations, rows,
-        cells_before, cells_after}."""
+        inconsistent generations. Columns added by evolve_schema()
+        travel through the migration (joined back by (vec_id,
+        batch_id) row identity — round-13 ADVICE, high). Returns
+        {iterations, rows, cells_before, cells_after}."""
         from ..operators.lease import WriterLease
 
         with WriterLease(self.spark, self.base_path):
@@ -303,14 +305,14 @@ class IvfAssignmentStore(BatchAppendStore):
             self._recover()
             self._deleted_cache = _UNSET  # re-list under the lease
             self._require_no_inflight_appends("retrain()")
-            serving = self.read().select("vec_id", "batch_id")
+            serving = self.read()
             vecs = (
                 embeddings.select(
                     "vec_id",
                     V.quantize("embedding").alias("qv"),
                     V.dot_exact("embedding", "embedding").alias("n2"),
                 )
-                .join(serving, "vec_id")
+                .join(serving.select("vec_id", "batch_id"), "vec_id")
                 .persist()
             )
             try:
@@ -327,6 +329,11 @@ class IvfAssignmentStore(BatchAppendStore):
                 )
                 rows = l2_assign(vecs, cent).select(
                     "vec_id", "cos_c", "cent_id", "batch_id"
+                )
+                # evolved columns travel: row identity on this layout
+                # is (vec_id, batch_id) — see _carry_evolved
+                rows = self._carry_evolved(
+                    rows, serving, ("vec_id", "batch_id")
                 )
 
                 def _stage_cent(tmp: str) -> None:
@@ -733,7 +740,9 @@ class PqCodesStore(BatchAppendStore):
         persisted (codebook()) and picked up by the maintenance
         stream's appends, in-flight-append refusal, crash-before rolls
         back / crash-after rolls forward at the next maintenance call.
-        Returns {iterations, rows, vectors}."""
+        Columns added by evolve_schema() travel through the migration
+        (joined back by (vec_id, j, batch_id) row identity — round-13
+        ADVICE, high). Returns {iterations, rows, vectors}."""
         from ..operators.lease import WriterLease
 
         with WriterLease(self.spark, self.base_path):
@@ -760,6 +769,11 @@ class PqCodesStore(BatchAppendStore):
                     vecs.select("vec_id", "qv"), cb
                 ).join(vecs.select("vec_id", "batch_id"), "vec_id").select(
                     "vec_id", "j", "code", "batch_id"
+                )
+                # evolved columns travel: row identity on this layout
+                # is (vec_id, j, batch_id) — see _carry_evolved
+                rows = self._carry_evolved(
+                    rows, self.read(), ("vec_id", "j", "batch_id")
                 )
 
                 def _stage_cb(tmp: str) -> None:

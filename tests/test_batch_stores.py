@@ -651,6 +651,10 @@ def test_compact_drops_redelivered_folded_batch(spark, tmp_path):
 
 
 def test_second_compact_folds_prior_generation(spark, tmp_path):
+    """merge_ratio=0 is the round-13 fold-everything mode: the second
+    call consumes the standing generation too (one partition set
+    afterwards). The tiered default's behavior on the same store is
+    pinned by test_tiered_compact_* below."""
     store, cent = _ivf3(spark, tmp_path)
     store.compact()
     extra = ivf_assign(_emb(spark).filter(F.col("vec_id") < 5), cent).withColumn(
@@ -659,7 +663,7 @@ def test_second_compact_folds_prior_generation(spark, tmp_path):
     store.append_batch(extra, 3)
     want = _ivf_rows(store.read())
 
-    receipt = store.compact()
+    receipt = store.compact(merge_ratio=0)
     assert receipt["generation"] == -2
     assert sorted(receipt["folded"]) == [-1, 3]
     assert receipt["upto"] == 3

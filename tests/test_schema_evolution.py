@@ -197,3 +197,76 @@ def test_bootstrap_resets_schema_generation(spark, tmp_path):
     )
     assert store.data_schema() == IvfAssignmentStore.DATA_SCHEMA
     assert "crawl_src" not in store.read().columns
+
+
+def test_retrain_carries_evolved_columns_ivf(spark, tmp_path):
+    """Round-13 ADVICE (high): retrain() rebuilds the base columns
+    from scratch, so a column added via evolve_schema() and populated
+    by producers must TRAVEL through the migration (joined back by
+    (vec_id, batch_id) row identity) — not silently null-fill past the
+    count-only verify."""
+    store, cent = _store(spark, tmp_path)
+    store.evolve_schema(EVOLVED)
+    store.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") >= 300), cent)
+        .withColumn("crawl_src", F.lit("cc-2026-08")),
+        1,
+    )
+    want = {
+        (r.vec_id, r.batch_id, r.crawl_src) for r in store.read().collect()
+    }
+    assert any(src is not None for _, _, src in want)
+
+    store.retrain(_emb(spark), 2)
+    got = {
+        (r.vec_id, r.batch_id, r.crawl_src) for r in store.read().collect()
+    }
+    assert got == want, (
+        "evolved-column values must survive the retrain migration"
+    )
+    # lifecycle still composes after the carried migration
+    assert "crawl_src" in store.read(as_of_batch=1).columns
+    fresh = IvfAssignmentStore(spark, store.base_path)
+    assert {
+        (r.vec_id, r.batch_id, r.crawl_src) for r in fresh.read().collect()
+    } == want
+
+
+def test_retrain_carries_evolved_columns_pq(spark, tmp_path):
+    """Same contract on the PQ store: row identity there is
+    (vec_id, j, batch_id)."""
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        PqCodesStore,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = _emb(spark)
+    store = PqCodesStore(spark, str(tmp_path / "pq"))
+    store.bootstrap(
+        pq_encode(emb.filter(F.col("vec_id") < 300),
+                  pq_codebook(spark, SF_DIR))
+    )
+    evolved = T.StructType(
+        list(PqCodesStore.DATA_SCHEMA.fields)
+        + [T.StructField("license", T.StringType(), True)]
+    )
+    store.evolve_schema(evolved)
+    store.append_batch(
+        pq_encode(emb.filter(F.col("vec_id") >= 300),
+                  pq_codebook(spark, SF_DIR))
+        .withColumn("license", F.lit("ccby")),
+        1,
+    )
+    want = {
+        (r.vec_id, r.j, r.batch_id, r.license)
+        for r in store.read().collect()
+    }
+    assert any(t[3] is not None for t in want)
+
+    store.retrain(emb, 2)
+    got = {
+        (r.vec_id, r.j, r.batch_id, r.license)
+        for r in store.read().collect()
+    }
+    assert got == want

@@ -29,7 +29,7 @@ from __future__ import annotations
 import itertools
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import types as T
@@ -105,6 +105,7 @@ _op_st = st.one_of(
     st.tuples(st.just("forget"), st.integers(0, 2), _ids_st),
     st.tuples(st.just("purge")),
     st.tuples(st.just("compact")),
+    st.tuples(st.just("compact_bounded"), st.integers(0, 5)),
     st.tuples(st.just("expire"), st.integers(0, 5)),
 )
 
@@ -135,6 +136,7 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
     crashed: dict[int, set] = {}     # bid -> rows on disk, intent only
     tombstones: dict[str, set] = {}  # forget_id -> ids
     folded: set = set()              # real bids consumed by a compact
+    gen_batches: dict[int, set] = {}  # gen value -> real bids it holds
     upto: list = [None]              # highest real bid ever folded
     floor: list = [None]             # retention floor (expired below)
 
@@ -222,7 +224,9 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
                 assert receipt["rows_removed"] == 0
                 assert receipt["tombstones_cleared"] == []
         elif kind == "compact":
-            receipt = store.compact()
+            # merge_ratio=0 = "fold EVERYTHING into one generation" —
+            # the round-13 behavior, kept as the model-simple mode
+            receipt = store.compact(merge_ratio=0)
             vals = sorted(committed)
             if len(vals) < 2:
                 assert receipt["compacted"] is False
@@ -235,25 +239,61 @@ def test_store_matches_model_under_interleavings(spark, tmp_path, first, ops):
                 upto[0] = max(
                     reals + ([upto[0]] if upto[0] is not None else [])
                 )
+                gen_batches[gen] = set(reals).union(
+                    *(gen_batches[v] for v in vals if v < 0)
+                )
                 committed.clear()
                 committed[gen] = merged
+        elif kind == "compact_bounded":
+            # the round-14 tiered path: fold only reals <= the chosen
+            # boundary into a NEW generation, standing generations
+            # untouched (merge_ratio=None disables the size-tier walk)
+            reals_now = sorted(v for v in committed if v >= 0)
+            if not reals_now:
+                continue
+            bound = reals_now[op[1] % len(reals_now)]
+            receipt = store.compact(upto=bound, merge_ratio=None)
+            sources = [v for v in reals_now if v <= bound]
+            if len(sources) < 2:
+                assert receipt["compacted"] is False
+            else:
+                assert receipt["compacted"] is True
+                assert receipt["folded"] == sources
+                gen = receipt["generation"]
+                folded.update(sources)
+                upto[0] = max(
+                    sources + ([upto[0]] if upto[0] is not None else [])
+                )
+                gen_batches[gen] = set(sources)
+                committed[gen] = set().union(
+                    *(committed[v] for v in sources)
+                )
+                for v in sources:
+                    del committed[v]
         elif kind == "expire":
             reals = sorted(v for v in committed if v >= 0)
             cand = (
                 reals[op[1] % len(reals)] if reals
                 else (upto[0] + 1 if upto[0] is not None else 0)
             )
-            gen_present = any(v < 0 for v in committed)
-            covered = [
+
+            def _covers(v):
+                if v >= 0:
+                    return v < cand
+                return all(b < cand for b in gen_batches[v])
+
+            covered = [v for v in committed if _covers(v)]
+            split = [
                 v for v in committed
-                if (v >= 0 and v < cand)
-                or (v < 0 and upto[0] is not None and upto[0] < cand)
+                if v < 0
+                and any(b < cand for b in gen_batches[v])
+                and any(b >= cand for b in gen_batches[v])
             ]
             if floor[0] is not None and cand <= floor[0]:
                 assert store.expire(cand) == {
                     "expired": [], "before": floor[0],
                 }
-            elif gen_present and upto[0] is not None and cand <= upto[0]:
+            elif split:
                 with pytest.raises(ValueError, match="inside"):
                     store.expire(cand)
             elif len(covered) == len(committed):
@@ -312,6 +352,12 @@ _dr_op_st = st.one_of(
 
 @MODEL
 @given(first=_ids_st, ops=st.lists(_dr_op_st, max_size=6))
+# the round-13 falsifying example, pinned so the cross-handle
+# tombstone-staleness regression (round-13 verdict, wrong #1: the
+# model's long-lived clone handle kept serving a row sync_to's
+# INTERNAL handle had tombstoned) replays on every run, not only when
+# the hypothesis database carries it
+@example(first=[0], ops=[("snapshot",), ("forget", 0, [0]), ("sync",)])
 def test_snapshot_sync_match_model_under_interleavings(
     spark, tmp_path, first, ops
 ):
@@ -418,7 +464,7 @@ def test_snapshot_sync_match_model_under_interleavings(
                     }
                 clone_tombs.clear()
         elif kind == "compact":
-            receipt = store.compact()
+            receipt = store.compact(merge_ratio=0)
             if receipt["compacted"]:
                 gen = receipt["generation"]
                 merged = set().union(*committed.values())
