@@ -123,6 +123,10 @@ class ComponentStore(StoreKernel):
         self.landed_path = f"{self.base_path}/_landed"
         self.intent_path = f"{self.base_path}/_intent"
         self.schema_path = f"{self.base_path}/_schema.json"
+        # retention floor (round 14): patches with seq below the
+        # ledger's `before` were expired — labels(as_of) below it
+        # refuses, and maintenance calls sweep any leftovers
+        self.expired_ledger_path = f"{self.base_path}/_expired.json"
         self._schema = None
 
     # filesystem plumbing, tombstone cache, fingerprints: StoreKernel
@@ -260,6 +264,15 @@ class ComponentStore(StoreKernel):
         self._require_bootstrapped()
         df = self._assign_marked()
         if as_of_seq is not None:
+            exp = self._read_json(self.expired_ledger_path)
+            if exp is not None and int(as_of_seq) < int(exp["before"]):
+                raise ValueError(
+                    f"labels(as_of_seq={as_of_seq}): patches below seq "
+                    f"{exp['before']} were expired by retention on "
+                    f"{self.base_path} — that historical point no "
+                    "longer exists. Earliest readable point: "
+                    f"{exp['before']}."
+                )
             eligible = [s for s in self._marked() if s <= as_of_seq]
             if not eligible:
                 raise ValueError(
@@ -336,6 +349,7 @@ class ComponentStore(StoreKernel):
             self.intent_path,
             self.deleted_path,
             self.deleted_seq_path,
+            self.expired_ledger_path,
         ):
             fs.delete(HPath(p), True)
         self._schema = None
@@ -500,6 +514,105 @@ class ComponentStore(StoreKernel):
 
     # -- lifecycle -----------------------------------------------------------
 
+    def expire(self, before_seq: int) -> dict:
+        """RETENTION on the patch store (round-13 verdict, missing
+        #2 / next #4 — the batch-store `expire()` contract on the seq
+        layout): drop every committed patch partition with
+        seq < `before_seq`. Under last-writer-wins resolve this retires
+        exactly the nodes whose latest PATCH ROW predates the floor —
+        and a patch row means a label CHANGE or first appearance, not
+        a mere re-observation (patches hold only changed rows: a node
+        whose delta pairs confirmed its existing label wrote nothing
+        and ages out with its last change). The rolling-window
+        semantic on this layout is therefore "forget cluster
+        membership not re-DERIVED since"; pipelines needing
+        observation-based retention should route re-observations
+        through a fresh apply_pairs (a first-seen singleton row is a
+        patch row). Nodes patched at or above the floor keep their
+        current labels (their winning rows live in the retained
+        partitions); survivors' label VALUES may still name a retired
+        node: labels are values, not references (the purge contract,
+        unchanged).
+
+        Contracts, aligned with the fleet:
+
+        - The `_expired.json` ledger lands FIRST; each patch then
+          disappears read-atomically (marker removal is one metadata
+          op) before its partition deletes — a crash mid-expiry leaves
+          fully-served-or-invisible patches only, and every
+          maintenance call sweeps the remainder (`_apply_expiry`).
+        - `labels(as_of_seq)` below the floor refuses loudly (VACUUM
+          idiom); at/above it resolves the RETAINED partitions —
+          retention, like tombstones, applies to every read.
+        - Redeliveries cannot resurrect: `apply_pairs` always lands
+          under a FRESH seq above every reservation ever made
+          (`_max_seq` counts intents), so nothing can land below the
+          floor by construction — no drop gate needed.
+        - `compact()` re-lands the resolved view at the TOP seq, so a
+          fold resets every node's retention age to the fold point —
+          fold batches you intend to expire separately AFTER expiring,
+          or accept the reset (documented, the batch-store inside-fold
+          refusal has no analogue here because partitions are whole
+          seq units).
+        - Expiring everything refuses (keeps at least the newest
+          committed patch; `bootstrap()` is the restart path).
+        - Snapshots carry the ledger; a clone whose floor is AHEAD of
+          the source's refuses to sync (shipped patches below its
+          floor would resurrect retired rows).
+
+        Returns {"expired": [[seq, delta_id] dropped now], "before":
+        floor}; a lower-or-equal boundary is a no-op reporting the
+        standing floor."""
+        from .lease import WriterLease
+
+        self._require_bootstrapped()
+        before = int(before_seq)
+        with WriterLease(self.spark, self.base_path):
+            exp = self._read_json(self.expired_ledger_path)
+            prior = int(exp["before"]) if exp is not None else None
+            if prior is not None and before <= prior:
+                return {"expired": [], "before": prior}
+            marked = self._marked()
+            if not any(s >= before for s in marked):
+                raise ValueError(
+                    f"expire(before_seq={before}) would empty the "
+                    f"store at {self.base_path} — retention keeps at "
+                    "least the newest committed patch; bootstrap anew "
+                    "to restart the corpus."
+                )
+            self._write_json(self.expired_ledger_path, {"before": before})
+            return {"expired": self._apply_expiry(), "before": before}
+
+    def _apply_expiry(self) -> list:
+        """Idempotently finish the expiry the ledger prescribes (also
+        the crash-recovery path, run by every maintenance op): unmark
+        then delete every committed patch below the floor, then sweep
+        unmarked partition dirs below it (a crashed expiry between its
+        unmark and delete — or a crashed apply's orphan — must not
+        linger as unreadable bytes)."""
+        exp = self._read_json(self.expired_ledger_path)
+        if exp is None:
+            return []
+        before = int(exp["before"])
+        fs, HPath = self._fs()
+        out = []
+        for s, did in sorted(self._marked().items()):
+            if s < before:
+                self._unmark(s, did)
+                fs.delete(HPath(f"{self.assign_path}/seq={s:08d}"), True)
+                out.append([s, did])
+        if fs.exists(HPath(self.assign_path)):
+            for st in fs.listStatus(HPath(self.assign_path)):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith("seq="):
+                    try:
+                        s = int(name[4:])
+                    except ValueError:
+                        continue
+                    if s < before:
+                        fs.delete(st.getPath(), True)
+        return out
+
     def snapshot_to(self, dest_path: str) -> dict:
         """Export a consistent, compliance-clean CLONE of the store to
         a fresh path (the BatchAppendStore.snapshot_to contract on the
@@ -544,6 +657,7 @@ class ComponentStore(StoreKernel):
         self._require_fresh_dest(dest)
         clone = ComponentStore(self.spark, dest)
         self._deleted_cache = _UNSET  # re-list under the lease
+        self._apply_expiry()  # sweep a crashed expire() first
         marked = self._marked()
         fids = sorted(self._tombstone_fingerprints())
         rows = self._excl_deleted(self._assign_marked())
@@ -572,6 +686,11 @@ class ComponentStore(StoreKernel):
             )
         for seq, did in sorted(marked.items()):
             clone._mark(seq, did)
+        # the retention floor travels: the clone refuses the same
+        # as-of points and keeps the same earliest readable seq
+        exp = self._read_json(self.expired_ledger_path)
+        if exp is not None:
+            clone._write_json(clone.expired_ledger_path, exp)
         clone._write_json(
             clone.schema_path, self._read_schema().jsonValue()
         )
@@ -635,6 +754,26 @@ class ComponentStore(StoreKernel):
                 "into another store's clone would merge unrelated "
                 "corpora. Snapshot THIS store to a fresh path."
             )
+        self._apply_expiry()  # sweep a crashed expire() first
+        # retention-floor gate (the batch-store discipline): a clone
+        # whose floor is ahead would have patches below it re-shipped
+        # and re-served — resurrecting retired rows on the replica
+        src_exp = self._read_json(self.expired_ledger_path)
+        clone_exp = clone._read_json(clone.expired_ledger_path)
+        src_floor = int(src_exp["before"]) if src_exp is not None else None
+        clone_floor = (
+            int(clone_exp["before"]) if clone_exp is not None else None
+        )
+        if clone_floor is not None and (
+            src_floor is None or clone_floor > src_floor
+        ):
+            raise RuntimeError(
+                f"sync_to(): the clone at {dest} has a retention floor "
+                f"({clone_floor}) ahead of the source's ({src_floor}) "
+                "— patches the source still holds would resurrect on "
+                "the replica. Expire the source to the clone's "
+                "boundary first, or take a fresh snapshot."
+            )
         marked = self._marked()
         have = clone._marked()
         foreign = sorted(
@@ -644,8 +783,10 @@ class ComponentStore(StoreKernel):
             raise RuntimeError(
                 f"sync_to(): {dest} holds marked patches {foreign} "
                 f"the source {self.base_path} does not — the clone "
-                "diverged, or a source compact() folded that "
-                "history. Take a fresh snapshot."
+                "diverged, a source compact() folded that history "
+                "(fresh snapshot), or a source expire() retired it "
+                "(expire the clone to the source's floor, then "
+                "retry)."
             )
         missing = sorted(set(marked) - set(have))
         if missing:
@@ -662,6 +803,10 @@ class ComponentStore(StoreKernel):
             )
             for s in missing:
                 clone._mark(s, marked[s])
+        # the retention floor travels (the foreign gate above already
+        # proved the clone holds nothing below it)
+        if src_exp is not None:
+            clone._write_json(clone.expired_ledger_path, src_exp)
         fids = self._tombstone_fingerprints()
         for fid in sorted(fids):
             ids = self.spark.read.parquet(
@@ -721,6 +866,7 @@ class ComponentStore(StoreKernel):
             # write the forgotten rows into the gen partition and then
             # clear their tombstones: a false erasure.
             self._deleted_cache = _UNSET
+            self._apply_expiry()  # sweep a crashed expire() first
             # recover a compact() that crashed between its gen write and
             # its gen marker: the orphan is invisible to reads but would
             # defer purges forever. Only gen-* intents are wiped here —

@@ -73,6 +73,41 @@ def forget_everywhere(
     return done
 
 
+def expire_everywhere(*stores) -> dict:
+    """One coordinated RETENTION call, every serving index (round-13
+    verdict, next #4 — the lifecycle twin of `forget_everywhere` for
+    the rolling-window case: a crawl pipeline retiring batches older
+    than its window must retire them from EVERY store, or the fleet
+    serves a corpus no single store describes).
+
+    Each element of `stores` is a `(store, boundary)` pair; the
+    boundary is in THAT store's own retention coordinate — a batch id
+    for the batch stores (IVF/PQ `expire(before_batch)`), a list of
+    delta_ids (real or generation) for the MinHash index
+    (`expire(delta_ids)`), a patch seq for the ComponentStore
+    (`expire(before_seq)`) — kept at the call site, where the pipeline
+    that knows which crawl window maps to which coordinates lives
+    (the `forget_everywhere` mapper philosophy).
+
+    Sequential and fail-fast, like every fan-out here: a boundary that
+    lands in two stores and refuses on the third (inside-a-fold,
+    would-empty, floor regression) leaves a PARTIAL retention window
+    the caller retries with the same boundaries — every store's
+    expire() is idempotent-by-monotonicity (an already-applied
+    boundary is a no-op reporting the standing floor; MinHash reports
+    already-expired ids under "already"). Returns an audit dict keyed
+    by `"<StoreClass>@<base_path>"` with each store's receipt."""
+    done: dict = {}
+    for store, boundary in stores:
+        receipt = store.expire(boundary)
+        base = getattr(store, "base_path", None)
+        key = type(store).__name__ if base is None else (
+            f"{type(store).__name__}@{base}"
+        )
+        done[key] = receipt
+    return done
+
+
 def _require_unique_names(stores, what: str) -> None:
     names = [name for _, name in stores]
     if len(set(names)) != len(names):

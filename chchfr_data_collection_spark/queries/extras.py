@@ -867,6 +867,89 @@ def _cc_landed_oracle_sql() -> str:
     """
 
 
+def _cc_retention_oracle_sql() -> str:
+    # survivors of expire(<delta seq>) under last-writer-wins: exactly
+    # the nodes the delta apply PATCHED — first-seen delta nodes plus
+    # landed nodes whose component changed — labeled with the full
+    # (post-delta) components. Cross-engine statement: full CC minus
+    # the nodes whose landed-CC label is unchanged.
+    from .llm import _JACCARD_CAPPED_DUCK
+
+    return f"""
+    WITH RECURSIVE
+    jp AS ({_JACCARD_CAPPED_DUCK}),
+    edges AS (SELECT da AS u, db AS v FROM jp
+              UNION SELECT db AS u, da AS v FROM jp),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+    lp AS (SELECT da, db FROM jp WHERE da % 4 <> 0 AND db % 4 <> 0),
+    ledges AS (SELECT da AS u, db AS v FROM lp
+               UNION SELECT db AS u, da AS v FROM lp),
+    lreach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM ledges) t
+      UNION
+      SELECT r.u, e.v FROM lreach r JOIN ledges e ON e.u = r.v),
+    full_labels AS (
+      SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u),
+    landed_labels AS (
+      SELECT u AS node, MIN(v) AS component FROM lreach GROUP BY u)
+    SELECT f.node, f.component
+    FROM full_labels f
+    LEFT JOIN landed_labels l ON l.node = f.node
+    WHERE l.node IS NULL OR l.component <> f.component
+    """
+
+
+@register(
+    "dedup_cc_retention_probe",
+    sql=_cc_retention_oracle_sql(),
+    tags=("llm", "dedup", "iterative", "incremental", "store", "retention"),
+)
+def dedup_cc_retention_probe(spark, sf_dir):
+    """RETENTION on the persisted component store (round-13 verdict,
+    missing #2 / next #4 — the batch-store expire() contract on the
+    seq-keyed patch layout): `expire(before_seq)` drops whole
+    committed patch partitions below the floor — ledger first, each
+    patch retiring read-atomically (one marker removal), zero data
+    rewritten — so a rolling-window clustering corpus sheds its oldest
+    derivations without a rebootstrap. Under last-writer-wins this
+    retires exactly the nodes whose latest PATCH ROW (a label change
+    or first appearance) predates the floor; `labels(as_of_seq)` below
+    the floor refuses loudly. Crash recovery, floor monotonicity,
+    empty-store refusal, and the snapshot/sync floor gates are pinned
+    in tests/test_retention_parity.py.
+
+    This entry: bootstrap = batch CC over the LANDED pairs (both
+    endpoints doc_id % 4 != 0), the delta pairs fold in as patch 2,
+    expire(2) retires the bootstrap patch, and the surviving labels
+    equal the oracle's cross-engine statement — full CC restricted to
+    the nodes the delta actually patched (first-seen, or component
+    changed vs the landed state). Own store per invocation: expire
+    mutates, so the shared bootstrap fixture cannot serve here."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.component_store import ComponentStore
+    from .llm import dedup_ngram_jaccard
+
+    base = tempfile.mkdtemp(prefix=f"cc_ret_{_uuid.uuid4().hex[:8]}_")
+    store = ComponentStore(spark, base)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    store.bootstrap(
+        pairs.filter((F.col("da") % 4 != 0) & (F.col("db") % 4 != 0))
+    )
+    store.apply_pairs(
+        pairs.filter((F.col("da") % 4 == 0) | (F.col("db") % 4 == 0)),
+        delta_id="window-2",
+    )
+    receipt = store.expire(store.history()[-1][0])
+    if [d for _, d in receipt["expired"]] != ["bootstrap"]:
+        raise RuntimeError(f"expire did not retire the bootstrap: {receipt}")
+    return ComponentStore(spark, store.base_path).labels()
+
+
 @register(
     "dedup_cc_store_time_travel",
     sql=_cc_landed_oracle_sql(),

@@ -145,9 +145,9 @@ def test_compact_folds_partitions_preserving_probe(spark, tmp_path):
     assert after == before, "compaction changed probe results"
     # a second compact over an already-folded index is a no-op... once
     # probe-b's fresh delta partitions are folded in
-    receipt2 = idx.compact()
+    receipt2 = idx.compact(merge_ratio=0)
     assert receipt2["postings"]["compacted"] is True  # probe-b's delta
-    receipt3 = idx.compact()
+    receipt3 = idx.compact(merge_ratio=0)
     assert receipt3["postings"]["compacted"] is False
 
 
@@ -291,7 +291,9 @@ def test_compact_preserves_concurrent_insert(spark, tmp_path):
     assert arrs.count() == n_total
     assert arrs.select("doc_id").distinct().count() == n_total
     # the racer is marker-landed, so the NEXT fold consolidates it
-    receipt2 = idx.compact()
+    # (merge_ratio=0: the fold-everything mode — this test pins the
+    # fold-set gating, not the round-14 size-tier policy)
+    receipt2 = idx.compact(merge_ratio=0)
     assert receipt2["postings"]["compacted"] is True
     assert idx._partition_ids("postings") == {receipt2["generation"]}
 
@@ -321,7 +323,7 @@ def test_compact_skips_unlanded_delta(spark, tmp_path):
     )
     assert landed_rows == n_half
     idx.insert(delta, "halfway")  # the retry re-lands marker + rows
-    receipt2 = idx.compact()
+    receipt2 = idx.compact(merge_ratio=0)
     assert receipt2["postings"]["compacted"] is True
     assert idx._partition_ids("postings") == {receipt2["generation"]}
 
@@ -517,7 +519,7 @@ def test_lazy_probe_delta_unfoldable_until_finalized(spark, tmp_path):
     assert _pairs(retry) == expected, "retry after overlapped fold broke"
 
     idx.finalize_delta("lazy")
-    receipt2 = idx.compact()
+    receipt2 = idx.compact(merge_ratio=0)
     assert receipt2["postings"]["compacted"] is True
     assert idx._partition_ids("postings") == {receipt2["generation"]}
 
