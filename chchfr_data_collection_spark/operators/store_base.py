@@ -249,11 +249,13 @@ class StoreKernel:
         cross-process coherence story (round-13 verdict, wrong #1).
         Written LAST in each mutation (like the same-handle unset it
         extends): a crash between the tombstone write and the stamp is
-        the mutation's own retry window, not a reader's."""
+        the mutation's own retry window, not a reader's. The LOCAL
+        unset happens first — if the stamp write itself fails, this
+        handle must still re-list (round-14 self-review)."""
         import uuid
 
-        self._write_json(self.deleted_seq_path, {"seq": uuid.uuid4().hex})
         self._deleted_cache = _UNSET
+        self._write_json(self.deleted_seq_path, {"seq": uuid.uuid4().hex})
 
     def _deleted_keys(self) -> tuple[DataFrame | None, bool]:
         """(distinct tombstoned ids | None, fits-a-broadcast) — None
@@ -1393,7 +1395,7 @@ class BatchAppendStore(StoreKernel):
             expired = self._apply_expiry()
             return {"expired": expired, "before": before}
 
-    def snapshot_to(self, dest_path: str) -> dict:
+    def snapshot_to(self, dest_path: str, pin_batch: int | None = None) -> dict:
         """Export a consistent, compliance-clean CLONE of the store to
         a fresh path — the disaster-recovery / fork surface on the
         batch-store layout.
@@ -1424,11 +1426,21 @@ class BatchAppendStore(StoreKernel):
         be fresh). Runs under the SOURCE WriterLease: a snapshot never
         races a retrain/purge into capturing a half-migrated state.
         Cost: one masked scan + one write of the committed data, plus
-        a count on each side for the verify."""
+        a count on each side for the verify.
+
+        `pin_batch=B` exports the store AS OF batch B — only committed
+        values at or below the pin travel (a generation travels only
+        when its WHOLE fold set is <= B; a pin falling inside one
+        refuses — fold boundaries bound the pinnable points, exactly
+        like as-of reads). The pin is what makes a CONSISTENT fleet
+        snapshot possible WITHOUT quiescing: stores fed by the same
+        stream pin at the same coordinate while appends beyond it
+        continue (round-13 verdict, missing #3;
+        `snapshot_everywhere(pin_batches=True)`)."""
         from .lease import WriterLease
 
         with WriterLease(self.spark, self.base_path):
-            return self._snapshot_locked(dest_path)
+            return self._snapshot_locked(dest_path, pin_batch=pin_batch)
 
     def high_water(self) -> dict:
         """The store's last-committed position, in its own coordinate
@@ -1440,7 +1452,9 @@ class BatchAppendStore(StoreKernel):
         hist = self.history()
         return {"kind": "batch", "value": (hist[-1] if hist else None)}
 
-    def _snapshot_locked(self, dest_path: str) -> dict:
+    def _snapshot_locked(
+        self, dest_path: str, pin_batch: int | None = None
+    ) -> dict:
         """snapshot_to's body; the CALLER holds this store's
         WriterLease (snapshot_everywhere's quiesce mode holds the whole
         fleet's leases for the export window and calls this directly —
@@ -1460,6 +1474,40 @@ class BatchAppendStore(StoreKernel):
             raise RuntimeError(
                 f"nothing committed to snapshot in {self.base_path}"
             )
+        pinned_gens = None
+        if pin_batch is not None:
+            B = int(pin_batch)
+            exp = self._read_json(self.expired_ledger_path)
+            if exp is not None and B < int(exp["before"]):
+                raise ValueError(
+                    f"snapshot pin {B} is below the retention floor "
+                    f"{exp['before']} on {self.base_path} — that point "
+                    "no longer exists."
+                )
+            gens = {g["gen"]: g for g in self._fold_generations()}
+            sel, pinned_gens = [], []
+            for v in hist:
+                if v >= 0:
+                    if v <= B:
+                        sel.append(v)
+                    continue
+                bs = gens[v]["batches"] if v in gens else []
+                if bs and max(bs) <= B:
+                    sel.append(v)
+                    pinned_gens.append(gens[v])
+                elif bs and min(bs) <= B < max(bs):
+                    raise ValueError(
+                        f"snapshot pin {B} falls inside generation {v} "
+                        f"(batches {bs}) on {self.base_path} — fold "
+                        "boundaries bound the pinnable points; pin at "
+                        f">= {max(bs)}, or snapshot unpinned."
+                    )
+            if not sel:
+                raise RuntimeError(
+                    f"nothing committed at or below pin {B} in "
+                    f"{self.base_path}"
+                )
+            hist = sel
         fids = sorted(self._tombstone_fingerprints())
         # pin the export to the batch set listed above: a
         # CONCURRENT unfenced append (or a redelivery of a crashed
@@ -1505,8 +1553,25 @@ class BatchAppendStore(StoreKernel):
                 self._copy_tree(live, f"{dest}/{rel}")
         # the fold ledger travels: the clone must refuse as-of
         # reads inside the folded prefix and drop redeliveries of
-        # folded batches, exactly like the source
+        # folded batches, exactly like the source. A PINNED export
+        # carries a TRIMMED ledger — only the generations that
+        # shipped (a redelivery of a beyond-pin folded batch is a
+        # legitimate new batch on the fork)
         led = self._read_json(self.folded_ledger_path)
+        if led is not None and pinned_gens is not None:
+            if pinned_gens:
+                led = {
+                    "gen": min(g["gen"] for g in pinned_gens),
+                    "upto": max(g["upto"] for g in pinned_gens),
+                    "batches": sorted(
+                        {b for g in pinned_gens for b in g["batches"]}
+                    ),
+                    "generations": sorted(
+                        pinned_gens, key=lambda g: g["gen"]
+                    ),
+                }
+            else:
+                led = None
         if led is not None:
             clone._write_json(clone.folded_ledger_path, led)
         # the evolved-schema sidecar travels: the clone's append
@@ -1523,6 +1588,20 @@ class BatchAppendStore(StoreKernel):
         for b in hist:
             clone._mark_landed(clone.landed_path, str(b))
             clone._unmark_landed(clone.intent_path, str(b))
+        if pinned_gens is None:
+            hw = self.high_water()
+        else:
+            # the pinned export's position is the highest committed
+            # point that SHIPPED — on a common-pin fleet snapshot
+            # every batch store records the same value, so the
+            # catalog's skew check proves the set single-point
+            gens_by_id = {g["gen"]: g for g in pinned_gens}
+            hw = {
+                "kind": "batch",
+                "value": max(
+                    (gens_by_id[v]["upto"] if v < 0 else v) for v in hist
+                ),
+            }
         manifest = {
             "source": self.base_path,
             "batches": hist,
@@ -1530,8 +1609,10 @@ class BatchAppendStore(StoreKernel):
             "tombstones_applied": fids,
             # last committed position under the source lease — fleet
             # catalogs record this so a restore can surface cross-store
-            # skew (round-12 verdict, next #3)
-            "high_water": self.high_water(),
+            # skew (round-12 verdict, next #3). For a pinned export:
+            # the pinned point (see above)
+            "high_water": hw,
+            "pin_batch": None if pin_batch is None else int(pin_batch),
             # geometry generation stamps: sync_to refuses when
             # either side's trained aux (centroids/codebook) moved
             # since this export — a retrain migrates EVERY landed
@@ -1674,6 +1755,50 @@ class BatchAppendStore(StoreKernel):
                 "snapshot (or expire the clone to the source's "
                 "boundary first)."
             )
+        # generation-membership gate (round-14 self-review): tiered
+        # folds make SAME-ID generations with DIFFERENT fold sets
+        # reachable (the clone compacts itself with other boundaries;
+        # both counters count down from the shipped ledger), and the
+        # landed-value diff alone would attest them as in-sync while
+        # the rows diverge silently.
+        src_gens = {g["gen"]: g["batches"] for g in self._fold_generations()}
+        clone_gens = {
+            g["gen"]: g["batches"] for g in clone._fold_generations()
+        }
+        diverged = sorted(
+            v
+            for v in set(have) & set(hist)
+            if v < 0 and clone_gens.get(v) != src_gens.get(v)
+        )
+        if diverged:
+            raise RuntimeError(
+                f"sync_to(): generation(s) {diverged} exist on both "
+                f"sides with DIFFERENT fold membership (source "
+                f"{ {v: src_gens.get(v) for v in diverged} }, clone "
+                f"{ {v: clone_gens.get(v) for v in diverged} }) — the "
+                "fold boundaries diverged and the rows under one "
+                "batch_id no longer match. Take a fresh snapshot."
+            )
+        missing = sorted(set(hist) - set(have))
+        neg = [v for v in missing if v < 0]
+        if neg:
+            # a source compact() since the last export folded POST-
+            # snapshot batches the clone never saw (pre-snapshot folds
+            # surface as foreign clone batches above) — generations
+            # cannot ship through append_batch (negative ids are
+            # reserved), and shipping one without replaying the whole
+            # fold protocol on the clone would leave a crash window
+            # serving the folded rows twice. Checked BEFORE any clone
+            # mutation below — a refused sync must leave the clone
+            # untouched (round-14 self-review: the schema sidecar
+            # write used to precede this).
+            raise RuntimeError(
+                f"sync_to(): the source {self.base_path} folded "
+                f"batches into generation(s) {neg} the clone at "
+                f"{dest} does not hold — a fold is not incrementally "
+                "shippable. Take a fresh snapshot (or sync before "
+                "compacting the source)."
+            )
         # geometry-generation gate: a retrain on EITHER side since
         # the last export migrated every landed row to a new
         # centroid/codebook geometry the other side doesn't have —
@@ -1744,23 +1869,6 @@ class BatchAppendStore(StoreKernel):
                 clone.schema_sidecar_path, src_schema.jsonValue()
             )
             schema_evolved = True
-        missing = sorted(set(hist) - set(have))
-        neg = [v for v in missing if v < 0]
-        if neg:
-            # a source compact() since the last export folded POST-
-            # snapshot batches the clone never saw (pre-snapshot folds
-            # surface as foreign clone batches above) — generations
-            # cannot ship through append_batch (negative ids are
-            # reserved), and shipping one without replaying the whole
-            # fold protocol on the clone would leave a crash window
-            # serving the folded rows twice.
-            raise RuntimeError(
-                f"sync_to(): the source {self.base_path} folded "
-                f"batches into generation(s) {neg} the clone at "
-                f"{dest} does not hold — a fold is not incrementally "
-                "shippable. Take a fresh snapshot (or sync before "
-                "compacting the source)."
-            )
         masked = self.read()
         for bid in missing:
             # pre-delete the clone's existing partitions for this

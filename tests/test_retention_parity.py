@@ -82,7 +82,7 @@ def test_minhash_expire_retires_delta_from_probes(spark, tmp_path):
     # history collapsed; the retired snapshot's seq refuses
     hist_ids = {d for _, d in idx.history()}
     assert "d1" not in hist_ids and "probe_pre" not in hist_ids
-    with pytest.raises(ValueError, match="collapsed|expired"):
+    with pytest.raises(ValueError, match="retired|expired"):
         idx.pairs_as_of(seqs["d1"])
 
     # re-inserting a retired delta_id refuses; idempotent retry reports

@@ -330,3 +330,203 @@ def test_history_maps_folded_ids_in_commit_pending_window(spark, tmp_path):
     # recovery rolls forward; history unchanged
     store.purge_forgotten()
     assert store.history() == [2, 3]
+
+
+def test_refused_sync_leaves_clone_untouched(spark, tmp_path):
+    """Round-14 self-review (medium): a sync refused for an
+    unshippable post-snapshot generation must not have mutated the
+    clone first — the schema-reconciliation sidecar write used to
+    precede the refusal, flipping a live clone's append guard while
+    shipping nothing."""
+    from pyspark.sql import types as T
+
+    store, cent = _ivf4(spark, tmp_path)
+    store.compact(merge_ratio=0)  # clone will hold generation -1
+    dest = str(tmp_path / "clone")
+    store.snapshot_to(dest)
+    clone = IvfAssignmentStore(spark, dest)
+    clone_schema_before = clone.data_schema()
+
+    # evolve the SOURCE schema, then fold two post-snapshot batches —
+    # the sync now has both a sidecar to reconcile and an unshippable
+    # generation; the refusal must come first
+    store.evolve_schema(
+        T.StructType(
+            list(IvfAssignmentStore.DATA_SCHEMA.fields)
+            + [T.StructField("crawl_src", T.StringType(), True)]
+        )
+    )
+    extra = ivf_assign(_emb(spark).filter(F.col("vec_id") < 5), cent).withColumn(
+        "vec_id", F.col("vec_id") + 700000
+    ).withColumn("crawl_src", F.lit("cc"))
+    store.append_batch(extra, 4)
+    store.append_batch(
+        extra.withColumn("vec_id", F.col("vec_id") + 1000), 5
+    )
+    store.compact(merge_ratio=None)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="not incrementally shippable"):
+        store.sync_to(dest)
+    assert clone.data_schema() == clone_schema_before, (
+        "a refused sync must leave the clone's schema sidecar untouched"
+    )
+    assert clone._read_json(clone.schema_sidecar_path) is None
+
+
+def test_pinned_snapshot_exports_as_of_batch(spark, tmp_path):
+    """snapshot_to(pin_batch=B): only committed values <= B travel —
+    the consistent-point export that makes a quiesce-free fleet
+    snapshot possible; a later sync ships the beyond-pin batches."""
+    store, cent = _ivf4(spark, tmp_path)
+    dest = str(tmp_path / "pinned")
+    receipt = store.snapshot_to(dest, pin_batch=2)
+    assert receipt["pin_batch"] == 2
+    assert receipt["batches"] == [0, 1, 2]
+    assert receipt["high_water"] == {"kind": "batch", "value": 2}
+
+    clone = IvfAssignmentStore(spark, dest)
+    assert clone._landed_batch_values() == [0, 1, 2]
+    assert {(r.vec_id, r.cent_id) for r in clone.read().collect()} == {
+        (r.vec_id, r.cent_id)
+        for r in store.read(as_of_batch=2).collect()
+    }
+
+    # incremental catch-up past the pin
+    assert store.sync_to(dest)["batches_shipped"] == [3]
+    assert clone._landed_batch_values() == [0, 1, 2, 3]
+
+
+def test_pinned_snapshot_fold_and_retention_interplay(spark, tmp_path):
+    """A pin inside a generation refuses (fold boundaries bound the
+    pinnable points); a generation wholly under the pin ships with a
+    TRIMMED ledger — the clone keeps VACUUM/redelivery semantics for
+    what it holds, while a beyond-pin folded batch is a legitimate
+    new batch on the fork."""
+    store, cent = _ivf4(spark, tmp_path)
+    store.compact(upto=1, merge_ratio=None)  # gen -1 = [0,1]
+    store.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") < 5), cent)
+        .withColumn("vec_id", F.col("vec_id") + 700000),
+        4,
+    )
+    store.compact(upto=4, merge_ratio=None)  # gen -2 = [2,3,4]
+
+    with pytest.raises(ValueError, match="inside generation"):
+        store.snapshot_to(str(tmp_path / "bad"), pin_batch=3)
+
+    dest = str(tmp_path / "pin1")
+    receipt = store.snapshot_to(dest, pin_batch=1)
+    assert receipt["batches"] == [-1]
+    clone = IvfAssignmentStore(spark, dest)
+    led = clone._read_json(clone.folded_ledger_path)
+    assert led["generations"] == [{"gen": -1, "upto": 1, "batches": [0, 1]}]
+    assert led["upto"] == 1 and led["batches"] == [0, 1]
+    with pytest.raises(ValueError, match="VACUUM"):
+        clone.read(as_of_batch=0)
+    # a redelivery of a batch folded UNDER the pin drops...
+    clone.append_batch(
+        ivf_assign(_emb(spark).filter(F.col("vec_id") < 150), cent), 0
+    )
+    assert clone._landed_batch_values() == [-1]
+    # ...while a batch folded BEYOND the pin lands as new on the fork
+    clone.append_batch(
+        ivf_assign(
+            _emb(spark).filter(
+                (F.col("vec_id") >= 150) & (F.col("vec_id") < 300)
+            ),
+            cent,
+        ),
+        2,
+    )
+    assert clone._landed_batch_values() == [-1, 2]
+
+    # retention floor bounds the pin
+    store.expire(2)
+    with pytest.raises(ValueError, match="below the retention floor"):
+        store.snapshot_to(str(tmp_path / "bad2"), pin_batch=1)
+
+
+def test_fleet_snapshot_pin_batches_consistent_without_quiesce(
+    spark, tmp_path
+):
+    """snapshot_everywhere(pin_batches=True): batch stores pinned at
+    the fleet's minimum committed batch — skew {} by construction on
+    a DELIBERATELY skewed fleet — with no fleet-wide lease window."""
+    from chchfr_data_collection_spark.operators.takedown import (
+        restore_everywhere,
+        snapshot_everywhere,
+    )
+    from chchfr_data_collection_spark.streaming.embeddings import (
+        PqCodesStore,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = _emb(spark)
+    cent = ivf_centroids(spark, SF_DIR)
+    cb = pq_codebook(spark, SF_DIR)
+    a = emb.filter(F.col("vec_id") < 300)
+    b = emb.filter(F.col("vec_id") >= 300)
+    ivf = IvfAssignmentStore(spark, str(tmp_path / "ivf"))
+    ivf.bootstrap(ivf_assign(a, cent))
+    ivf.append_batch(ivf_assign(b, cent), 1)  # ivf at batch 1
+    pq = PqCodesStore(spark, str(tmp_path / "pq"))
+    pq.bootstrap(pq_encode(a, cb))            # pq still at batch 0
+
+    with pytest.raises(ValueError, match="pick one"):
+        snapshot_everywhere(
+            str(tmp_path / "x"), (ivf, "ivf"), (pq, "pq"),
+            quiesce=True, pin_batches=True,
+        )
+
+    root = str(tmp_path / "set")
+    catalog = snapshot_everywhere(
+        root, (ivf, "ivf"), (pq, "pq"), pin_batches=True
+    )
+    assert catalog["pin_batch"] == 0
+    assert catalog["skew"] == {}, "pinned marks must agree"
+    assert all(
+        rec["high_water"] == {"kind": "batch", "value": 0}
+        for rec in catalog["stores"].values()
+    )
+    restored = restore_everywhere(
+        spark,
+        root,
+        {
+            "IvfAssignmentStore": IvfAssignmentStore,
+            "PqCodesStore": PqCodesStore,
+        },
+        on_skew="raise",
+    )
+    # the restored IVF holds exactly the pinned prefix
+    assert restored["ivf"]._landed_batch_values() == [0]
+    assert {
+        (r.vec_id, r.cent_id) for r in restored["ivf"].read().collect()
+    } == {(r.vec_id, r.cent_id) for r in ivf.read(as_of_batch=0).collect()}
+
+
+def test_sync_refuses_diverged_same_id_generations(spark, tmp_path):
+    """Round-14 self-review: tiered folds make same-id generations
+    with DIFFERENT fold membership reachable (the clone compacts
+    itself with other boundaries; both ledger counters count down
+    from the shipped state) — the landed-value diff alone would
+    attest divergent rows as in-sync."""
+    store, cent = _ivf4(spark, tmp_path)
+    dest = str(tmp_path / "clone")
+    store.snapshot_to(dest)
+    clone = IvfAssignmentStore(spark, dest)
+
+    extra = ivf_assign(_emb(spark).filter(F.col("vec_id") < 5), cent).withColumn(
+        "vec_id", F.col("vec_id") + 700000
+    )
+    store.append_batch(extra, 4)
+    store.append_batch(
+        extra.withColumn("vec_id", F.col("vec_id") + 1000), 5
+    )
+    store.compact(merge_ratio=None)   # source gen -1 = [4,5]
+    clone.compact(merge_ratio=0)      # clone gen -1 = [0,1,2,3]
+
+    with pytest.raises(RuntimeError, match="DIFFERENT fold membership"):
+        store.sync_to(dest)
