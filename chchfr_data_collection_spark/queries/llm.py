@@ -3025,6 +3025,74 @@ def store_fleet_retention_probe(spark, sf_dir):
 
 
 @register(
+    "store_fleet_pinned_snapshot_probe",
+    sql=_ivf_duck_forget("c.vec_id >= 300"),
+    tags=("llm", "similarity", "ann", "ivf", "store", "snapshot", "fleet"),
+)
+def store_fleet_pinned_snapshot_probe(spark, sf_dir):
+    """QUIESCE-FREE consistent fleet backup (round-13 verdict, missing
+    #3): `quiesce=True` buys a single-point fleet image by holding
+    every store's WriterLease for the whole export window — hours of
+    ingest stall at 100 TB. `snapshot_everywhere(pin_batches=True)`
+    gets the same consistency for the batch stores WITHOUT the stall:
+    each batch-coordinate store exports PINNED at the fleet's minimum
+    committed batch (only values at or below the pin travel; fold
+    boundaries bound the pinnable points), so appends beyond the pin
+    continue and each store stalls only for its own export lease.
+
+    This entry builds a DELIBERATELY skewed fleet — the IVF store has
+    crawl batch 1 landed, the PQ store does not (the mid-pipeline
+    moment a non-quiesced backup used to capture as skew) — takes one
+    pinned fleet snapshot (catalog pin asserted = 0, skew asserted =
+    {}), restores it with on_skew="raise", and serves the ANN probe
+    from the restored IVF clone: exactly the batch-0 corpus, which is
+    the reduced-corpus oracle. Pin/fold/retention interplay is pinned
+    in tests/test_tiered_compaction.py."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.takedown import (
+        restore_everywhere,
+        snapshot_everywhere,
+    )
+    from ..streaming.embeddings import (
+        IvfAssignmentStore,
+        PqCodesStore,
+        ivf_assign,
+        ivf_centroids,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = T(spark, sf_dir, "embeddings", parallel=True)
+    cent = ivf_centroids(spark, sf_dir)
+    cb = pq_codebook(spark, sf_dir)
+    b0 = emb.filter(F.col("vec_id") < 300)
+    b1 = emb.filter(F.col("vec_id") >= 300)
+    tag = _uuid.uuid4().hex[:8]
+    ivf = IvfAssignmentStore(
+        spark, tempfile.mkdtemp(prefix=f"fpin_ivf_{tag}_")
+    )
+    ivf.bootstrap(ivf_assign(b0, cent))
+    ivf.append_batch(ivf_assign(b1, cent), 1)  # ahead of the fleet
+    pq = PqCodesStore(spark, tempfile.mkdtemp(prefix=f"fpin_pq_{tag}_"))
+    pq.bootstrap(pq_encode(b0, cb))            # still at batch 0
+    root = tempfile.mkdtemp(prefix=f"fpin_bk_{tag}_")
+    catalog = snapshot_everywhere(
+        f"{root}/set", (ivf, "ivf"), (pq, "pq"), pin_batches=True
+    )
+    if catalog["pin_batch"] != 0 or catalog["skew"] != {}:
+        raise RuntimeError(f"pinned fleet snapshot inconsistent: {catalog}")
+    restored = restore_everywhere(
+        spark,
+        f"{root}/set",
+        {"IvfAssignmentStore": IvfAssignmentStore, "PqCodesStore": PqCodesStore},
+        on_skew="raise",
+    )
+    return _ivf_view_topk(restored["ivf"].read(), emb)
+
+
+@register(
     "store_fleet_sync_probe",
     sql=_IVF_DUCK,
     tags=("llm", "similarity", "ann", "ivf", "store", "snapshot", "fleet"),
