@@ -111,8 +111,15 @@ _op_st = st.one_of(
 
 _dirs = itertools.count()
 
+# Default budget: 10 examples per suite (Spark jobs per example are
+# expensive). The CLOSING-STAMP runs raise it via
+# SPARK_GRAFT_MODEL_EXAMPLES (round-13 verdict, next #6: the r13 stamp
+# said "0 failed" while a falsifying example sat within hypothesis's
+# reach — a stamp's budget must be recorded and larger than CI's).
+import os as _os
+
 MODEL = settings(
-    max_examples=10,
+    max_examples=int(_os.environ.get("SPARK_GRAFT_MODEL_EXAMPLES", "10")),
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,
