@@ -474,10 +474,24 @@ class MinHashIndex(StoreKernel):
         df = self.spark.read.schema(self._rel_schema(rel)).parquet(
             self._rel_path(rel)
         )
-        excl = self._fold_read_exclusions()
+        excl = self._fold_read_exclusions() | self._vacuum_rel_ids(rel)
         if excl:
             df = df.filter(~F.col("delta_id").isin(sorted(excl)))
         return df
+
+    def _vacuum_rel_ids(self, rel: str) -> set:
+        """Vacuum-retired delta_ids of ONE relation. The fold retires
+        a delta per relation it actually consumed it in — an id whose
+        index partitions folded while its pairs partition did not must
+        stay readable (and shippable) in pairs, so the ledger tags ids
+        `<rel>/<delta_id>` (round-15 self-review: the untagged first
+        cut hid live pairs partitions from the snapshot diff)."""
+        pre = rel + "/"
+        return {
+            t[len(pre):]
+            for t in self._vacuum_excluded_ids()
+            if t.startswith(pre)
+        }
 
     # _write_json / _read_json: StoreKernel
 
@@ -561,6 +575,9 @@ class MinHashIndex(StoreKernel):
         fs.delete(HPath(self.expired_path), True)
         fs.delete(HPath(self.fold_intent_path), False)
         fs.delete(HPath(self.fold_commit_path), False)
+        # retired-source vacuum ledger too (the dirs themselves are
+        # replaced by the static-overwrite index write below)
+        fs.delete(HPath(self.vacuum_path), False)
         # a new store serves a new corpus: previous tombstones go too
         # (stamp deletion announces the change to other handles)
         fs.delete(HPath(self.deleted_path), True)
@@ -1019,6 +1036,7 @@ class MinHashIndex(StoreKernel):
             )
         self._deleted_cache = _UNSET  # re-list under the lease
         self._recover_expiry()  # sweep a crashed expire() first
+        self._vacuum_sweep()
         fids = sorted(self._tombstone_fingerprints())
         deleted, small = self._deleted_docs()
         if deleted is not None:
@@ -1214,6 +1232,7 @@ class MinHashIndex(StoreKernel):
             )
         self._deleted_cache = _UNSET
         self._recover_expiry()  # sweep a crashed expire() first
+        self._vacuum_sweep()
         deleted, small = self._deleted_docs()
         if deleted is not None:
             deleted = deleted.persist()
@@ -1542,6 +1561,7 @@ class MinHashIndex(StoreKernel):
         with WriterLease(self.spark, self.base_path):
             self._recover_fold()
             self._recover_expiry()
+            self._vacuum_sweep()
             expired_already = self._landed_ids(self.expired_path)
             folded = self._landed_ids(self.folded_path)
             idx_marked = self._landed_ids(self.landed_path)
@@ -1612,11 +1632,19 @@ class MinHashIndex(StoreKernel):
             self._drop_expired(did)
 
     def _leaf_partition_count(self, path: str, depth: int) -> int:
-        """Number of leaf partition directories `depth` levels below
-        `path` (listing only — no data read)."""
+        """Number of SERVING leaf partition directories `depth` levels
+        below `path` (listing only — no data read). Vacuum-retired
+        sources (fold reader grace) still sit on disk until swept but
+        serve no fresh read, so they are not counted — the receipt's
+        sprawl numbers describe the probe-visible layout."""
         fs, HPath = self._fs()
         if not fs.exists(HPath(path)):
             return 0
+        parked = {
+            HPath(p).toUri().getPath()
+            for e in self._vacuum_state()["retired"]
+            for p in e["paths"]
+        }
         level = [HPath(path)]
         for _ in range(depth):
             nxt = []
@@ -1626,7 +1654,9 @@ class MinHashIndex(StoreKernel):
                     if st.isDirectory() and not name.startswith(("_", ".")):
                         nxt.append(st.getPath())
             level = nxt
-        return len(level)
+        return len(
+            [d for d in level if d.toUri().getPath() not in parked]
+        )
 
     def _rel_path(self, rel: str) -> str:
         return {
@@ -1636,7 +1666,10 @@ class MinHashIndex(StoreKernel):
         }[rel]
 
     def _partition_ids(self, rel: str) -> set:
-        """delta_id values present as partition directories in `rel`."""
+        """delta_id values SERVING as partition directories in `rel` —
+        vacuum-retired ids (fold reader grace: bytes parked in place
+        until swept) are subtracted, so presence here means a fresh
+        read resolves the id."""
         fs, HPath = self._fs()
         path = self._rel_path(rel)
         if not fs.exists(HPath(path)):
@@ -1654,7 +1687,7 @@ class MinHashIndex(StoreKernel):
                 name = st.getPath().getName()
                 if st.isDirectory() and name.startswith("delta_id="):
                     ids.add(name[len("delta_id="):])
-        return ids
+        return ids - self._vacuum_rel_ids(rel)
 
     def _delta_dirs(self, rel: str, delta_id: str) -> list:
         """Existing partition directories holding `delta_id` in `rel`."""
@@ -1913,11 +1946,34 @@ class MinHashIndex(StoreKernel):
         # nothing ever re-inserts a gen id.
         for did in set(folded["postings"]) | set(folded["arrays"]):
             self._mark_landed(self.folded_path, did)
+        # RETIRE the folded source partitions in place (round 15,
+        # reader grace) instead of deleting them: bytes keep serving
+        # any probe plan that listed them before the commit, while
+        # fresh reads exclude the retired delta_ids via
+        # _fold_read_exclusions; a later maintenance call's sweep
+        # deletes them past the grace horizon. A PURGE fold passes
+        # purge fingerprints in the plan and hard-deletes instead —
+        # its erasure claim must not park bytes (compact force-sweeps
+        # the standing backlog before planning a purge).
+        retire_ids, retire_dirs = set(), []
         for rel, land in folded.items():
             for did in land:
-                for d in self._delta_dirs(rel, did):
-                    fs.delete(HPath(d), True)
-        idx_left = self._partition_ids("postings") | self._partition_ids("arrays")
+                retire_ids.add(f"{rel}/{did}")
+                retire_dirs.extend(self._delta_dirs(rel, did))
+        if plan.get("purge_rows"):
+            # EVERY purge fold hard-deletes — the deferred case too:
+            # its sources still hold the tombstoned rows the rewrite
+            # dropped, and parking those bytes for reader grace would
+            # undercut even the deferred purge's progress. (The
+            # fingerprints under plan["purge"] are {} when deferred,
+            # so they must not key this branch.)
+            for d in retire_dirs:
+                fs.delete(HPath(d), True)
+        else:
+            self._vacuum_retire(sorted(retire_ids), retire_dirs)
+        idx_left = (
+            self._partition_ids("postings") | self._partition_ids("arrays")
+        )
         for did in set(folded["postings"]) | set(folded["arrays"]):
             if did not in idx_left:
                 self._unmark_landed(self.landed_path, did)
@@ -2066,6 +2122,10 @@ class MinHashIndex(StoreKernel):
             self._deleted_cache = _UNSET
             self._recover_fold()
             self._recover_expiry()
+            # vacuum: a purge FORCE-sweeps the whole retired backlog
+            # (its byte-erasure claim covers parked sources too);
+            # otherwise only entries past the grace horizon go
+            self._vacuum_sweep(force=purge_forgotten)
             plan = self._fold_plan(
                 purge=purge_forgotten, merge_ratio=merge_ratio
             )
@@ -2086,6 +2146,10 @@ class MinHashIndex(StoreKernel):
                     raise
                 self._write_json(self.fold_commit_path, plan)
                 self._fold_finish(plan)
+            receipt["vacuum_backlog"] = [
+                {"cycle": e["cycle"], "ids": e["ids"]}
+                for e in self._vacuum_state()["retired"]
+            ]
             for rel, depth in (("postings", 2), ("arrays", 1), ("pairs", 1)):
                 if plan["folded"][rel]:
                     receipt[rel] = {

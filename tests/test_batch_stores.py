@@ -760,15 +760,22 @@ def test_compact_preserves_forget_purge_interplay(spark, tmp_path):
     masked = _ivf_rows(store.read())
     store.compact()
     assert _ivf_rows(store.read()) == masked
-    # the bytes traveled (byte-preserving fold)...
+    # the bytes traveled (byte-preserving fold): the serving view holds
+    # them masked, and the RAW relation holds them twice right now —
+    # once in the generation, once in the vacuum-retired sources kept
+    # in place for reader grace (round 15)
     raw = spark.read.parquet(store.data_path)
-    assert raw.filter(F.col("vec_id").isin(9, 35)).count() == 2
-    # ...and the purge erases them from the generation
+    assert raw.filter(F.col("vec_id").isin(9, 35)).count() == 4
+    assert store._vacuum_state()["retired"], "fold did not retire sources"
+    # ...and the purge erases them EVERYWHERE: it force-sweeps the
+    # vacuum backlog (an erasure claim must not leave bytes parked for
+    # reader grace), then rewrites the generation
     receipt = store.purge_forgotten()
     assert receipt["rows_removed"] == 2
     assert receipt["tombstones_cleared"] == ["t1"]
     raw2 = spark.read.parquet(store.data_path)
     assert raw2.filter(F.col("vec_id").isin(9, 35)).count() == 0
+    assert store._vacuum_state()["retired"] == []
     assert _ivf_rows(store.read()) == masked
 
 

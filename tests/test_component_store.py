@@ -138,11 +138,14 @@ def test_crashed_apply_invisible_then_retry_recovers(spark, tmp_path):
 
 
 def test_compact_folds_and_survives_both_crash_windows(spark, tmp_path):
-    """compact() folds base + patches into one resolved partition with
-    labels unchanged; a crash BEFORE the gen marker leaves the view on
-    the sources (orphan wiped by the retry), and a crash AFTER the gen
-    marker but mid-source-deletion resolves identically (LWW: the gen
-    supersedes every duplicated row) — retrying compact() finishes."""
+    """compact() folds patches into one resolved GENERATION (ledger-
+    committed, gid-keyed) with labels unchanged; a crash BEFORE the
+    ledger commit leaves the view on the sources (the staged gid dir
+    is invisible and rolled back), a hard death in the same window is
+    rolled back by the next maintenance call's _recover_fold, and a
+    crash AFTER the commit but mid-source-deletion resolves
+    identically (LWW: the generation supersedes every duplicated row)
+    — retrying compact() finishes."""
     want = _batch_cc(spark, LANDED + DELTA)
 
     def build(name):
@@ -152,37 +155,73 @@ def test_compact_folds_and_survives_both_crash_windows(spark, tmp_path):
             s.apply_pairs(_edges(spark, ch), f"c{i}")
         return s
 
-    # clean fold
+    def seq_dirs(s):
+        fs, HPath = s._fs()
+        return [
+            st.getPath().getName()
+            for st in fs.listStatus(HPath(s.assign_path))
+            if st.getPath().getName().startswith("seq=")
+        ]
+
+    # clean fold: patches retire, one generation stands
     s = build("clean")
-    s.compact()
+    receipt = s.compact(merge_ratio=0)
+    assert receipt["compacted"] is True
     assert _labels(s.labels()) == want
-    fs, HPath = s._fs()
-    parts = [
-        st.getPath().getName()
-        for st in fs.listStatus(HPath(s.assign_path))
-        if st.getPath().getName().startswith("seq=")
-    ]
-    assert len(parts) == 1, f"fold left {parts}"
+    # patches retired from every fresh resolve (unmarked); their
+    # bytes park in place for reader grace until a later sweep
+    assert sorted(s._marked()) == []
+    assert s._vacuum_state()["retired"]
+    s._vacuum_sweep(force=True)
+    assert seq_dirs(s) == [], f"fold left patch dirs {seq_dirs(s)}"
+    gens = s._generations()
+    assert len(gens) == 1 and gens[0]["gid"] == receipt["generation"]
+    assert s._read_json(s.fold_intent_path) is None
 
-    # crash window A: gen written, marker never lands
-    s = build("crash-pre-marker")
-    real_mark = s._mark
+    # crash window A: generation staged, ledger commit never lands —
+    # the in-process except rolls back (sources untouched)
+    s = build("crash-pre-commit")
+    real_wj = ComponentStore._write_json
 
-    def boom(seq, delta_id):
-        if delta_id.startswith("gen-"):
-            raise RuntimeError("simulated crash before gen marker")
-        real_mark(seq, delta_id)
+    def boom_on_ledger(self, path, obj):
+        if path == self.gens_ledger_path:
+            raise RuntimeError("simulated crash before ledger commit")
+        real_wj(self, path, obj)
 
-    s._mark = boom
-    with pytest.raises(RuntimeError, match="simulated crash"):
-        s.compact()
-    s._mark = real_mark
+    ComponentStore._write_json = boom_on_ledger
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            s.compact(merge_ratio=0)
+    finally:
+        ComponentStore._write_json = real_wj
+    assert s._generations() == []
+    assert s._read_json(s.fold_intent_path) is None
     assert _labels(s.labels()) == want
     assert _labels(ComponentStore(spark, s.base_path).labels()) == want
-    s.compact()  # retry wipes the orphan gen and folds cleanly
+    s.compact(merge_ratio=0)  # retry folds cleanly
     assert _labels(s.labels()) == want
 
-    # crash window B: gen marked, source deletion half-finished
+    # crash window A, hard death (no except ran): intent + orphan gid
+    # dir on disk, ledger never written — the next maintenance call
+    # rolls it back and proceeds
+    s = build("crash-hard-death")
+    fs, HPath = s._fs()
+    orphan = {
+        "gid": "gen-deadbeef",
+        "gseq": 3,
+        "low": 1,
+        "folded": [[1, "bootstrap"], [2, "c0"], [3, "c1"]],
+        "folded_gids": [],
+    }
+    s._write_json(s.fold_intent_path, orphan)
+    fs.mkdirs(HPath(s._gen_dir("gen-deadbeef")))
+    assert _labels(ComponentStore(spark, s.base_path).labels()) == want
+    receipt = ComponentStore(spark, s.base_path).compact(merge_ratio=0)
+    assert receipt["compacted"] is True
+    assert not fs.exists(HPath(s._gen_dir("gen-deadbeef")))
+    assert _labels(ComponentStore(spark, s.base_path).labels()) == want
+
+    # crash window B: ledger committed, source deletion half-finished
     s = build("crash-mid-delete")
     real_unmark = s._unmark
     calls = {"n": 0}
@@ -195,13 +234,18 @@ def test_compact_folds_and_survives_both_crash_windows(spark, tmp_path):
 
     s._unmark = die_second
     with pytest.raises(RuntimeError, match="simulated crash"):
-        s.compact()
+        s.compact(merge_ratio=0)
     s._unmark = real_unmark
     # rows duplicated on disk right now; the resolve is unaffected
+    assert len(s._generations()) == 1
     assert _labels(s.labels()) == want
     assert _labels(ComponentStore(spark, s.base_path).labels()) == want
-    s.compact()  # finishes the cleanup
+    s.compact()  # _recover_fold finishes the cleanup
     assert _labels(s.labels()) == want
+    assert sorted(s._marked()) == []
+    s._vacuum_sweep(force=True)
+    assert seq_dirs(s) == []
+    assert s._read_json(s.fold_intent_path) is None
 
 
 def test_forget_masks_rearrival_and_purge(spark, tmp_path):
@@ -246,7 +290,11 @@ def test_forget_masks_rearrival_and_purge(spark, tmp_path):
     assert store._deleted_nodes()[0] is None, "clean purge did not clear"
     raw = spark.read.schema(store._read_schema()).parquet(store.assign_path)
     assert raw.filter(F.col("node").isin(4, 11)).count() == 0, (
-        "purge left forgotten nodes' bytes"
+        "purge left forgotten nodes' bytes in the patch relation"
+    )
+    graw = spark.read.schema(store._gid_read_schema()).parquet(store.gens_path)
+    assert graw.filter(F.col("node").isin(4, 11)).count() == 0, (
+        "purge left forgotten nodes' bytes in the gens relation"
     )
     # and the labels still resolve (without the forgotten nodes)
     assert not {n for n, _ in _labels(store.labels())} & {4, 11}
@@ -382,7 +430,12 @@ def test_cross_process_forget_lands_in_compact_purge(spark, tmp_path):
     receipt = store.compact(purge_forgotten=True)
     assert receipt["purge_deferred"] == []
     raw = spark.read.schema(store._read_schema()).parquet(store.assign_path)
-    assert raw.filter(F.col("node").isin(4, 11)).count() == 0, (
+    graw = spark.read.schema(store._gid_read_schema()).parquet(store.gens_path)
+    assert (
+        raw.filter(F.col("node").isin(4, 11)).count()
+        + graw.filter(F.col("node").isin(4, 11)).count()
+        == 0
+    ), (
         "stale tombstone cache: cross-process forget's rows survived "
         "the purge rewrite"
     )

@@ -285,9 +285,13 @@ def test_compact_preserves_concurrent_insert(spark, tmp_path):
     assert receipt["postings"]["compacted"] is True
     assert "racer" in idx._partition_ids("arrays")
     assert "racer" in idx._partition_ids("postings")
-    # every doc's row exists exactly once: nothing lost, nothing doubled
+    # every doc's row SERVES exactly once: nothing lost, nothing
+    # doubled. The serving view is the fold-consistent read — the raw
+    # glob additionally holds the vacuum-retired sources parked in
+    # place for reader grace until a later maintenance call sweeps
+    # them (round 15)
     n_total = docs.filter(F.size(F.split("text", " ", -1)) >= 3).count()
-    arrs = spark.read.parquet(idx.arrays_path)
+    arrs = idx._read_relation("arrays")
     assert arrs.count() == n_total
     assert arrs.select("doc_id").distinct().count() == n_total
     # the racer is marker-landed, so the NEXT fold consolidates it
@@ -356,7 +360,10 @@ def test_fold_crash_before_commit_rolls_back(spark, tmp_path):
     assert any(d.startswith("gen-") for d in idx._partition_ids("postings"))
     receipt = idx.compact()  # recovery rolls back, then folds cleanly
     assert receipt["postings"]["compacted"] is True
-    assert spark.read.parquet(idx.postings_path).count() == rows_before
+    # serving view: rolled back then folded — exactly the same rows
+    # (the raw glob additionally parks the retired sources until a
+    # later sweep, round 15)
+    assert idx._read_relation("postings").count() == rows_before
     assert idx._partition_ids("postings") == {receipt["generation"]}
     after = _pairs(
         idx.probe_and_insert(docs.filter(F.col("doc_id") % 4 == 0), delta_id="p2")
@@ -387,7 +394,7 @@ def test_fold_crash_after_commit_rolls_forward(spark, tmp_path):
     # duplicated on disk right now: gen + unfinished sources
     assert spark.read.parquet(idx.postings_path).count() > rows_before
     receipt = idx.compact()  # recovery finishes the committed fold
-    assert spark.read.parquet(idx.postings_path).count() == rows_before
+    assert idx._read_relation("postings").count() == rows_before
     assert idx._read_json(idx.fold_commit_path) is None
     assert idx._read_json(idx.fold_intent_path) is None
     only = idx._partition_ids("postings")
@@ -474,14 +481,15 @@ def test_reinsert_of_folded_delta_id_fails_fast(spark, tmp_path):
     idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
     crawl = docs.filter(F.col("doc_id") % 8 == 0)
     idx.insert(crawl, "crawl-0")
-    arrays_before = spark.read.parquet(idx.arrays_path).count()
+    arrays_before = idx._read_relation("arrays").count()
     assert idx.compact()["postings"]["compacted"] is True
     with pytest.raises(RuntimeError, match="already compacted"):
         idx.insert(crawl, "crawl-0")
     with pytest.raises(RuntimeError, match="already compacted"):
         idx.probe_and_insert(crawl, delta_id="crawl-0")
-    # nothing landed twice
-    assert spark.read.parquet(idx.arrays_path).count() == arrays_before
+    # nothing SERVES twice (the retired sources park in place for
+    # reader grace until swept)
+    assert idx._read_relation("arrays").count() == arrays_before
     # a FRESH id still works, and rebootstrap clears the tombstones
     idx.insert(crawl, "crawl-0-retry2")
     idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
@@ -491,12 +499,14 @@ def test_reinsert_of_folded_delta_id_fails_fast(spark, tmp_path):
 def test_lazy_probe_delta_unfoldable_until_finalized(spark, tmp_path):
     """materialize=False defers the fold-landed marker, so a compact()
     overlapping the plan's lifetime can never EAT the unconsumed
-    delta: its partitions survive the fold intact, the overlapped plan
-    fails LOUDLY (the fold deleted other partitions its pinned file
-    listing joins against — missing-file error, never the silent zero
-    rows of round-8 ADVICE, low), and the documented same-delta_id
-    retry then returns the full expected pairs. finalize_delta() is
-    the consume-side handshake that makes the delta foldable."""
+    delta: its partitions survive the fold intact, and — since round
+    15's reader grace — the overlapped plan COMPLETES with the full
+    expected pairs: the fold retires its sources into the vacuum set
+    instead of deleting them, so the plan's pinned file listing stays
+    readable until a later maintenance call sweeps past the grace
+    horizon (round-14 verdict, wrong #2; pre-grace this plan failed
+    loudly on missing files). finalize_delta() remains the
+    consume-side handshake that makes the delta foldable."""
     docs = _docs(spark)
     idx = MinHashIndex(spark, str(tmp_path / "idx"))
     idx.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
@@ -512,11 +522,11 @@ def test_lazy_probe_delta_unfoldable_until_finalized(spark, tmp_path):
     receipt = idx.compact()  # folds bootstrap+crawl-0, must skip "lazy"
     assert receipt["postings"]["compacted"] is True
     assert "lazy" in idx._partition_ids("postings"), "fold ate the lazy delta"
-    with pytest.raises(Exception):
-        _pairs(plan)  # stale pinned listing: loud, not silently empty
-
-    retry = idx.probe_and_insert(delta, delta_id="lazy", materialize=False)
-    assert _pairs(retry) == expected, "retry after overlapped fold broke"
+    # the in-flight plan survives the fold (reader grace): its pinned
+    # listing reads the retired sources in place and the result is
+    # exactly what a pre-fold materialization would have returned
+    assert _pairs(plan) == expected, "overlapped plan broke mid-grace"
+    assert idx._vacuum_state()["retired"], "fold did not retire sources"
 
     idx.finalize_delta("lazy")
     receipt2 = idx.compact(merge_ratio=0)

@@ -539,7 +539,14 @@ _nodes_st = st.lists(st.integers(0, 9), min_size=1, max_size=3, unique=True)
 _cc_op_st = st.one_of(
     st.tuples(st.just("apply"), _pairs_st),
     st.tuples(st.just("forget"), st.integers(0, 2), _nodes_st),
-    st.tuples(st.just("compact"), st.booleans()),
+    # compact drives BOTH modes (round 15): purge always full-folds;
+    # otherwise the sampled merge_ratio picks pull-everything (0),
+    # the default tier walk (0.5), or a pure bounded fold (None)
+    st.tuples(
+        st.just("compact"),
+        st.booleans(),
+        st.sampled_from([0.0, 0.5, None]),
+    ),
 )
 
 
@@ -615,7 +622,7 @@ def test_component_store_matches_union_find_model(spark, tmp_path, first, ops):
             tombstones[fid] = ids
         elif op[0] == "compact":
             purge = op[1]
-            store.compact(purge_forgotten=purge)
+            store.compact(purge_forgotten=purge, merge_ratio=op[2])
             if purge:
                 # no crashed applies in this sequence, so clearing is
                 # never deferred: tombstoned generations retire

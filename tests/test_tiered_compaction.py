@@ -149,7 +149,11 @@ def test_size_ratio_trigger_merges_generations(spark, tmp_path):
     assert led["generations"] == [
         {"gen": -2, "upto": 3, "batches": [0, 1, 2, 3]}
     ]
-    assert _gen_files(store, -1) == [] and gen1  # merged away
+    # merged away from every fresh read; bytes park in the vacuum
+    # set for reader grace until a later sweep (round 15)
+    assert gen1 and store._vacuum_state()["retired"]
+    store._vacuum_sweep(force=True)
+    assert _gen_files(store, -1) == []
 
     # a tiny new batch against the big generation, with a ratio the
     # tiny bytes cannot reach (at toy scale parquet file overhead
@@ -530,3 +534,249 @@ def test_sync_refuses_diverged_same_id_generations(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="DIFFERENT fold membership"):
         store.sync_to(dest)
+
+
+# ---------------------------------------------------------------------------
+# ComponentStore (round-15 verdict, wrong #1 / next #1): the LSM fold
+# adapted to the last-writer-wins seq layout — generations land at the
+# fold range's highest consumed seq in a sibling gid-keyed relation,
+# committed by one atomic ledger rewrite.
+
+
+def _cc_edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "da: bigint, db: bigint"
+    )
+
+
+def _cc_labels(store):
+    return {(r.node, r.component) for r in store.labels().collect()}
+
+
+def _cc_want(spark, pairs):
+    from chchfr_data_collection_spark.operators.graph import (
+        connected_components,
+    )
+
+    return {
+        (r.node, r.component)
+        for r in connected_components(_cc_edges(spark, pairs)).collect()
+    }
+
+
+CC_BOOT = [(1, 2), (2, 3), (10, 11)]
+CC_D = [[(3, 4)], [(20, 21)], [(4, 20)], [(30, 31)]]
+
+
+def _cc4(spark, tmp_path, name="cc"):
+    """Bootstrap (seq 1) plus four delta patches (seqs 2..5)."""
+    from chchfr_data_collection_spark.operators.component_store import (
+        ComponentStore,
+    )
+
+    s = ComponentStore(spark, str(tmp_path / name))
+    s.bootstrap(_cc_edges(spark, CC_BOOT))
+    for i, ch in enumerate(CC_D):
+        s.apply_pairs(_cc_edges(spark, ch), f"d{i}")
+    return s
+
+
+def test_cc_bounded_fold_leaves_first_generation_byte_identical(
+    spark, tmp_path
+):
+    """Two successive bounded folds (merge_ratio=None): the second
+    consumes only the patches landed since the first, and the first
+    generation's files are BYTE-IDENTICAL afterwards — maintenance
+    cost scales with the deltas, not the corpus. Labels equal batch CC
+    throughout; as-of reads refuse inside each folded span and resolve
+    AT each generation's position."""
+    from chchfr_data_collection_spark.operators.component_store import (
+        ComponentStore,
+    )
+
+    all_pairs = CC_BOOT + [p for ch in CC_D for p in ch]
+    s = _cc4(spark, tmp_path)
+    r1 = s.compact(merge_ratio=None)  # folds patches 1..5
+    assert r1["compacted"] is True and r1["low"] == 1 and r1["gseq"] == 5
+    assert _cc_labels(s) == _cc_want(spark, all_pairs)
+
+    fp1 = s._partition_fingerprint(s._gen_dir(r1["generation"]))
+    s.apply_pairs(_cc_edges(spark, [(40, 41)]), "d4")
+    s.apply_pairs(_cc_edges(spark, [(41, 42)]), "d5")
+    r2 = s.compact(merge_ratio=None)  # folds patches 6,7 only
+    assert r2["compacted"] is True and r2["low"] == 6 and r2["gseq"] == 7
+    assert r2["folded_gids"] == []
+    assert fp1 == s._partition_fingerprint(s._gen_dir(r1["generation"])), (
+        "bounded fold rewrote the standing generation"
+    )
+    want = _cc_want(spark, all_pairs + [(40, 41), (41, 42)])
+    assert _cc_labels(s) == want
+    fresh = ComponentStore(spark, s.base_path)
+    assert _cc_labels(fresh) == want
+    assert [g["gid"] for g in s._generations()] == [
+        r1["generation"],
+        r2["generation"],
+    ]
+
+    # as-of: inside either folded span refuses (VACUUM); at a
+    # generation's position resolves that fold's newest state
+    with pytest.raises(ValueError, match="folded into a generation"):
+        s.labels(as_of_seq=3)
+    with pytest.raises(ValueError, match="folded into a generation"):
+        s.labels(as_of_seq=6)
+    assert {
+        (r.node, r.component) for r in s.labels(as_of_seq=5).collect()
+    } == _cc_want(spark, all_pairs)
+    assert {
+        (r.node, r.component) for r in s.labels(as_of_seq=7).collect()
+    } == want
+
+
+def test_cc_size_ratio_trigger_merges_generations(spark, tmp_path):
+    """With a huge merge_ratio the second fold PULLS the standing
+    generation (bytes gathered >= ratio x its own trivially fails —
+    so use ratio=0 semantics vs a ratio that fires): ratio 0 folds
+    everything into ONE generation whose members are the union; the
+    pulled generation's directory is gone."""
+    s = _cc4(spark, tmp_path)
+    r1 = s.compact(merge_ratio=None)
+    s.apply_pairs(_cc_edges(spark, [(40, 41)]), "d4")
+    s.apply_pairs(_cc_edges(spark, [(50, 51)]), "d5")
+    r2 = s.compact(merge_ratio=0)  # pull-everything trigger
+    assert r2["folded_gids"] == [r1["generation"]]
+    gens = s._generations()
+    assert [g["gid"] for g in gens] == [r2["generation"]]
+    assert gens[0]["low"] == 1 and int(gens[0]["gseq"]) == 7
+    assert [d for _, d in gens[0]["members"]] == [
+        "bootstrap", "d0", "d1", "d2", "d3", "d4", "d5",
+    ]
+    # the pulled generation is gone from every fresh resolve (ledger
+    # no longer lists it); its bytes park for reader grace until swept
+    fs, HPath = s._fs()
+    assert s._vacuum_state()["retired"]
+    s._vacuum_sweep(force=True)
+    assert not fs.exists(HPath(s._gen_dir(r1["generation"])))
+    want = _cc_want(
+        spark,
+        CC_BOOT + [p for ch in CC_D for p in ch] + [(40, 41), (50, 51)],
+    )
+    assert _cc_labels(s) == want
+
+
+def test_cc_upto_bounds_the_fold(spark, tmp_path):
+    """compact(upto=B) folds only patches <= B; newer patches keep
+    serving beside the generation (the generation lands at the range
+    max, BELOW them in last-writer-wins order), and the unfolded
+    suffix stays individually addressable by as-of reads."""
+    from chchfr_data_collection_spark.operators.component_store import (
+        ComponentStore,
+    )
+
+    s = _cc4(spark, tmp_path)  # patches 1..5
+    r = s.compact(upto=3, merge_ratio=None)
+    assert r["compacted"] is True and r["gseq"] == 3 and r["low"] == 1
+    assert sorted(s._marked()) == [4, 5]
+    all_pairs = CC_BOOT + [p for ch in CC_D for p in ch]
+    assert _cc_labels(s) == _cc_want(spark, all_pairs)
+    assert _cc_labels(ComponentStore(spark, s.base_path)) == _cc_want(
+        spark, all_pairs
+    )
+    # the unfolded suffix is still historically addressable
+    assert {
+        (r_.node, r_.component) for r_ in s.labels(as_of_seq=4).collect()
+    } == _cc_want(spark, CC_BOOT + CC_D[0] + CC_D[1] + CC_D[2])
+    with pytest.raises(ValueError, match="folded into a generation"):
+        s.labels(as_of_seq=2)
+    # history interleaves the generation at its position
+    assert [d for _, d in s.history()] == [r["generation"], "d2", "d3"]
+
+
+def test_cc_expire_whole_old_generation_with_younger_standing(
+    spark, tmp_path
+):
+    """Retention composes with tiering: a floor strictly above an old
+    generation's position expires it whole (ledger removal first,
+    bytes after) while younger generations and patches stand; as-of
+    below the floor refuses with the retention message."""
+    from chchfr_data_collection_spark.operators.component_store import (
+        ComponentStore,
+    )
+
+    s = _cc4(spark, tmp_path)  # patches 1..5
+    r1 = s.compact(upto=3, merge_ratio=None)   # gen1@3 = [1..3]
+    r2 = s.compact(merge_ratio=None)           # gen2@5 = [4,5]
+    receipt = s.expire(before_seq=4)
+    assert [3, r1["generation"]] in receipt["expired"]
+    assert [g["gid"] for g in s._generations()] == [r2["generation"]]
+    fs, HPath = s._fs()
+    assert not fs.exists(HPath(s._gen_dir(r1["generation"])))
+    # survivors: nodes whose winning row lives in gen2 (patches 4,5) —
+    # node 4's label never CHANGED in patch 4 (it already carried the
+    # component the merge landed on), so it wrote no row there and
+    # ages out with gen1 (the patch-row retention semantic, unchanged)
+    got = _cc_labels(ComponentStore(spark, s.base_path))
+    assert {n for n, _ in got} == {20, 21, 30, 31}
+    with pytest.raises(ValueError, match="expired by retention"):
+        s.labels(as_of_seq=3)
+
+
+def test_cc_snapshot_and_sync_travel_generations(spark, tmp_path):
+    """Generations travel AS generations: the clone keeps the ledger
+    (same VACUUM spans — as-of inside a folded range refuses on the
+    clone too), sync ships a post-snapshot generation the clone lacks
+    and the patches beside it, a re-sync is a no-op, and a clone that
+    compacted itself along DIFFERENT boundaries refuses to sync."""
+    from chchfr_data_collection_spark.operators.component_store import (
+        ComponentStore,
+    )
+
+    s = _cc4(spark, tmp_path)          # patches 1..5
+    r1 = s.compact(merge_ratio=0)      # everything -> gen1@5
+    dest = str(tmp_path / "ccclone")
+    s.snapshot_to(dest)
+    clone = ComponentStore(spark, dest)
+    assert [g["gid"] for g in clone._generations()] == [r1["generation"]]
+    assert _cc_labels(clone) == _cc_labels(s)
+    assert clone.history() == s.history()
+    with pytest.raises(ValueError, match="folded into a generation"):
+        clone.labels(as_of_seq=2)
+
+    # source moves on: two patches the clone NEVER held, folded into a
+    # second generation — sync ships the generation as a generation
+    s.apply_pairs(_cc_edges(spark, [(40, 41)]), "d4")
+    s.apply_pairs(_cc_edges(spark, [(50, 51)]), "d5")
+    r2 = s.compact(merge_ratio=None)   # gen2@7 = [6,7]
+    receipt = s.sync_to(dest)
+    shipped = {d for _, d in receipt["patches_shipped"]}
+    assert shipped == {r2["generation"]}
+    clone = ComponentStore(spark, dest)
+    assert [g["gid"] for g in clone._generations()] == [
+        r1["generation"],
+        r2["generation"],
+    ]
+    assert _cc_labels(clone) == _cc_labels(s)
+    assert clone.history() == s.history()
+    assert s.sync_to(dest)["patches_shipped"] == []
+
+    # a source fold that consumes patches the clone still HOLDS AS
+    # PATCHES collapses shipped history: refuse, naming the remedy
+    # (the batch stores' contract)
+    s.apply_pairs(_cc_edges(spark, [(60, 61)]), "d6")
+    s.apply_pairs(_cc_edges(spark, [(70, 71)]), "d7")
+    s.sync_to(dest)                    # clone now holds patches 8,9
+    s.compact(merge_ratio=None)        # source folds [8,9]
+    with pytest.raises(RuntimeError, match="fresh snapshot"):
+        s.sync_to(dest)
+
+    # divergence: a clone that folds itself along other boundaries
+    dest2 = str(tmp_path / "ccclone2")
+    s.snapshot_to(dest2)
+    clone2 = ComponentStore(spark, dest2)
+    s.apply_pairs(_cc_edges(spark, [(80, 81)]), "d8")
+    s.apply_pairs(_cc_edges(spark, [(90, 91)]), "d9")
+    s.sync_to(dest2)                   # clone2 holds patches 10,11
+    clone2.apply_pairs(_cc_edges(spark, [(95, 96)]), "dx")
+    clone2.compact(merge_ratio=None)   # clone2 folds [10,11,12]
+    s.compact(merge_ratio=None)        # source folds [10,11]
+    with pytest.raises(RuntimeError, match="fresh snapshot|diverges"):
+        s.sync_to(dest2)
