@@ -304,15 +304,38 @@ class ComponentStore(StoreKernel):
         roll FORWARD; not in the ledger => unverified, roll BACK
         (sources untouched — delete the orphan directory and the
         intent)."""
-        plan = self._read_json(self.fold_intent_path)
-        if plan is None:
-            return
         fs, HPath = self._fs()
-        if any(g["gid"] == plan["gid"] for g in self._generations()):
-            self._finish_fold(plan)
-        else:
-            fs.delete(HPath(self._gen_dir(plan["gid"])), True)
-            fs.delete(HPath(self.fold_intent_path), False)
+        plan = self._read_json(self.fold_intent_path)
+        if plan is not None:
+            if any(g["gid"] == plan["gid"] for g in self._generations()):
+                self._finish_fold(plan)
+            else:
+                fs.delete(HPath(self._gen_dir(plan["gid"])), True)
+                fs.delete(HPath(self.fold_intent_path), False)
+        # sweep UNLISTED generation dirs: an expire() that crashed
+        # between its ledger rewrite (read-atomic removal) and the
+        # directory delete leaves a gid dir no read resolves and no
+        # later expiry revisits — without this sweep it would linger
+        # forever, and a purge could clear tombstones while the
+        # orphan still held their bytes (round-15 self-review).
+        # Vacuum-retired dirs are parked deliberately and excluded.
+        if fs.exists(HPath(self.gens_path)):
+            listed = {g["gid"] for g in self._generations()}
+            parked = {
+                HPath(pth).toUri().getPath()
+                for e in self._vacuum_state()["retired"]
+                for pth in e["paths"]
+            }
+            for st in fs.listStatus(HPath(self.gens_path)):
+                name = st.getPath().getName()
+                if not (st.isDirectory() and name.startswith("gid=")):
+                    continue
+                gid = name[len("gid="):]
+                if (
+                    gid not in listed
+                    and st.getPath().toUri().getPath() not in parked
+                ):
+                    fs.delete(st.getPath(), True)
 
     def _require_bootstrapped(self) -> None:
         if self._read_json(self.schema_path) is None:
@@ -380,7 +403,18 @@ class ComponentStore(StoreKernel):
         allow-list resolved (patch seqs by landed markers, generation
         gids by the ledger), so a mid-flight fold's unverified
         generation and a crashed fold's orphan are invisible without
-        any read-side manifest logic."""
+        any read-side manifest logic.
+
+        The READ ORDER is load-bearing for lock-free readers racing a
+        fold's commit-to-cleanup window: markers are listed BEFORE the
+        ledger. A fold commits the ledger first and unmarks sources
+        after, so a reader that saw the sources already unmarked must
+        read the ledger even later — and therefore sees the
+        generation; a reader that listed markers pre-commit sees the
+        sources (and harmlessly the generation too if its ledger read
+        lands post-commit: duplicates are superseded per-node or tie
+        value-identically). Reading the ledger first would open a
+        none-of-them window."""
         self._require_bootstrapped()
         df = self._patch_rows()
         gens = self._generations()
@@ -779,7 +813,10 @@ class ComponentStore(StoreKernel):
         then delete every committed patch below the floor, then sweep
         unmarked partition dirs below it (a crashed expiry between its
         unmark and delete — or a crashed apply's orphan — must not
-        linger as unreadable bytes)."""
+        linger as unreadable bytes). The trailing sweep also eats
+        vacuum-retired patch dirs below the floor: retention's
+        hard-delete deadline outranks fold reader grace (a plan
+        spanning an expire was always the documented loud window)."""
         exp = self._read_json(self.expired_ledger_path)
         if exp is None:
             return []
@@ -1279,6 +1316,16 @@ class ComponentStore(StoreKernel):
                         if st.isDirectory() and name.startswith("seq="):
                             on_disk.add(name[len("seq="):])
                 unmarked = on_disk - {f"{s:08d}" for s in marked}
+                if fs.exists(HPath(self.gens_path)):
+                    listed = {g["gid"] for g in gens}
+                    for st in fs.listStatus(HPath(self.gens_path)):
+                        name = st.getPath().getName()
+                        if (
+                            st.isDirectory()
+                            and name.startswith("gid=")
+                            and name[len("gid="):] not in listed
+                        ):
+                            unmarked.add(name)
                 receipt["purge_deferred"] = sorted(unmarked)
                 if not unmarked:
                     purge_clear = self._tombstone_fingerprints()

@@ -369,3 +369,28 @@ def test_component_expire_snapshot_sync_interplay(spark, tmp_path):
         s.sync_to(dest3)
     ComponentStore(spark, dest3).expire(s.history()[-1][0])
     s.sync_to(dest3)
+
+
+def test_component_expire_gen_crash_orphan_swept(spark, tmp_path):
+    """An expire() that dies between the gens-ledger rewrite (the
+    read-atomic removal) and the generation directory delete leaves an
+    UNLISTED gid dir. The next maintenance call's _recover_fold sweeps
+    it — without that, a later purge could clear tombstones while the
+    orphan still held their bytes (round-15 self-review). Deliberately
+    parked (vacuum-retired) dirs are not touched."""
+    s = _cc(spark, tmp_path)                       # patches 1,2
+    s.apply_pairs(
+        spark.createDataFrame([(30, 31)], "da: bigint, db: bigint"), "p2"
+    )
+    r1 = s.compact(upto=2, merge_ratio=None)       # gen1@2 = [1,2]
+    fs, HPath = s._fs()
+    gd = s._gen_dir(r1["generation"])
+    # simulate the crash state: ledger no longer lists gen1, dir stays
+    keep = [g for g in s._generations() if g["gid"] != r1["generation"]]
+    s._write_json(s.gens_ledger_path, {"generations": keep})
+    assert fs.exists(HPath(gd))
+    s.compact()  # any maintenance call recovers
+    assert not fs.exists(HPath(gd)), "orphan generation dir lingered"
+    # a vacuum-retired dir in the same location is NOT swept early:
+    # patches retired by the fold above are still parked
+    assert s._vacuum_state()["retired"], "fold should have parked sources"
