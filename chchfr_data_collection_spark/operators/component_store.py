@@ -908,7 +908,8 @@ class ComponentStore(StoreKernel):
         self._vacuum_sweep()
         marked = self._marked()
         gens = self._generations()
-        fids = sorted(self._tombstone_fingerprints())
+        fid_map = self._tombstone_fingerprints()
+        fids = sorted(fid_map)
         rows = self._excl_deleted(self._patch_rows())
         expected = rows.count()
         (
@@ -972,6 +973,7 @@ class ComponentStore(StoreKernel):
             "history": [[s, d] for s, d in self.history()],
             "rows": got,
             "tombstones_applied": fids,
+            "tombstone_fingerprints": fid_map,
             "high_water": self.high_water(),
         }
         clone._write_json(f"{dest}/_snapshot.json", manifest)
@@ -1019,7 +1021,8 @@ class ComponentStore(StoreKernel):
         # was exported from — (seq, delta_id) overlap alone is not
         # an identity (round-12 ADVICE, medium, on the batch
         # stores; same discipline here)
-        recorded = clone.snapshot_manifest().get("source")
+        prior = clone.snapshot_manifest()
+        recorded = prior.get("source")
         if recorded != self.base_path:
             raise RuntimeError(
                 f"sync_to(): the clone at {dest} was exported from "
@@ -1027,6 +1030,7 @@ class ComponentStore(StoreKernel):
                 "into another store's clone would merge unrelated "
                 "corpora. Snapshot THIS store to a fresh path."
             )
+        self._tombstone_narrowing_gate(prior, dest)
         self._recover_fold()  # finish/undo a crashed compact() first
         self._apply_expiry()  # sweep a crashed expire() first
         self._vacuum_sweep()
@@ -1148,6 +1152,7 @@ class ComponentStore(StoreKernel):
             "rows": clone._assign_marked().count(),
             "tombstones_applied": [],
             "tombstones_mirrored": sorted(fids),
+            "tombstone_fingerprints": fids,
             "high_water": self.high_water(),
         }
         clone._write_json(f"{dest}/_snapshot.json", manifest)

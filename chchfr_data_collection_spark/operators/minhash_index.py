@@ -1037,7 +1037,8 @@ class MinHashIndex(StoreKernel):
         self._deleted_cache = _UNSET  # re-list under the lease
         self._recover_expiry()  # sweep a crashed expire() first
         self._vacuum_sweep()
-        fids = sorted(self._tombstone_fingerprints())
+        fid_map = self._tombstone_fingerprints()
+        fids = sorted(fid_map)
         deleted, small = self._deleted_docs()
         if deleted is not None:
             deleted = deleted.persist()
@@ -1142,6 +1143,7 @@ class MinHashIndex(StoreKernel):
                 [s, d] for s, d in sorted(log.items()) if d in pairs_marked
             ],
             "tombstones_applied": fids,
+            "tombstone_fingerprints": fid_map,
             "high_water": self.high_water(),
         }
         clone._write_json(f"{dest}/_snapshot.json", manifest)
@@ -1256,6 +1258,7 @@ class MinHashIndex(StoreKernel):
                     "merge unrelated corpora. Snapshot THIS index "
                     "to a fresh path."
                 )
+            self._tombstone_narrowing_gate(prior, dest)
             prior_fps = prior.get("index_delta_fps", {})
             # retention gate (the batch-store floor gate on the
             # delta-keyed layout): a clone that expired deltas the
@@ -1444,6 +1447,7 @@ class MinHashIndex(StoreKernel):
             ],
             "tombstones_applied": [],
             "tombstones_mirrored": sorted(fids),
+            "tombstone_fingerprints": fids,
             "high_water": self.high_water(),
         }
         clone._write_json(f"{dest}/_snapshot.json", manifest)

@@ -434,6 +434,39 @@ class StoreKernel:
                     )
         return out
 
+    def _tombstone_narrowing_gate(self, prior_manifest, dest: str) -> None:
+        """Refuse a sync when any forget_id the recorded export/sync
+        masked bytes through has since CHANGED or DISAPPEARED on the
+        source (round 15 — found by the MinHash lifecycle model
+        suite): the export excluded those ids' BYTES from everything
+        already shipped, so a narrowed (re-landed with fewer ids) or
+        cleared forget_id serves rows on the source the clone can
+        never re-materialize incrementally — mirroring tombstones
+        only ever HIDES more. New forget_ids (the documented
+        post-snapshot takedown pattern) and untouched ones sync fine;
+        a purge that cleared a recorded fid also refuses
+        (indistinguishable from narrowing without history)."""
+        recorded = (prior_manifest or {}).get("tombstone_fingerprints") or {}
+        if not recorded:
+            return
+        cur = self._tombstone_fingerprints()
+        changed = sorted(
+            fid
+            for fid, fp in recorded.items()
+            if fid not in cur or cur[fid] != fp
+        )
+        if changed:
+            raise RuntimeError(
+                f"sync_to(): forget_ids {changed} were re-landed or "
+                f"cleared on {self.base_path} since the clone at "
+                f"{dest} was exported — the export masked those "
+                "takedowns' rows OUT of the shipped bytes, and a "
+                "narrowed or cleared takedown cannot be "
+                "re-materialized incrementally. Take a fresh "
+                "snapshot (extend takedowns under NEW forget_ids to "
+                "keep clones syncable)."
+            )
+
     def _clear_tombstones_guarded(self, fids: dict) -> list:
         """Delete exactly the tombstone partitions whose content
         fingerprint is UNCHANGED since `fids` was snapshotted: a
@@ -1627,7 +1660,8 @@ class BatchAppendStore(StoreKernel):
                     f"{self.base_path}"
                 )
             hist = sel
-        fids = sorted(self._tombstone_fingerprints())
+        fid_map = self._tombstone_fingerprints()
+        fids = sorted(fid_map)
         # pin the export to the batch set listed above: a
         # CONCURRENT unfenced append (or a redelivery of a crashed
         # batch) landing partitions mid-scan must not leak rows
@@ -1726,6 +1760,7 @@ class BatchAppendStore(StoreKernel):
             "batches": hist,
             "rows": got,
             "tombstones_applied": fids,
+            "tombstone_fingerprints": fid_map,
             # last committed position under the source lease — fleet
             # catalogs record this so a restore can surface cross-store
             # skew (round-12 verdict, next #3). For a pinned export:
@@ -1838,6 +1873,7 @@ class BatchAppendStore(StoreKernel):
                 "corpora. Snapshot THIS store to a fresh path (or "
                 "sync from the recorded source)."
             )
+        self._tombstone_narrowing_gate(prior, dest)
         # retention-floor gate (round-13 ADVICE, low): a clone whose
         # `_expired.json` floor is AHEAD of the source's would silently
         # re-drop every shipped batch below its floor (append_batch's
@@ -2027,6 +2063,7 @@ class BatchAppendStore(StoreKernel):
             "rows": clone._data_read().count(),
             "tombstones_applied": [],
             "tombstones_mirrored": sorted(fids),
+            "tombstone_fingerprints": fids,
             "aux_fp_source": prior.get("aux_fp_source"),
             "aux_fp_clone": prior.get("aux_fp_clone"),
             "high_water": self.high_water(),

@@ -1134,3 +1134,54 @@ def test_sync_everywhere_quiesced_marks_are_consistent(spark, tmp_path):
     assert _ivf_rows(
         IvfAssignmentStore(spark, f"{root}/ivf").read()
     ) == _ivf_rows(ivf.read())
+
+
+def test_sync_refuses_narrowed_forget_all_layouts(spark, tmp_path):
+    """The tombstone-narrowing gate (round 15, found by the MinHash
+    lifecycle model): a forget_id that existed at snapshot time and
+    was RE-LANDED (narrowed) — or cleared — before the sync refuses on
+    every layout, because the export masked those takedowns' rows out
+    of the shipped bytes and a narrowed takedown cannot be
+    re-materialized incrementally. A NEW forget_id (the documented
+    post-snapshot takedown pattern) still syncs fine, and the refused
+    sync leaves the clone untouched."""
+    # MinHash
+    docs = _docs(spark)
+    mh = MinHashIndex(spark, str(tmp_path / "nmh"))
+    mh.bootstrap(docs.filter(F.col("doc_id") % 4 != 0))
+    mh.forget(spark.createDataFrame([(2,)], "doc_id: bigint"), "t0")
+    mh.snapshot_to(str(tmp_path / "nmhclone"))
+    mh.forget(spark.createDataFrame([(3,)], "doc_id: bigint"), "t0")
+    with pytest.raises(RuntimeError, match="re-landed or cleared"):
+        mh.sync_to(str(tmp_path / "nmhclone"))
+    # a fresh snapshot (new baseline) + a NEW fid syncs fine
+    mh.snapshot_to(str(tmp_path / "nmhclone2"))
+    mh.forget(spark.createDataFrame([(5,)], "doc_id: bigint"), "t1")
+    receipt = mh.sync_to(str(tmp_path / "nmhclone2"))
+    assert "t1" in receipt["tombstones_mirrored"]
+
+    # batch store (IVF)
+    ivf = _ivf_source(spark, tmp_path, "nivf")
+    ivf.forget(spark.createDataFrame([(9,)], "vec_id: bigint"), "t0")
+    ivf.snapshot_to(str(tmp_path / "nivfclone"))
+    before = {(r.vec_id, r.cent_id) for r in
+              IvfAssignmentStore(spark, str(tmp_path / "nivfclone"))
+              .read().collect()}
+    ivf.forget(spark.createDataFrame([(11,)], "vec_id: bigint"), "t0")
+    with pytest.raises(RuntimeError, match="re-landed or cleared"):
+        ivf.sync_to(str(tmp_path / "nivfclone"))
+    after = {(r.vec_id, r.cent_id) for r in
+             IvfAssignmentStore(spark, str(tmp_path / "nivfclone"))
+             .read().collect()}
+    assert after == before, "refused sync mutated the clone"
+
+    # ComponentStore
+    cc = ComponentStore(spark, str(tmp_path / "ncc"))
+    cc.bootstrap(
+        spark.createDataFrame([(1, 2), (3, 4)], "da: bigint, db: bigint")
+    )
+    cc.forget(spark.createDataFrame([(3,)], "node: bigint"), "t0")
+    cc.snapshot_to(str(tmp_path / "nccclone"))
+    cc.forget(spark.createDataFrame([(4,)], "node: bigint"), "t0")
+    with pytest.raises(RuntimeError, match="re-landed or cleared"):
+        cc.sync_to(str(tmp_path / "nccclone"))
