@@ -110,6 +110,7 @@ from .store_base import (
     StoreKernel,
     _UNSET,
     _iter_files,
+    observed_count,
 )
 
 # kept name: the byte bound below which tombstone sets broadcast
@@ -537,7 +538,10 @@ class ComponentStore(StoreKernel):
             )
         self._write_json(f"{self.intent_path}/{delta_id}", {"seq": seq})
         (
+            # rebalance-on-write (guide §6): one size-targeted file set
+            # per seq partition instead of one file per producer task
             patch.withColumn("seq", F.lit(f"{seq:08d}"))
+            .hint("rebalance", "seq")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("seq")
@@ -911,13 +915,22 @@ class ComponentStore(StoreKernel):
         fid_map = self._tombstone_fingerprints()
         fids = sorted(fid_map)
         rows = self._excl_deleted(self._patch_rows())
-        expected = rows.count()
+        # one pass, not two: count the export on the write itself via
+        # an Observation instead of a separate rows.count() job (same
+        # single-pass change as the batch-store snapshot); read-back
+        # counts below still verify what landed
+        from pyspark.sql import Observation
+
+        obs = Observation()
         (
-            rows.write.mode("overwrite")
+            rows.observe(obs, F.count(F.lit(1)).alias("n"))
+            .hint("rebalance", "seq")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "static")
             .partitionBy("seq")
             .parquet(clone.assign_path)
         )
+        expected = observed_count(obs)
         # a fully-masked export writes no files; the dir must still
         # exist so the clone's schema-pinned reads resolve as empty
         dfs, DP = self._fs_for(clone.assign_path)
@@ -936,13 +949,16 @@ class ComponentStore(StoreKernel):
             grows = self._excl_deleted(self._gen_rows(gens)).select(
                 "node", "component", self._seq_to_gid(gens).alias("gid")
             )
-            expected += grows.count()
+            gobs = Observation()
             (
-                grows.write.mode("overwrite")
+                grows.observe(gobs, F.count(F.lit(1)).alias("n"))
+                .hint("rebalance", "gid")
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "static")
                 .partitionBy("gid")
                 .parquet(clone.gens_path)
             )
+            expected += observed_count(gobs)
             clone._write_json(
                 clone.gens_ledger_path, {"generations": gens}
             )

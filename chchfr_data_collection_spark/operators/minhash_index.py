@@ -145,6 +145,7 @@ from .store_base import (
     StoreKernel,
     _UNSET,
     _iter_files,
+    observed_count,
 )
 
 MH_P = (1 << 61) - 1
@@ -531,13 +532,27 @@ class MinHashIndex(StoreKernel):
                     True,
                 )
         did = F.lit(delta_id)
+        # REBALANCE before each partitioned write (guide §6 "coalesce on
+        # write"): without it every upstream task writes a file into
+        # every partition dir it touches — measured this round at
+        # 32 tasks x 8 bands = up to 256 files PER DELTA on postings/,
+        # and every subsequent probe re-pays that file count in listing
+        # + footer reads (0.3-0.4 s per probe-side scan job at sf0.1).
+        # The AQE rebalance shuffle sizes output to
+        # advisoryPartitionSizeInBytes, so file counts stay
+        # scale-adaptive: ~1 file per band here, many once a delta's
+        # bytes warrant them. The shuffle itself moves only the rows
+        # being written (tiny beside the write), and row VALUES are
+        # unchanged — only their file placement.
         arrays_w = (
             sigs.select("doc_id", "shs", "nw", did.alias("delta_id"))
+            .hint("rebalance")
             .write.mode("overwrite")
         )
         postings_w = (
             band_rows(sigs)
             .withColumn("delta_id", did)
+            .hint("rebalance", "band")
             .write.mode("overwrite")
         )
         # the overwrite mode is set EXPLICITLY per-write in both
@@ -1075,18 +1090,28 @@ class MinHashIndex(StoreKernel):
                     .where(F.col("delta_id").isin(land))
                 )
                 df = self._mask_deleted(df, rel, deleted, small)
-                expected = df.count()
                 parts = (
                     ("band", "delta_id")
                     if rel == "postings"
                     else ("delta_id",)
                 )
+                # one pass, not two: count the exported rows with an
+                # Observation ON the write instead of a separate
+                # `df.count()` job re-running the masked read; the
+                # read-back count below still verifies what landed
+                # (same single-pass change as the batch-store snapshot)
+                from pyspark.sql import Observation
+
+                obs = Observation()
                 (
-                    df.write.mode("overwrite")
+                    df.observe(obs, F.count(F.lit(1)).alias("n"))
+                    .hint("rebalance", *parts)
+                    .write.mode("overwrite")
                     .option("partitionOverwriteMode", "static")
                     .partitionBy(*parts)
                     .parquet(dst)
                 )
+                expected = observed_count(obs)
                 dfs.mkdirs(HPath(dst))
                 got = (
                     self.spark.read.schema(schema).parquet(dst).count()

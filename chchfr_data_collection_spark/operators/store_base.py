@@ -54,6 +54,20 @@ FOLD_VACUUM_GRACE = 2
 _UNSET = object()
 
 
+def observed_count(obs) -> int:
+    """The row count an `Observation` collected on a write, or 0 when
+    the write scheduled no tasks at all (a fully-masked/empty export
+    never fires the CollectMetrics accumulator, so `obs.get` has no row
+    to return). The 0 fallback cannot mask a real miscount: the caller
+    always re-verifies against a read-back/footer count of what landed,
+    so a spurious empty observation on a non-empty write fails loudly
+    there."""
+    try:
+        return int(obs.get["n"])
+    except Exception:
+        return 0
+
+
 def _iter_files(fs, HPath, path: str):
     """Recursive data-file statuses under `path` (hidden files skipped)."""
     if not fs.exists(HPath(path)):
@@ -200,7 +214,14 @@ class StoreKernel:
     # -- filesystem plumbing -------------------------------------------------
 
     def _fs(self):
-        return self._fs_for(self.base_path)
+        # memoized per handle: every metadata op resolved (Path class,
+        # FileSystem) through 3 py4j round-trips, and a lifecycle entry
+        # makes dozens of metadata calls — the handles are immutable
+        # for the life of the store object, so resolve once
+        hit = getattr(self, "_fs_memo", None)
+        if hit is None:
+            hit = self._fs_memo = self._fs_for(self.base_path)
+        return hit
 
     def _fs_for(self, path: str):
         """(FileSystem, Path class) resolved for `path` — snapshots may
@@ -536,6 +557,15 @@ class BatchAppendStore(StoreKernel):
     CELL_COLS: tuple = ()
     DATA_SCHEMA = None  # pinned StructType incl. CELL_COLS and batch_id
 
+    def _rebalanced(self, df: DataFrame) -> DataFrame:
+        """Cluster a frame by its write-partition columns
+        (*CELL_COLS, batch_id) before a partitionBy write so each leaf
+        dir gets size-targeted files instead of one file per producer
+        task (see append_batch). AQE's rebalance both coalesces tiny
+        cells and splits skewed ones, so the file count tracks bytes,
+        not task count, at every scale."""
+        return df.hint("rebalance", *self.CELL_COLS, "batch_id")
+
     def _init_batch_store(self, spark: SparkSession, base_path: str) -> None:
         self._init_kernel(spark, base_path)
         self.data_path = f"{self.base_path}/{self.DATA_SUBDIR}"
@@ -685,7 +715,14 @@ class BatchAppendStore(StoreKernel):
             return
         self._mark_landed(self.intent_path, str(bid))
         (
-            df.withColumn("batch_id", F.lit(bid))
+            # REBALANCE before the partitioned write (guide §6): without
+            # it every producer task writes its own file into every
+            # cell dir it touches (tasks x cells small files per batch,
+            # re-paid by every later read's listing + footer pass). The
+            # AQE rebalance shuffle clusters rows by cell and sizes
+            # output files to advisoryPartitionSizeInBytes — scale-
+            # adaptive (skewed cells still split), values unchanged.
+            self._rebalanced(df.withColumn("batch_id", F.lit(bid)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*self.CELL_COLS, "batch_id")
@@ -995,7 +1032,8 @@ class BatchAppendStore(StoreKernel):
         fs, HPath = self._fs()
         fs.delete(HPath(self._retrain_tmp), True)
         (
-            rows.write.mode("overwrite")
+            self._rebalanced(rows)
+            .write.mode("overwrite")
             .partitionBy(*self.CELL_COLS, "batch_id")
             .parquet(self._retrain_tmp)
         )
@@ -1672,15 +1710,26 @@ class BatchAppendStore(StoreKernel):
         masked = self.read().filter(
             F.col("batch_id").isin([int(b) for b in hist])
         )
-        expected = masked.count()
         for b in hist:
             clone._mark_landed(clone.intent_path, str(b))
+        # One pass instead of two: the export used to run the masked
+        # read TWICE — once for `expected = masked.count()`, once for
+        # the write (guide §1.2: don't compute things you throw away).
+        # An Observation on the write counts the exported rows in the
+        # same job; the read-back count below still verifies that what
+        # LANDED is complete and readable, which is the failure mode
+        # this check exists for.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         (
-            masked.write.mode("overwrite")
+            self._rebalanced(masked.observe(obs, F.count(F.lit(1)).alias("n")))
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "static")
             .partitionBy(*self.CELL_COLS, "batch_id")
             .parquet(clone.data_path)
         )
+        expected = observed_count(obs)
         # a fully-masked export writes no files; the dir must still
         # exist so the clone's schema-pinned reads resolve as empty
         dfs, DP = self._fs_for(clone.data_path)

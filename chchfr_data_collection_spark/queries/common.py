@@ -10,11 +10,29 @@ def T(
     spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
 ) -> DataFrame:
     """Load a fixture table; `parallel=True` for compute-bound consumers
-    (per-row shingling / quantization / regex) — see session.parallelize_scan."""
+    (per-row shingling / quantization / regex) — see session.parallelize_scan.
+
+    The `parallel=True` plan is memoized per (session, sf_dir, table)
+    alongside session.load_table's memo: `parallelize_scan` pays a
+    physical-planning pass (`df.rdd.getNumPartitions`, ~0.1 s) per call
+    to decide whether to repartition, and the decision is a pure
+    function of the (immutable) fixture file and the session's
+    parallelism. Lazy plan only — every action still scans parquet."""
     from ..session import load_table, parallelize_scan
 
     df = load_table(spark, sf_dir, name)
-    return parallelize_scan(df) if parallel else df
+    if not parallel:
+        return df
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _PARALLEL_PLAN_CACHE.get(key)
+    if hit is None:
+        if len(_PARALLEL_PLAN_CACHE) >= 256:
+            _PARALLEL_PLAN_CACHE.clear()
+        hit = _PARALLEL_PLAN_CACHE[key] = parallelize_scan(df)
+    return hit
+
+
+_PARALLEL_PLAN_CACHE: dict = {}
 
 
 def dec(c: Column | str) -> Column:

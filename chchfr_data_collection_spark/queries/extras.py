@@ -1207,7 +1207,16 @@ def applyinpandas_group_rank(spark, sf_dir):
         pdf["rnk"] = range(1, len(pdf) + 1)
         return pdf[["user_id", "event_id", "rnk"]]
 
-    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # Project to the three columns the kernel touches BEFORE the
+    # grouped-map boundary: applyInPandas ships every input column
+    # through Arrow per group, and the wide `props`/`ts` payloads would
+    # otherwise cross JVM->Python only to be dropped by the kernel
+    # (guide §4.1: pass only what the function needs).
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value")
+    )
     return ev.groupBy("user_id").applyInPandas(
         rank_group, schema="user_id bigint, event_id bigint, rnk bigint"
     )

@@ -532,11 +532,7 @@ def similarity_topk_cosine(spark, sf_dir):
         V.quantize("embedding").alias("qc"),
         V.dot_exact("embedding", "embedding").alias("cn2"),
     )
-    dot = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dot = V.dot_q("qq", "qc")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -621,11 +617,7 @@ def similarity_threshold_pairs(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
         V.quantize("embedding").alias("qb"),
         V.dot_exact("embedding", "embedding").alias("nb2"),
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dot = V.dot_q("qa", "qb")
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("va") < F.col("vb"))
@@ -826,6 +818,32 @@ _LSH_PLANES = [
     ]
     for _ in range(_LSH_TABLES)
 ]
+
+
+def _plane_dot_sql(plane) -> str:
+    """Spark-SQL text of one signed-plane dot over the quantized `qv`
+    column — the exact expression the column-API builders used to
+    assemble (`aggregate(zip_with(qv, plane, x*CAST(y AS BIGINT)),
+    0L, +)`), rendered as a string so the whole plane family parses in
+    ONE py4j call instead of ~65 per plane (plan-construction cost,
+    measured this round: seconds per invocation at 8 tables x 8 bits)."""
+    arr = ",".join(str(v) for v in plane)
+    return (
+        f"aggregate(zip_with(qv, array({arr}), "
+        "(x, y) -> x * CAST(y AS BIGINT)), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _bucket_sql(planes_t, bits: int) -> str:
+    """Spark-SQL text of a table's bucket id: the bit-weighted sum of
+    plane-dot signs, `0 + IF(dot_j >= 0, 2^j, 0) + ...` — the same
+    INT-typed CASE arithmetic the old `F.when` chain produced."""
+    terms = " + ".join(
+        f"IF({_plane_dot_sql(planes_t[j])} >= 0, {1 << j}, 0)"
+        for j in range(bits)
+    )
+    return f"(0 + {terms})"
 
 
 def _lsh_ann_duck(multiprobe: bool = False) -> str:
@@ -1062,32 +1080,22 @@ def similarity_lsh_scaled(spark, sf_dir):
     )
     hsel = emb.agg(h.alias("h"))
 
-    def plane_dot(t: int, j: int):
-        plane = F.array(*[F.lit(v) for v in _LSHS_PLANES[t][j]])
-        return F.aggregate(
-            F.zip_with("qv", plane, lambda x, y: x * y.cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-
-    def bucket(t: int):
-        b = F.lit(0)
-        for j in range(_LSHS_MAX_BITS):
-            b = b + F.when(plane_dot(t, j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        return b
-
+    # Bucket bits for all 8 tables in ONE parsed SQL expression: the
+    # column-API version of this (a Python loop over 8 tables x 8 bits
+    # x 64 F.lit plane weights) cost ~4s of py4j round-trips PER
+    # INVOCATION just to CONSTRUCT the plan — measured this round
+    # (guide §1 / §7.3 "very large plans"): build=6.8s vs exec=3.6s.
+    # One expr() string parses JVM-side in milliseconds; the parsed
+    # tree — aggregate(zip_with(...)) with the same casts and the same
+    # IF/CASE bit sum — is arithmetic-identical to the old one, so
+    # bucket ids and results are unchanged.
+    structs = ",".join(
+        f"named_struct('tbl', {t}, 'fullb', "
+        f"{_bucket_sql(_LSHS_PLANES[t], _LSHS_MAX_BITS)})"
+        for t in range(_LSH_TABLES)
+    )
     rawb = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"), bucket(t).alias("fullb")
-                    )
-                    for t in range(_LSH_TABLES)
-                ]
-            )
-        ).alias("tb"),
+        "vec_id", F.explode(F.expr(f"array({structs})")).alias("tb")
     ).select("vec_id", "tb.tbl", "tb.fullb")
     b = rawb.crossJoin(F.broadcast(hsel)).select(
         "vec_id",
@@ -1121,30 +1129,16 @@ def _lsh_buckets(emb):
     distinct shuffle (the dominant cost); verification joins them back
     by id (_lsh_verify)."""
 
-    def plane_dot(t: int, j: int):
-        plane = F.array(*[F.lit(v) for v in _LSH_PLANES[t][j]])
-        return F.aggregate(
-            F.zip_with("qv", plane, lambda x, y: x * y.cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-
-    def bucket(t: int):
-        b = F.lit(0)
-        for j in range(_LSH_BITS):
-            b = b + F.when(plane_dot(t, j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        return b
-
+    # All 8 tables' bucket bits in ONE parsed SQL expression — see the
+    # plan-construction note in similarity_lsh_scaled: the old Python
+    # loop (8 tables x 3 bits x 64 F.lit weights) spent seconds of
+    # py4j round-trips per invocation building an identical tree.
+    structs = ",".join(
+        f"named_struct('tbl', {t}, 'bkt', {_bucket_sql(_LSH_PLANES[t], _LSH_BITS)})"
+        for t in range(_LSH_TABLES)
+    )
     return emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bkt"))
-                    for t in range(_LSH_TABLES)
-                ]
-            )
-        ).alias("tb"),
+        "vec_id", F.explode(F.expr(f"array({structs})")).alias("tb")
     ).select("vec_id", "tb.tbl", "tb.bkt")
 
 
@@ -1157,11 +1151,7 @@ def _lsh_verify(emb, cand):
     qb = emb.select(
         F.col("vec_id").alias("vb"), F.col("qv").alias("qb"), F.col("n2").alias("nb2")
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dot = V.dot_q("qa", "qb")
     return (
         cand.join(qa, "va")
         .join(qb, "vb")
@@ -1406,11 +1396,7 @@ def similarity_filtered_topk(spark, sf_dir):
         V.quantize("embedding").alias("qc"),
         V.dot_exact("embedding", "embedding").alias("cn2"),
     )
-    dot = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dot = V.dot_q("qq", "qc")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -1491,11 +1477,7 @@ def filtered_topk_recall_audit(spark, sf_dir):
         V.quantize("embedding").alias("qc"),
         V.dot_exact("embedding", "embedding").alias("cn2"),
     )
-    dot = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dot = V.dot_q("qq", "qc")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -1741,11 +1723,7 @@ def similarity_filtered_ivf(spark, sf_dir):
         V.quantize("embedding").alias("qv"),
         V.dot_exact("embedding", "embedding").alias("n2"),
     )
-    dotvc = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotvc = V.dot_q("qv", "cv")
     cosvc = dotvc.cast("double") / (
         F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
@@ -1763,11 +1741,7 @@ def similarity_filtered_ivf(spark, sf_dir):
         V.quantize("embedding").alias("qq"),
         V.dot_exact("embedding", "embedding").alias("qn2"),
     )
-    dotqc = F.aggregate(
-        F.zip_with("qq", "cv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotqc = V.dot_q("qq", "cv")
     cosqc = dotqc.cast("double") / (
         F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
@@ -1795,11 +1769,7 @@ def similarity_filtered_ivf(spark, sf_dir):
         F.col("n2").alias("cn2"),
         "cent_id",
     )
-    dotqq = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotqq = V.dot_q("qq", "qc")
     pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         F.broadcast(probe)
@@ -2013,11 +1983,7 @@ def similarity_ivf_ann(spark, sf_dir):
         F.col("qv").alias("cv"),
         F.col("n2").alias("cn2"),
     )
-    dotvc = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotvc = V.dot_q("qv", "cv")
     cosvc = dotvc.cast("double") / (
         F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
@@ -2041,11 +2007,7 @@ def similarity_ivf_ann(spark, sf_dir):
         F.col("n2").alias("cn2"),
         "cent_id",
     )
-    dotqc = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotqc = V.dot_q("qq", "qc")
     pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         q.join(c, "cent_id")
@@ -2123,11 +2085,7 @@ def similarity_ivf_multiprobe(spark, sf_dir, nprobe: int = 2):
         F.col("qv").alias("cv"),
         F.col("n2").alias("cn2"),
     )
-    dotvc = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotvc = V.dot_q("qv", "cv")
     cosvc = dotvc.cast("double") / (
         F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
@@ -2153,11 +2111,7 @@ def similarity_ivf_multiprobe(spark, sf_dir, nprobe: int = 2):
         F.col("n2").alias("cn2"),
         "cent_id",
     )
-    dotqc = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotqc = V.dot_q("qq", "qc")
     pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         probe.join(c, "cent_id")
@@ -2366,11 +2320,7 @@ def similarity_ivf_pruned_probe(spark, sf_dir):
         F.col("qv").alias("cv"),
         F.col("n2").alias("cn2"),
     )
-    dotvc = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotvc = V.dot_q("qv", "cv")
     cosvc = dotvc.cast("double") / (
         F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
@@ -2398,11 +2348,7 @@ def similarity_ivf_pruned_probe(spark, sf_dir):
         F.col("n2").alias("qn2"),
         "cent_id",
     )
-    dotqc = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotqc = V.dot_q("qq", "qc")
     pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         index.join(F.broadcast(probe), "cent_id")
@@ -2514,11 +2460,7 @@ def _ivf_view_topk(view, emb):
         V.quantize("embedding").alias("qc"),
         V.dot_exact("embedding", "embedding").alias("cn2"),
     )
-    dotqc = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotqc = V.dot_q("qq", "qc")
     pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         cand.join(F.broadcast(qe), "qid")
@@ -3340,11 +3282,7 @@ def _kmeans_centroids(
         )
         .withColumn("n_assigned", F.lit(0).cast("bigint"))
     )
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dist = V.l2sq_q("qv", "cv")
     aw = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))
     for it in range(n_iter):
         cent_arr = cent_pos.groupBy("cent_id").agg(
@@ -3612,11 +3550,7 @@ def dedup_embedding_cosine(spark, sf_dir, sample_n=_TWIN_SAMPLE_N):
         V.quantize("embedding").alias("qb"),
         V.dot_exact("embedding", "embedding").alias("nb2"),
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dot = V.dot_q("qa", "qb")
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("keep_id") < F.col("drop_id"))
@@ -4827,14 +4761,11 @@ def _pq_adc(spark, sf_dir):
     )
 
     def sub_d2(j):
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("qv"), j * _PQ_DIM + 1, _PQ_DIM),
-                F.slice(F.col("qc"), j * _PQ_DIM + 1, _PQ_DIM),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, v: a + v,
+        return F.expr(
+            f"aggregate(zip_with(slice(qv, {j * _PQ_DIM + 1}, {_PQ_DIM}), "
+            f"slice(qc, {j * _PQ_DIM + 1}, {_PQ_DIM}), "
+            "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            "(acc, v) -> acc + v)"
         )
 
     sd = (
@@ -4934,11 +4865,7 @@ def similarity_pq_rerank(spark, sf_dir):
     c = sides.select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("qc"), F.col("n2").alias("cn2")
     )
-    dot = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dot = V.dot_q("qq", "qc")
     scored = (
         short.join(F.broadcast(q), "qid")
         .join(c, "cid")
@@ -5124,11 +5051,7 @@ def _pq_trained_adc(spark, sf_dir):
     cb = sub.filter(F.col("vec_id") < _PQ_C).select(
         "j", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda a, v: a + v,
-    )
+    d2 = V.l2sq_q("sv", "cv")
     aw = W.partitionBy("vec_id", "j").orderBy(F.asc("d2"), F.asc("code"))
     for _ in range(_PQT_ITER):
         assign = (
@@ -5217,11 +5140,7 @@ def similarity_pq_trained(spark, sf_dir):
     c = sides.select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("qc"), F.col("n2").alias("cn2")
     )
-    dot = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dot = V.dot_q("qq", "qc")
     scored = (
         short.join(F.broadcast(q), "qid")
         .join(c, "cid")
@@ -5450,14 +5369,11 @@ def similarity_pq_forget_probe(spark, sf_dir):
     )
 
     def sub_d2(j):
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("qv"), j * _PQ_DIM + 1, _PQ_DIM),
-                F.slice(F.col("qc"), j * _PQ_DIM + 1, _PQ_DIM),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, v: a + v,
+        return F.expr(
+            f"aggregate(zip_with(slice(qv, {j * _PQ_DIM + 1}, {_PQ_DIM}), "
+            f"slice(qc, {j * _PQ_DIM + 1}, {_PQ_DIM}), "
+            "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            "(acc, v) -> acc + v)"
         )
 
     qd = (
@@ -6154,11 +6070,7 @@ def _semdedup_ranked(spark, sf_dir):
         F.col("qv").alias("cv"),
         F.col("n2").alias("cn2"),
     )
-    dotvc = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotvc = V.dot_q("qv", "cv")
     cosvc = dotvc.cast("double") / (
         F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
@@ -6217,11 +6129,7 @@ def dedup_semantic_clusters(spark, sf_dir):
         F.col("n2").alias("nb2"),
         F.col("cent_id").alias("cent_b"),
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dot = V.dot_q("qa", "qb")
     cos = dot.cast("double") / (
         F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
     )
@@ -6791,11 +6699,7 @@ def ivf_store_retrain_recall_audit(spark, sf_dir):
         V.quantize("embedding").alias("qc"),
         V.dot_exact("embedding", "embedding").alias("cn2"),
     )
-    dotqc = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotqc = V.dot_q("qq", "qc")
     pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     retr = (
         cand.join(F.broadcast(qe), "qid")
@@ -6849,11 +6753,7 @@ def _ivf_trained_ranked(spark, sf_dir, probes: int = 3):
         V.quantize("embedding").alias("qv"),
         V.dot_exact("embedding", "embedding").alias("n2"),
     )
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dist = V.l2sq_q("qv", "cv")
     aw = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))
     ranked = (
         emb.crossJoin(F.broadcast(cent_arr))
@@ -6908,11 +6808,7 @@ def similarity_ivf_trained(spark, sf_dir):
         F.col("n2").alias("cn2"),
         "cent_id",
     )
-    dotqc = F.aggregate(
-        F.zip_with("qq", "qc", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotqc = V.dot_q("qq", "qc")
     pw = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
     return (
         cand.join(F.broadcast(probe), "cent_id")
@@ -7225,11 +7121,7 @@ def _semdedup_mp(spark, sf_dir, vb_filter=None, state=None):
         .groupBy("va", "vb")
         .agg(F.min("cent_id").alias("cent_id"))
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dot = V.dot_q("qa", "qb")
     cos = dot.cast("double") / (
         F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
     )
@@ -7511,19 +7403,18 @@ def _rp_project(spark, sf_dir):
     emb = T(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", V.quantize("embedding").alias("qv")
     )
-    srows = F.array(
-        *[
-            F.array(*[F.lit(_RP_SIGNS[j][i]) for i in range(_RP_IN)])
-            for j in range(_RP_OUT)
-        ]
+    # One parsed SQL expression for the whole 16x64 sign matrix: the
+    # column-API build (1024 F.lit py4j round-trips per invocation) was
+    # pure plan-construction overhead — same tree, same arithmetic
+    # (see the plan-construction note at _plane_dot_sql).
+    srows = ",".join(
+        "array(" + ",".join(str(_RP_SIGNS[j][i]) for i in range(_RP_IN)) + ")"
+        for j in range(_RP_OUT)
     )
-    rp = F.transform(
-        srows,
-        lambda srow: F.aggregate(
-            F.zip_with("qv", srow, lambda x, s: x * s.cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ),
+    rp = F.expr(
+        f"transform(array({srows}), srow -> "
+        "aggregate(zip_with(qv, srow, (x, s) -> x * CAST(s AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v))"
     )
     return emb.select("vec_id", rp.alias("rp"))
 

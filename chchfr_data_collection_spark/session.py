@@ -74,10 +74,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     type (a hard-coded assumption here silently broke when the fixtures
     flipped). Session timezone is pinned to UTC so naive-UTC fixture
     timestamps keep their face value.
+
+    The returned LAZY DataFrame is memoized per (session, sf_dir,
+    table): `spark.read.parquet` pays a driver-side footer/schema
+    inference pass (~0.2 s) on every call, and a typical catalog entry
+    loads 1-4 tables per invocation — measured this round, that was
+    ~10% of the whole headline bench in schema re-inference alone.
+    This caches only the UNEVALUATED plan (the exact object a fresh
+    read would return): every action still scans the parquet, so no
+    result or data is ever reused across runs. Fixture tables are
+    immutable for the life of a session, which is what makes the memo
+    sound; a new session (new applicationId) naturally re-reads.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
-        return _load_events(spark, f"{sf_dir}/{name}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _load_events(spark, f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if len(_TABLE_PLAN_CACHE) >= 256:
+        # sessions churn in the test suite; drop plans from dead apps
+        _TABLE_PLAN_CACHE.clear()
+    _TABLE_PLAN_CACHE[key] = df
+    return df
+
+
+_TABLE_PLAN_CACHE: dict = {}
 
 
 _EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -84,11 +84,7 @@ def ivf_assign(batch: DataFrame, cent: DataFrame) -> DataFrame:
         V.quantize("embedding").alias("qv"),
         V.dot_exact("embedding", "embedding").alias("n2"),
     )
-    dotvc = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dotvc = V.dot_q("qv", "cv")
     cosvc = dotvc.cast("double") / (
         F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
     )
@@ -113,16 +109,8 @@ def l2_assign(vecs_q: DataFrame, cent: DataFrame) -> DataFrame:
     migrated-or-appended store is bit-replayable by the kmeans-CTE
     oracle."""
     extras = [c for c in vecs_q.columns if c not in ("vec_id", "qv", "n2")]
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    dotvc = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dist = V.l2sq_q("qv", "cv")
+    dotvc = V.dot_q("qv", "cv")
     aw = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))
     return (
         vecs_q.crossJoin(F.broadcast(cent))
@@ -321,11 +309,7 @@ class IvfAssignmentStore(BatchAppendStore):
                 cent = train_centroids(vecs.select("vec_id", "qv"), n_iter)
                 cent = cent.withColumn(
                     "cn2",
-                    F.aggregate(
-                        F.zip_with("cv", "cv", lambda x, y: x * y),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, v: acc + v,
-                    ),
+                    V.dot_q("cv", "cv"),
                 )
                 rows = l2_assign(vecs, cent).select(
                     "vec_id", "cos_c", "cent_id", "batch_id"
@@ -457,11 +441,7 @@ def train_centroids(vecs: DataFrame, n_iter: int = 2) -> DataFrame:
         F.col("vec_id").alias("cent_id"),
         F.posexplode("qv").alias("pos", "c_val"),
     )
-    dist = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+    dist = V.l2sq_q("qv", "cv")
     aw = W.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cent_id"))
 
     def _arr(cp):
@@ -528,14 +508,11 @@ def pq_encode(batch: DataFrame, cent: DataFrame) -> DataFrame:
     streamed code table equals the batch-built one bit-for-bit."""
 
     def sub_d2(j):
-        return F.aggregate(
-            F.zip_with(
-                F.slice(F.col("qv"), j * PQ_DIM + 1, PQ_DIM),
-                F.slice(F.col("cv"), j * PQ_DIM + 1, PQ_DIM),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, v: a + v,
+        return F.expr(
+            f"aggregate(zip_with(slice(qv, {j * PQ_DIM + 1}, {PQ_DIM}), "
+            f"slice(cv, {j * PQ_DIM + 1}, {PQ_DIM}), "
+            "(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), "
+            "(acc, v) -> acc + v)"
         )
 
     sd = (
@@ -576,11 +553,7 @@ def train_pq_codebook(vecs_q: DataFrame, n_iter: int = 2) -> DataFrame:
     cb = sub.filter(F.col("vec_id") < PQ_C).select(
         "j", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
     )
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda a, v: a + v,
-    )
+    d2 = V.l2sq_q("sv", "cv")
     aw = W.partitionBy("vec_id", "j").orderBy(F.asc("d2"), F.asc("code"))
     for _ in range(n_iter):
         assign = (
@@ -621,11 +594,7 @@ def pq_encode_trained(vecs_q: DataFrame, cb: DataFrame) -> DataFrame:
             )
         ).alias("j", "sv"),
     )
-    d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda a, v: a + v,
-    )
+    d2 = V.l2sq_q("sv", "cv")
     wcode = W.partitionBy("vec_id", "j").orderBy(F.asc("d2"), F.asc("code"))
     return (
         sub.join(F.broadcast(cb), "j")
