@@ -564,8 +564,25 @@ class MinHashIndex(StoreKernel):
         mode = "dynamic" if not full else "static"
         arrays_w = arrays_w.option("partitionOverwriteMode", mode)
         postings_w = postings_w.option("partitionOverwriteMode", mode)
-        arrays_w.partitionBy("delta_id").parquet(self.arrays_path)
-        postings_w.partitionBy("band", "delta_id").parquet(self.postings_path)
+        # The two relation writes are INDEPENDENT jobs over the same
+        # persisted `sigs` — overlap them from two driver threads
+        # (guide §2.6: actions are only sequential because the driver
+        # calls them sequentially). Crash story unchanged: the delta is
+        # not marked landed until BOTH commits return, so any crash —
+        # either write, both, mid-either — leaves unmarked partitions a
+        # retry pre-deletes, exactly as with the old sequential order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(
+                arrays_w.partitionBy("delta_id").parquet, self.arrays_path
+            )
+            fp = pool.submit(
+                postings_w.partitionBy("band", "delta_id").parquet,
+                self.postings_path,
+            )
+            fa.result()
+            fp.result()
 
     def bootstrap(self, docs: DataFrame, delta_id: str = "bootstrap") -> None:
         """Build the index from the landed corpus (one-time full pass).

@@ -108,6 +108,40 @@ def expire_everywhere(*stores) -> dict:
     return done
 
 
+def _fan_out_stores(stores, fn, receipts: dict) -> None:
+    """Run `fn(store, name)` for every fleet member, overlapping
+    DISTINCT stores from driver threads (guide §2.6: per-store exports
+    are independent Spark jobs targeting disjoint destinations, and the
+    driver was serializing them). Entries that name the SAME store
+    twice stay sequential within one thread — the store handle's
+    instance caches are not written from two threads. Failure is
+    all-or-nothing as before: the first exception propagates and the
+    fleet catalog is never written."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    groups: dict = {}
+    for store, name in stores:
+        groups.setdefault(store.base_path, []).append((store, name))
+
+    def _run_group(group):
+        return [(name, fn(store, name)) for store, name in group]
+
+    if len(groups) == 1:
+        results = [_run_group(next(iter(groups.values())))]
+    else:
+        with ThreadPoolExecutor(max_workers=min(4, len(groups))) as pool:
+            results = list(pool.map(_run_group, groups.values()))
+    raw: dict = {}
+    for group_result in results:
+        for name, receipt in group_result:
+            # receipts keyed by (unique) name; insertion order follows
+            # the grouping, but callers key by name so order is moot
+            store = next(s for s, n in stores if n == name)
+            receipts[name] = _store_receipt(store, name, receipt)
+            raw[name] = receipt
+    return raw
+
+
 def _require_unique_names(stores, what: str) -> None:
     names = [name for _, name in stores]
     if len(set(names)) != len(names):
@@ -258,13 +292,13 @@ def snapshot_everywhere(
         with ExitStack() as stack:
             for p in paths:
                 stack.enter_context(WriterLease(stores[0][0].spark, p))
-            for store, name in stores:
-                receipt = store._snapshot_locked(f"{root}/{name}")
-                receipts[name] = _store_receipt(store, name, receipt)
+            _fan_out_stores(
+                stores,
+                lambda store, name: store._snapshot_locked(f"{root}/{name}"),
+                receipts,
+            )
     else:
-        for store, name in stores:
-            receipt = _export(store, name)
-            receipts[name] = _store_receipt(store, name, receipt)
+        _fan_out_stores(stores, _export, receipts)
     catalog = {
         "dest_root": root,
         "stores": receipts,
@@ -342,18 +376,6 @@ def sync_everywhere(dest_root: str, *stores, quiesce: bool = False) -> dict:
     receipts = dict(catalog["stores"])
     shipped: dict = {}
 
-    def _one(store, name, locked: bool):
-        receipt = (
-            store._sync_locked(f"{root}/{name}")
-            if locked
-            else store.sync_to(f"{root}/{name}")
-        )
-        receipts[name] = _store_receipt(store, name, receipt)
-        shipped[name] = receipt.get(
-            "batches_shipped",
-            receipt.get("patches_shipped", receipt.get("shipped")),
-        )
-
     if quiesce:
         from contextlib import ExitStack
 
@@ -363,11 +385,22 @@ def sync_everywhere(dest_root: str, *stores, quiesce: bool = False) -> dict:
         with ExitStack() as stack:
             for p in paths:
                 stack.enter_context(WriterLease(stores[0][0].spark, p))
-            for store, name in stores:
-                _one(store, name, locked=True)
+            raw = _fan_out_stores(
+                stores,
+                lambda store, name: store._sync_locked(f"{root}/{name}"),
+                receipts,
+            )
     else:
-        for store, name in stores:
-            _one(store, name, locked=False)
+        raw = _fan_out_stores(
+            stores,
+            lambda store, name: store.sync_to(f"{root}/{name}"),
+            receipts,
+        )
+    for name, r in raw.items():
+        shipped[name] = r.get(
+            "batches_shipped",
+            r.get("patches_shipped", r.get("shipped")),
+        )
     catalog = {
         "dest_root": root,
         "stores": receipts,
