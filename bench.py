@@ -186,7 +186,11 @@ def main() -> None:
         "errors": errors,
         "queries": timings,
     }
-    print(json.dumps(record))
+    # compact separators: the driver's record keeps a bounded tail of
+    # stdout, and at 93 queries every byte of the one-line JSON counts
+    # (round-15 verdict #2: the r14 line outgrew a 2000-char capture
+    # and cost the round its round-over-round comparison)
+    print(json.dumps(record, separators=(",", ":")))
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_STDOUT_LATEST.json"), "w") as f:

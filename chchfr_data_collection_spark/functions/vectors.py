@@ -71,10 +71,14 @@ QUANT = 1_000_000.0
 
 
 def quantize_sql(a: str) -> str:
-    """SQL text of the 1e6 quantization of a float-array column."""
+    """SQL text of the 1e6 quantization of a float-array column. The
+    literal derives from QUANT so the str-operand and Column-operand
+    paths of the same helper cannot desynchronize (round-15 ADVICE,
+    low); tests/test_functions.py pins str/Column-path parity per
+    helper."""
     return (
         f"transform({a}, x -> CAST(ROUND(CAST(x AS DOUBLE) * "
-        "CAST(1000000 AS DOUBLE)) AS BIGINT))"
+        f"CAST({int(QUANT)} AS DOUBLE)) AS BIGINT))"
     )
 
 

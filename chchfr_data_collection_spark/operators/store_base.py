@@ -61,10 +61,22 @@ def observed_count(obs) -> int:
     to return). The 0 fallback cannot mask a real miscount: the caller
     always re-verifies against a read-back/footer count of what landed,
     so a spurious empty observation on a non-empty write fails loudly
-    there."""
+    there (pinned by test_snapshot's spurious-empty-observation test).
+    The swallowed exception is logged so that when that downstream
+    mismatch fires, the operator can trace it to the observation
+    rather than to the data (round-15 ADVICE, low)."""
     try:
         return int(obs.get["n"])
-    except Exception:
+    except Exception as exc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "Observation returned no metrics (%s: %s); treating the "
+            "write as empty — the caller's read-back verify is the "
+            "correctness gate",
+            type(exc).__name__,
+            exc,
+        )
         return 0
 
 

@@ -108,7 +108,7 @@ def expire_everywhere(*stores) -> dict:
     return done
 
 
-def _fan_out_stores(stores, fn, receipts: dict) -> None:
+def _fan_out_stores(stores, fn, receipts: dict) -> dict:
     """Run `fn(store, name)` for every fleet member, overlapping
     DISTINCT stores from driver threads (guide §2.6: per-store exports
     are independent Spark jobs targeting disjoint destinations, and the
@@ -124,7 +124,10 @@ def _fan_out_stores(stores, fn, receipts: dict) -> None:
         groups.setdefault(store.base_path, []).append((store, name))
 
     def _run_group(group):
-        return [(name, fn(store, name)) for store, name in group]
+        # carry the store through the result triples so the
+        # post-processing loop needs no by-name lookup (round-15
+        # ADVICE, low)
+        return [(store, name, fn(store, name)) for store, name in group]
 
     if len(groups) == 1:
         results = [_run_group(next(iter(groups.values())))]
@@ -133,10 +136,9 @@ def _fan_out_stores(stores, fn, receipts: dict) -> None:
             results = list(pool.map(_run_group, groups.values()))
     raw: dict = {}
     for group_result in results:
-        for name, receipt in group_result:
+        for store, name, receipt in group_result:
             # receipts keyed by (unique) name; insertion order follows
             # the grouping, but callers key by name so order is moot
-            store = next(s for s, n in stores if n == name)
             receipts[name] = _store_receipt(store, name, receipt)
             raw[name] = receipt
     return raw

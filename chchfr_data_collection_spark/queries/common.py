@@ -23,16 +23,24 @@ def T(
     df = load_table(spark, sf_dir, name)
     if not parallel:
         return df
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    hit = _PARALLEL_PLAN_CACHE.get(key)
+    # keyed on the session object (weakly), not applicationId — a
+    # spark.newSession() sibling shares the applicationId but not the
+    # session state its plans are bound to (round-15 ADVICE, low)
+    per_session = _PARALLEL_PLAN_CACHE.get(spark)
+    if per_session is None:
+        per_session = _PARALLEL_PLAN_CACHE[spark] = {}
+    key = (sf_dir, name)
+    hit = per_session.get(key)
     if hit is None:
-        if len(_PARALLEL_PLAN_CACHE) >= 256:
-            _PARALLEL_PLAN_CACHE.clear()
-        hit = _PARALLEL_PLAN_CACHE[key] = parallelize_scan(df)
+        if len(per_session) >= 64:
+            per_session.clear()
+        hit = per_session[key] = parallelize_scan(df)
     return hit
 
 
-_PARALLEL_PLAN_CACHE: dict = {}
+from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
+
+_PARALLEL_PLAN_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
 
 
 def dec(c: Column | str) -> Column:

@@ -84,24 +84,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     read would return): every action still scans the parquet, so no
     result or data is ever reused across runs. Fixture tables are
     immutable for the life of a session, which is what makes the memo
-    sound; a new session (new applicationId) naturally re-reads.
+    sound. Keyed on the SESSION OBJECT (weakly), not applicationId:
+    `spark.newSession()` shares one context/applicationId but carries
+    its own session state (confs, timezone), and a plan built under one
+    session must not serve another (round-15 ADVICE, low). Dead
+    sessions fall out of the WeakKeyDictionary automatically.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    hit = _TABLE_PLAN_CACHE.get(key)
+    per_session = _TABLE_PLAN_CACHE.get(spark)
+    if per_session is None:
+        per_session = _TABLE_PLAN_CACHE[spark] = {}
+    key = (sf_dir, name)
+    hit = per_session.get(key)
     if hit is not None:
         return hit
     if name == "events":
         df = _load_events(spark, f"{sf_dir}/{name}.parquet")
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if len(_TABLE_PLAN_CACHE) >= 256:
-        # sessions churn in the test suite; drop plans from dead apps
-        _TABLE_PLAN_CACHE.clear()
-    _TABLE_PLAN_CACHE[key] = df
+    if len(per_session) >= 64:
+        per_session.clear()
+    per_session[key] = df
     return df
 
 
-_TABLE_PLAN_CACHE: dict = {}
+from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
+
+_TABLE_PLAN_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
 
 
 _EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -79,3 +79,60 @@ def test_deterministic_price_engine_independent(spark):
     for r in rows:
         expected_jitter = (r.location_id * 7919) % 61 / 100.0 + JITTER_LOW
         assert r.price == round(r.base_price + expected_jitter, 2)
+
+
+def test_vector_sql_and_column_paths_agree(spark):
+    """Round-15 ADVICE (low): the SQL-string fast paths must stay
+    arithmetic-identical to the column-API kernels they shadow —
+    including the QUANT literal, now derived from the one constant.
+    Pins (a) bit-identical values on edge data (half-ulp rounding
+    cases included) and (b) identical canonicalized analyzed plans,
+    so a future edit to one path cannot silently desynchronize the
+    other."""
+    from chchfr_data_collection_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [
+            ([0.1, -0.25, 7.9999995], [1.5, 0.0000005, -2.0]),
+            ([-0.0000005, 3.25, -7.75], [0.5, -0.5, 0.0]),
+        ],
+        "a: array<float>, b: array<float>",
+    )
+
+    def _canon(col):
+        # optimized plan: constant folding normalizes spellings like
+        # CAST(0 AS DOUBLE) vs 0.0d that are trivially equal but not
+        # canonically so in the analyzed tree
+        return (
+            df.select(col.alias("x"))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .canonicalized()
+            .toString()
+        )
+
+    from pyspark.sql import functions as F
+
+    pairs = [
+        (V.dot("a", "b"), V.dot(F.col("a"), F.col("b"))),
+        (V.quantize("a"), V.quantize(F.col("a"))),
+        (V.dot_exact("a", "b"), V.dot_exact(F.col("a"), F.col("b"))),
+    ]
+    for s_col, c_col in pairs:
+        got_s = df.select(s_col.alias("x")).collect()
+        got_c = df.select(c_col.alias("x")).collect()
+        assert got_s == got_c
+        assert _canon(s_col) == _canon(c_col)
+    # the already-quantized kernels have no Column twin; pin their SQL
+    # against a straightforward spelled-out equivalent instead
+    q = df.select(
+        V.quantize("a").alias("qa"), V.quantize("b").alias("qb")
+    )
+    spelled = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v)"
+    )
+    assert (
+        q.select(V.dot_q("qa", "qb").alias("x")).collect()
+        == q.select(spelled.alias("x")).collect()
+    )
