@@ -134,6 +134,10 @@ HEADLINE = [
     "store_fleet_sync_probe",
     "ivf_store_schema_evolution_probe",
     "ivf_store_retention_probe",
+    # round 16 (ADDED — never remove or rename existing entries): the
+    # round-15 §4.1 Arrow-boundary column-pruning fix finally gets a
+    # recorded headline number (round-15 verdict, next #8)
+    "applyinpandas_group_rank",
 ]
 
 

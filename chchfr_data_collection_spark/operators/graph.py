@@ -67,9 +67,16 @@ def materialize(
     the executor), else a parquet round-trip under
     `checkpoint_dir/slot` (reliable — a recomputation after executor
     loss replays from the files). Callers alternate two slot names so
-    a write never overwrites the files its own input is reading."""
+    a write never overwrites the files its own input is reading.
+
+    The local checkpoint is LAZY (round 16, guide §2.6): the caller's
+    next action — the CC loop's convergence check, a broadcast build,
+    a write — materializes the blocks as part of its own job, instead
+    of a dedicated checkpoint job per round followed by a second job
+    that re-reads the blocks. Lineage is truncated at first
+    materialization exactly as before; values are unchanged."""
     if checkpoint_dir is None:
-        return df.localCheckpoint()
+        return df.localCheckpoint(eager=False)
     path = f"{checkpoint_dir.rstrip('/')}/{slot}"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

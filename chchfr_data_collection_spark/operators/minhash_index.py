@@ -176,6 +176,40 @@ MH_A = [_rng.randrange(1, 1 << 29) | 1 for _ in range(MH_K)]
 MH_B = [_rng.randrange(0, MH_P) for _ in range(MH_K)]
 
 
+# Plan-construction note (round 16, profiled): building the K min-hash
+# aggregates and the band structs through the column API cost ~500 py4j
+# round-trips per shingle_signatures/band_rows call (~0.5 s + ~0.25 s
+# of pure driver time each at any scale) — the round-15 LSH pathology,
+# still standing here. The SAME expressions rendered as SQL text parse
+# in one JVM call per list; the executed trees are arithmetic-identical
+# (same literal types, same operator order — pinned by the oracle).
+
+_SHINGLE_TOK_SQL = (
+    "explode(array_distinct(transform("
+    "sequence(0, size(split(text, ' ', -1)) - 3),"
+    " i -> concat_ws('_',"
+    " element_at(split(text, ' ', -1), i + 1),"
+    " element_at(split(text, ' ', -1), i + 2),"
+    " element_at(split(text, ' ', -1), i + 3))))) AS w"
+)
+_SHINGLE_X_SQL = (
+    "CAST(conv(substring(md5(CAST(w AS BINARY)), 1, 8), 16, 10)"
+    " AS BIGINT) AS x"
+)
+_MIN_HASH_AGG_SQL = [
+    f"min(({MH_A[i]} * x + {MH_B[i]}) % {MH_P}) AS h{i}" for i in range(MH_K)
+]
+_BAND_STRUCTS_SQL = ", ".join(
+    "struct({j} AS band, concat_ws(',', {hs}) AS sig)".format(
+        j=j,
+        hs=", ".join(
+            f"CAST(h{j * MH_ROWS + t} AS STRING)" for t in range(MH_ROWS)
+        ),
+    )
+    for j in range(MH_BANDS)
+)
+
+
 def shingle_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, shs, nw, h0..h{K-1}) in ONE shuffle: the groupBy that
     computes the K codegen'd min() MinHash aggregates also reassembles
@@ -185,64 +219,34 @@ def shingle_signatures(docs: DataFrame) -> DataFrame:
     index entries and batch signatures are bit-interchangeable. nw is
     the DISTINCT-hash count (= |set| under the hashed-shingle Jaccard
     definition both engines share)."""
-    ws = F.split("text", " ", -1)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 3),
-            lambda i: F.concat_ws(
-                "_",
-                F.element_at(ws, i + 1),
-                F.element_at(ws, i + 2),
-                F.element_at(ws, i + 3),
-            ),
-        )
+    tokx = (
+        docs.filter(F.expr("size(split(text, ' ', -1)) >= 3"))
+        .selectExpr("doc_id", _SHINGLE_TOK_SQL)
+        .selectExpr("doc_id", _SHINGLE_X_SQL)
     )
-    tok = docs.filter(F.size(ws) >= 3).select(
-        "doc_id", F.explode(shingles).alias("w")
-    )
-    x = F.conv(
-        F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10
-    ).cast("bigint")
-    tokx = tok.withColumn("x", x)
-    xc = F.col("x")
     return (
         tokx.groupBy("doc_id")
         .agg(
-            F.collect_list("x").alias("xs"),
-            *[
-                F.min((F.lit(MH_A[i]) * xc + F.lit(MH_B[i])) % F.lit(MH_P)).alias(
-                    f"h{i}"
-                )
-                for i in range(MH_K)
-            ],
+            F.expr("collect_list(x)").alias("xs"),
+            *[F.expr(s) for s in _MIN_HASH_AGG_SQL],
         )
         # distinct + size as post-agg expressions: no second distinct
         # aggregate (which would force an Expand), one shuffle total
-        .select(
+        .selectExpr(
             "doc_id",
-            F.array_distinct("xs").alias("shs"),
+            "array_distinct(xs) AS shs",
             *[f"h{i}" for i in range(MH_K)],
         )
-        .withColumn("nw", F.size("shs"))
+        .selectExpr("*", "size(shs) AS nw")
     )
 
 
 def band_rows(sigs: DataFrame) -> DataFrame:
     """(doc_id, band, sig) posting rows: r=MH_ROWS hashes concatenated
     per band — the AND step of the AND-OR amplification."""
-    band_cols = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.concat_ws(
-                ",",
-                *[F.col(f"h{j * MH_ROWS + t}").cast("string") for t in range(MH_ROWS)],
-            ).alias("sig"),
-        )
-        for j in range(MH_BANDS)
-    ]
-    return sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bs")).select(
-        "doc_id", "bs.band", "bs.sig"
-    )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({_BAND_STRUCTS_SQL})) AS bs"
+    ).select("doc_id", "bs.band", "bs.sig")
 
 
 class MinHashIndex(StoreKernel):

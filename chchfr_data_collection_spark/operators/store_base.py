@@ -1049,21 +1049,46 @@ class BatchAppendStore(StoreKernel):
             .partitionBy(*self.CELL_COLS, "batch_id")
             .parquet(self._retrain_tmp)
         )
-        got = (
-            self.spark.read.schema(self.data_schema())
-            .parquet(self._retrain_tmp)
-            .count()
-        )
+        # the read-back verify count and the auxiliary staging write
+        # are independent jobs over different relations — overlap them
+        # (guide §2.6). Both land in tmp dirs, so a verify mismatch
+        # still leaves live data untouched: the failure path below
+        # deletes BOTH tmps and the commit manifest is only written
+        # after the verify passed AND the aux staged.
+        aux = self._aux_swap() if aux_writer is not None else None
+
+        def _stage_aux() -> None:
+            fs.delete(HPath(aux[0]), True)
+            aux_writer(aux[0])
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        aux_future = None
+        if aux is not None:
+            pool = ThreadPoolExecutor(max_workers=1)
+            aux_future = pool.submit(_stage_aux)
+        try:
+            got = (
+                self.spark.read.schema(self.data_schema())
+                .parquet(self._retrain_tmp)
+                .count()
+            )
+        finally:
+            if aux_future is not None:
+                aux_exc = aux_future.exception()
+                pool.shutdown(wait=False)
+                if aux_exc is not None:
+                    fs.delete(HPath(self._retrain_tmp), True)
+                    fs.delete(HPath(aux[0]), True)
+                    raise aux_exc
         if got != expected:
             fs.delete(HPath(self._retrain_tmp), True)
+            if aux is not None:
+                fs.delete(HPath(aux[0]), True)
             raise IOError(
                 f"retrain row mismatch on {self.base_path}: expected "
                 f"{expected}, staged {got}; live data untouched"
             )
-        if aux_writer is not None:
-            aux = self._aux_swap()
-            fs.delete(HPath(aux[0]), True)
-            aux_writer(aux[0])
         self._write_json(self._retrain_commit_path, {"rows": got})
         self._finish_retrain()
         return got

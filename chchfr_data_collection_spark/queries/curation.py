@@ -748,7 +748,7 @@ def decontaminate_minhash(spark, sf_dir):
     for the candidate join. Train-side buckets wider than the cap are
     skipped (boilerplate territory — the exact-hash and 8-gram passes
     catch those), cap replicated in the oracle."""
-    from .llm import _MH_A, _MH_B, _MH_BANDS, _MH_BUCKET_CAP, _MH_P, _MH_ROWS, _swap_cached
+    from .llm import _MH_BANDS, _MH_BUCKET_CAP, _MH_ROWS, _swap_cached
 
     k = _MH_BANDS * _MH_ROWS
     ws = F.split("text", " ", -1)
@@ -771,29 +771,24 @@ def decontaminate_minhash(spark, sf_dir):
     x = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast(
         "bigint"
     )
+    # SQL-text construction (round 16): the shared min-hash/band
+    # strings parse in one JVM call per list instead of ~300 py4j
+    # round-trips — see operators/minhash_index.py's note. Same
+    # expressions, same literals.
+    from ..operators.minhash_index import (
+        _BAND_STRUCTS_SQL,
+        _MIN_HASH_AGG_SQL,
+    )
+
     sigs = tok.withColumn("x", x).groupBy("doc_id").agg(
         F.count("*").alias("nw"),
         F.collect_list("w").alias("shs"),
-        *[
-            F.min((F.lit(_MH_A[i]) * F.col("x") + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(
-                f"h{i}"
-            )
-            for i in range(k)
-        ],
+        *[F.expr(s) for s in _MIN_HASH_AGG_SQL[:k]],
     )
     sigs = _swap_cached(decontaminate_minhash, "_cached_sigs", sigs)
-    band_cols = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(f"h{j * _MH_ROWS + t}").cast("string") for t in range(_MH_ROWS)]
-            ).alias("sig"),
-        )
-        for j in range(_MH_BANDS)
-    ]
-    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bs")).select(
-        "doc_id", "bs.band", "bs.sig"
-    )
+    buckets = sigs.selectExpr(
+        "doc_id", f"explode(array({_BAND_STRUCTS_SQL})) AS bs"
+    ).select("doc_id", "bs.band", "bs.sig")
     tb = buckets.filter(F.col("doc_id") >= 50)
     # train-side bucket-width cap: window over the SAME (band, sig)
     # partitioning the join shuffles on — no extra exchange

@@ -2820,11 +2820,23 @@ def store_fleet_backup_probe(spark, sf_dir):
     ivf = IvfAssignmentStore(
         spark, tempfile.mkdtemp(prefix=f"fleet_ivf_{_uuid.uuid4().hex[:8]}_")
     )
-    ivf.bootstrap(ivf_assign(emb, ivf_centroids(spark, sf_dir)))
     pq = PqCodesStore(
         spark, tempfile.mkdtemp(prefix=f"fleet_pq_{_uuid.uuid4().hex[:8]}_")
     )
-    pq.bootstrap(pq_encode(emb, pq_codebook(spark, sf_dir)))
+    # the two bootstraps are independent jobs on disjoint stores —
+    # overlap them from driver threads (guide §2.6, the fleet fan-out
+    # pattern snapshot/sync_everywhere already use)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(
+            ivf.bootstrap, ivf_assign(emb, ivf_centroids(spark, sf_dir))
+        )
+        fp = pool.submit(
+            pq.bootstrap, pq_encode(emb, pq_codebook(spark, sf_dir))
+        )
+        fi.result()
+        fp.result()
     root = tempfile.mkdtemp(prefix=f"fleet_bk_{_uuid.uuid4().hex[:8]}_")
     catalog = snapshot_everywhere(
         f"{root}/set", (ivf, "ivf"), (pq, "pq"), quiesce=True
@@ -3080,16 +3092,27 @@ def store_fleet_sync_probe(spark, sf_dir):
     ivf = IvfAssignmentStore(
         spark, tempfile.mkdtemp(prefix=f"fsync_ivf_{_uuid.uuid4().hex[:8]}_")
     )
-    ivf.bootstrap(ivf_assign(landed, cent))
     pq = PqCodesStore(
         spark, tempfile.mkdtemp(prefix=f"fsync_pq_{_uuid.uuid4().hex[:8]}_")
     )
-    pq.bootstrap(pq_encode(landed, cb))
+    # bootstraps, and later the delta appends, are independent jobs on
+    # disjoint stores — overlap each pair from driver threads (guide
+    # §2.6, the same fan-out snapshot/sync_everywhere use internally)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(ivf.bootstrap, ivf_assign(landed, cent))
+        fp = pool.submit(pq.bootstrap, pq_encode(landed, cb))
+        fi.result()
+        fp.result()
     root = tempfile.mkdtemp(prefix=f"fsync_bk_{_uuid.uuid4().hex[:8]}_")
     snapshot_everywhere(f"{root}/set", (ivf, "ivf"), (pq, "pq"))
 
-    ivf.append_batch(ivf_assign(delta, cent), 1)
-    pq.append_batch(pq_encode(delta, cb), 1)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(ivf.append_batch, ivf_assign(delta, cent), 1)
+        fp = pool.submit(pq.append_batch, pq_encode(delta, cb), 1)
+        fi.result()
+        fp.result()
     catalog = sync_everywhere(
         f"{root}/set", (ivf, "ivf"), (pq, "pq"), quiesce=True
     )
@@ -3588,6 +3611,16 @@ from ..operators.minhash_index import (  # noqa: E402
 )
 
 
+# within-bucket ordered pairs from the sorted id list, as ONE parsed
+# expression (round 16: the nested-transform column-API build of this
+# cost dozens of py4j round-trips per invocation)
+_PAIR_EXPLODE_SQL = (
+    "explode(flatten(transform(ids, (a, i) ->"
+    " transform(slice(ids, i + 2, size(ids) - i - 1),"
+    " b -> struct(a AS da, b AS db))))) AS p"
+)
+
+
 def _minhash_banded_duck(corpus_pred: str | None = None) -> str:
     """The banded-MinHash oracle SQL; `corpus_pred` restricts the
     corpus (used by the forget/right-to-be-forgotten twin — the reduced
@@ -3682,22 +3715,22 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
     exchange for signatures, verification-left, and verification-right.
     """
     k = n_bands * band_rows
-    ws = F.split("text", " ", -1)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 3),
-            lambda i: F.concat_ws(
-                "_", F.element_at(ws, i + 1), F.element_at(ws, i + 2), F.element_at(ws, i + 3)
-            ),
-        )
+    # SQL-text construction (round 16): same expressions as before,
+    # parsed in one JVM call per list instead of ~500 py4j round-trips
+    # — see operators/minhash_index.py's plan-construction note. The
+    # shared _SHINGLE_*/_MIN_HASH_AGG_SQL strings keep this operator,
+    # the persisted index, and the DuckDB oracle on ONE definition.
+    from ..operators.minhash_index import (
+        _MIN_HASH_AGG_SQL,
+        _SHINGLE_TOK_SQL,
+        _SHINGLE_X_SQL,
     )
-    tok = (
+
+    tokx = (
         T(spark, sf_dir, "documents", parallel=True)
-        .filter(F.size(ws) >= 3)
-        .select("doc_id", F.explode(shingles).alias("w"))
-    )
-    tokx = tok.withColumn(
-        "x", F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast("bigint")
+        .filter(F.expr("size(split(text, ' ', -1)) >= 3"))
+        .selectExpr("doc_id", _SHINGLE_TOK_SQL)
+        .selectExpr("doc_id", _SHINGLE_X_SQL)
     )
     # one shuffle: k minhashes as plain codegen'd min() aggregates PLUS the
     # reassembled shingle-HASH array for verification, in the same
@@ -3705,22 +3738,16 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
     # not the strings: ~3x fewer bytes through the shuffle/cache and a
     # cheaper array_intersect, with the identical-in-both-engines
     # hashed-shingle Jaccard definition (nw = |distinct hashes|).
-    x = F.col("x")
     sigs = (
         tokx.groupBy("doc_id")
         .agg(
-            F.collect_list("x").alias("xs"),
-            *[
-                F.min((F.lit(_MH_A[i]) * x + F.lit(_MH_B[i])) % F.lit(_MH_P)).alias(
-                    f"h{i}"
-                )
-                for i in range(k)
-            ],
+            F.expr("collect_list(x)").alias("xs"),
+            *[F.expr(s) for s in _MIN_HASH_AGG_SQL[:k]],
         )
-        .select(
-            "doc_id", F.array_distinct("xs").alias("shs"), *[f"h{i}" for i in range(k)]
+        .selectExpr(
+            "doc_id", "array_distinct(xs) AS shs", *[f"h{i}" for i in range(k)]
         )
-        .withColumn("nw", F.size("shs"))
+        .selectExpr("*", "size(shs) AS nw")
     )
     # materialize signatures once: the relation feeds banding AND both
     # verification sides, and per-branch column pruning makes the three
@@ -3732,35 +3759,23 @@ def dedup_minhash_banded(spark, sf_dir, n_bands: int = _MH_BANDS, band_rows: int
     # signatures (a per-call persist with no unpersist would pin every
     # prior run's blocks for the session lifetime).
     sigs = _swap_cached(dedup_minhash_banded, "_cached_sigs", sigs)
-    band_cols = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(f"h{j * band_rows + t}").cast("string") for t in range(band_rows)]
-            ).alias("sig"),
+    band_structs = ", ".join(
+        "struct({j} AS band, concat_ws(',', {hs}) AS sig)".format(
+            j=j,
+            hs=", ".join(
+                f"CAST(h{j * band_rows + t} AS STRING)" for t in range(band_rows)
+            ),
         )
         for j in range(n_bands)
-    ]
-    buckets = sigs.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    )
+    buckets = sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bs"
     ).select("doc_id", "bs.band", "bs.sig")
     cand = (
         buckets.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .agg(F.expr("sort_array(collect_list(doc_id))").alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= _MH_BUCKET_CAP))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda a, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size("ids") - i - 1),
-                            lambda b: F.struct(a.alias("da"), b.alias("db")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
+        .selectExpr(_PAIR_EXPLODE_SQL)
         .select("p.da", "p.db")
         .distinct()
     )

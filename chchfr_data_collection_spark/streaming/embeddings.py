@@ -311,6 +311,13 @@ class IvfAssignmentStore(BatchAppendStore):
                     "cn2",
                     V.dot_q("cv", "cv"),
                 )
+                # materialize the k-row trained dim ONCE (guide §1.2:
+                # don't compute things twice): the Lloyd chain is lazy,
+                # so without this the staging write AND the centroid
+                # sidecar write each re-ran the full n_iter training
+                # passes over the corpus (profiled round 16). One tiny
+                # eager job; both consumers then broadcast the k rows.
+                cent = cent.localCheckpoint()
                 rows = l2_assign(vecs, cent).select(
                     "vec_id", "cos_c", "cent_id", "batch_id"
                 )
@@ -734,6 +741,11 @@ class PqCodesStore(BatchAppendStore):
                 n_vec = vecs.count()
                 expected = n_vec * PQ_M
                 cb = train_pq_codebook(vecs.select("vec_id", "qv"), n_iter)
+                # one training pass, not two: the encode below and the
+                # codebook sidecar write both consume the lazy Lloyd
+                # chain — materialize the PQ_M x PQ_C-row dim once
+                # (same fix as IvfAssignmentStore.retrain)
+                cb = cb.localCheckpoint()
                 rows = pq_encode_trained(
                     vecs.select("vec_id", "qv"), cb
                 ).join(vecs.select("vec_id", "batch_id"), "vec_id").select(

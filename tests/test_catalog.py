@@ -243,11 +243,26 @@ def test_column_parity_with_oracle(spark, sf_small, cat):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_small}/{t}.parquet'")
+    entries = [(name, q) for name, q in sorted(cat.items()) if q.sql is not None]
+    # The Spark side of a STORE entry bootstraps its fixture store on
+    # invocation, so "plan analysis only" is ~0.5-2 s × ~40 store
+    # entries sequentially — this one test was 327 s of the suite's
+    # 38 min (round-16 measurement) and the driver's pytest window
+    # couldn't fit the suite (round-15 verdict #3). The per-entry work
+    # is independent Spark jobs against disjoint temp stores: overlap
+    # it from driver threads (guide §2.6). DuckDB DESCRIBE stays on
+    # one thread (a DuckDB connection is not thread-safe).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _spark_cols(item):
+        name, q = item
+        return name, sorted(q.fn(spark, sf_small).columns)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        spark_cols = dict(pool.map(_spark_cols, entries))
     bad = []
-    for name, q in sorted(cat.items()):
-        if q.sql is None:
-            continue
-        scols = sorted(q.fn(spark, sf_small).columns)
+    for name, q in entries:
+        scols = spark_cols[name]
         dcols = sorted(r[0] for r in con.execute(f"DESCRIBE {q.sql}").fetchall())
         if scols != dcols:
             bad.append((name, scols, dcols))
