@@ -694,7 +694,7 @@ class ComponentStore(StoreKernel):
                     ).select("da", F.col("da").alias("db"))
                 )
             )
-        dp = materialize(dp, None, "")
+        dp = materialize(dp, None, "", eager=True)
         nodes = (
             dp.select(F.col("da").alias("node"))
             .unionByName(dp.select(F.col("db").alias("node")))
@@ -725,7 +725,9 @@ class ComponentStore(StoreKernel):
                     F.coalesce("cb", F.col("db")).alias("db"),
                 )
             )
-            cc2 = materialize(connected_components(contracted), None, "")
+            cc2 = materialize(
+                connected_components(contracted), None, "", eager=True
+            )
             # current labels touched by the delta, and where they move
             changed_map = cc2.select(
                 F.col("node").alias("component"), F.col("component").alias("newc")

@@ -60,7 +60,7 @@ from pyspark.sql import functions as F
 
 
 def materialize(
-    df: DataFrame, checkpoint_dir: str | None, slot: str
+    df: DataFrame, checkpoint_dir: str | None, slot: str, eager: bool = False
 ) -> DataFrame:
     """Cut an iterative operator's lineage: `localCheckpoint()` when
     `checkpoint_dir` is None (fast, executor-local blocks — lost with
@@ -69,14 +69,20 @@ def materialize(
     loss replays from the files). Callers alternate two slot names so
     a write never overwrites the files its own input is reading.
 
-    The local checkpoint is LAZY (round 16, guide §2.6): the caller's
-    next action — the CC loop's convergence check, a broadcast build,
-    a write — materializes the blocks as part of its own job, instead
-    of a dedicated checkpoint job per round followed by a second job
-    that re-reads the blocks. Lineage is truncated at first
-    materialization exactly as before; values are unchanged."""
+    The local checkpoint is LAZY by default (round 16, guide §2.6):
+    the caller's next action — the CC loop's convergence check, a
+    broadcast build, a write — materializes the blocks as part of its
+    own job, instead of a dedicated checkpoint job per round followed
+    by a second job that re-reads the blocks. Lineage is truncated at
+    first materialization exactly as before; values are unchanged.
+    Pass `eager=True` when the relation's FIRST use fans out into
+    several concurrent consumers (a broadcast build racing a scan, a
+    self-union) AND its upstream is expensive: racing consumers each
+    recompute the upstream until blocks land, which round-16
+    measurement showed costing more than the dedicated checkpoint job
+    saves (the ComponentStore apply path's dp/cc2)."""
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=eager)
     path = f"{checkpoint_dir.rstrip('/')}/{slot}"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

@@ -1217,6 +1217,18 @@ def applyinpandas_group_rank(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select("user_id", "event_id", "value")
     )
+    # Explicit hash repartition by the group key with a CORE-COUNT
+    # floor: AQE coalesces the pre-Arrow exchange by BYTES (advisory
+    # partition size), which at this row width packed every group into
+    # 2 tasks and serialized the Python workers onto 2 cores (profiled
+    # round 16: one 4.2 s job with 2 tasks on local[32]). Python
+    # per-group compute prices by rows, not bytes — the explicit
+    # partition count is respected by AQE, the grouped-map boundary
+    # reuses the same hash partitioning (no second exchange), and on a
+    # cluster defaultParallelism is the total core count, exactly the
+    # floor a compute-bound stage wants (the parallelize_scan idiom,
+    # applied to a shuffle instead of a scan).
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
     return ev.groupBy("user_id").applyInPandas(
         rank_group, schema="user_id bigint, event_id bigint, rnk bigint"
     )
